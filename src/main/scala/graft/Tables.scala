@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Filters and projections
+  * declared downstream reach the scan (Parquet pushdown + pruning) because
+  * we never materialize here — each call returns a lazy scan node.
+  *
+  * At 100 TB these would be directory-backed partitioned tables; the
+  * loader is the single seam where that changes (swap path → table
+  * identifier), so operators never hard-code storage layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Shared column helpers keeping Spark output bit-identical to the DuckDB
+  * oracle.
+  *
+  * Money/measure sums: summing IEEE doubles is order-dependent, and Spark's
+  * parallel partial aggregation visits rows in a different order than
+  * DuckDB. Casting each addend to DECIMAL first makes the sum exact and
+  * order-independent; the final cast back to DOUBLE is then deterministic
+  * on both engines.
+  */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Order-independent SUM of a 2-dp money column → DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Order-independent SUM of a derived measure at 6 dp → DOUBLE. */
+  def dsum6(c: Column): Column = sum(c.cast("decimal(27,6)")).cast("double")
+
+  /** Exact average: decimal sum divided by count, division done in DOUBLE
+    * (deterministic given identical operands on both engines). */
+  def davg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(c)).as("avg")
+}
