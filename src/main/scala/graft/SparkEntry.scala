@@ -12,7 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
-    graft.operators.Relational)
+    graft.operators.Relational,
+    graft.operators.OlapCube,
+    graft.operators.WindowOps,
+    graft.operators.SetOps,
+    graft.operators.Scalars,
+    graft.operators.EventOps)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)
 

@@ -101,5 +101,49 @@ object Relational extends OpModule {
       .orderBy("r_name", "n_name", "o_year")
   })
 
-  override def ops: Seq[Op] = Seq(q1Agg, q2Filter, q3Star)
+  /** Band (theta/range) join — the reference's J5/J6 `dimDemografia` /
+    * `dimInfoNascimento` age- and weight-band joins
+    * (spark_script_sim.py:361-373, spark_script_sinasc.py:218-250):
+    * left join against a small band dimension on
+    * `v >= lo AND (hi IS NULL OR v < hi)`. The band table is tiny so the
+    * plan is a BroadcastNestedLoopJoin — constant work per probe row,
+    * embarrassingly parallel, safe at 100 TB (the non-equi side never
+    * shuffles the big table). */
+  val q4Band: Op = Op(
+    "q4_band_join",
+    Some("""
+      WITH bands(band, lo, hi) AS (
+        VALUES ('1_negative', -100000.0, 0.0),
+               ('2_low',      0.0,       1000.0),
+               ('3_mid',      1000.0,    5000.0),
+               ('4_high',     5000.0,    CAST(NULL AS DOUBLE))
+      )
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      LEFT JOIN bands ON c_acctbal >= lo AND (hi IS NULL OR c_acctbal < hi)
+      GROUP BY band
+      ORDER BY band NULLS FIRST
+    """))((spark, dir) => {
+    import spark.implicits._
+    val bands = Seq(
+      ("1_negative", Some(-100000.0), Some(0.0)),
+      ("2_low", Some(0.0), Some(1000.0)),
+      ("3_mid", Some(1000.0), Some(5000.0)),
+      ("4_high", Some(5000.0), Option.empty[Double]))
+      .toDF("band", "lo", "hi")
+    Tables.customer(spark, dir)
+      .join(
+        broadcast(bands),
+        col("c_acctbal") >= col("lo") && (col("hi").isNull || col("c_acctbal") < col("hi")),
+        "left")
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        Exact.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("band")
+  })
+
+  override def ops: Seq[Op] = Seq(q1Agg, q2Filter, q3Star, q4Band)
 }
