@@ -17,7 +17,10 @@ object SparkEntry {
     graft.operators.WindowOps,
     graft.operators.SetOps,
     graft.operators.Scalars,
-    graft.operators.EventOps)
+    graft.operators.EventOps,
+    graft.operators.TextOps,
+    graft.operators.Dedup,
+    graft.operators.Similarity)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)
 

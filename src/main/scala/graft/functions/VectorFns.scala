@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector helpers with exact cross-engine arithmetic.
+  *
+  * Cosine over IEEE floats is order-dependent when summed in parallel, so
+  * raw float dot-products can differ in the last ulp between engines. We
+  * instead quantize each component to a 64-bit integer (×1e6, round) and
+  * compute dot products / norms in exact integer arithmetic — associative,
+  * order-independent, identical everywhere. The final
+  * `dot / (√na · √nb)` runs in double on identical integer inputs, so it
+  * is bit-identical too. Quantization error (~1e-6 relative) is far below
+  * any meaningful similarity-threshold resolution.
+  *
+  * All helpers are codegen'd higher-order functions — no UDFs — and keep
+  * the embedding as an array column (no explode), so a 100 TB scan stays
+  * one narrow projection per row.
+  */
+object VectorFns {
+
+  /** array<float> → array<long>, component ×1e6 rounded (half away from
+    * zero on both engines; round() makes the value integral so the long
+    * cast is exact). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def norm2(v: Column): Column =
+    aggregate(v, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine from integer dot + squared norms, in double. */
+  def cosine(dotC: Column, na: Column, nb: Column): Column =
+    dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Deterministic pseudo-random sign for (bit b, component i):
+    * parity of popcount(b·1000003 + i). Drives the sign-random-projection
+    * LSH bucket; reproducible in any engine with bit_count. */
+  def lshBitSql(b: Int, qv: String): String =
+    s"""aggregate(transform(sequence(1, size($qv)), i ->
+       |  (CASE WHEN bit_count(CAST($b * 1000003 + i AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END)
+       |  * element_at($qv, i)), 0L, (acc, x) -> acc + x)""".stripMargin
+
+  /** Spark Column: 8-bit sign-projection LSH bucket id as a '0'/'1'
+    * string, e.g. "01101001". */
+  def lshBucket8(qv: String): Column =
+    concat((0 until 8).map(b =>
+      when(expr(lshBitSql(b, qv)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** DuckDB mirror of [[lshBitSql]]. */
+  def duckLshBit(b: Int, qv: String): String =
+    s"""list_reduce([(CASE WHEN bit_count(CAST($b * 1000003 + i AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END)
+       | * $qv[i] FOR i IN generate_series(1, len($qv))], (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB mirror of [[lshBucket8]]. */
+  def duckLshBucket8(qv: String): String =
+    (0 until 8).map(b => s"(CASE WHEN (${duckLshBit(b, qv)}) >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+
+  val duckQuantize: String => String =
+    v => s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  val duckDot: (String, String) => String =
+    (a, b) => s"list_reduce([$a[i] * $b[i] FOR i IN generate_series(1, len($a))], (x, y) -> x + y)"
+  val duckNorm2: String => String =
+    v => s"list_reduce(list_transform($v, x -> x * x), (x, y) -> x + y)"
+}

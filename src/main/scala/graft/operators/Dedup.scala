@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.functions.{TextFns, VectorFns}
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline:
+  *
+  *  - d1 exact: hash-groupBy on md5(text).
+  *  - d2 MinHash + LSH: word-3-gram shingles → 8 string-min hashes →
+  *    4 banded bucket keys → candidate pairs → exact Jaccard filter.
+  *    This is the scale path: candidate generation is a self-join on
+  *    band keys (shuffle on a high-cardinality key; no O(n²) blow-up),
+  *    exact Jaccard runs only on colliding pairs.
+  *  - d3 SimHash: 16-bit occurrence-weighted sign fingerprint.
+  *  - d4 n-gram Jaccard: exact char-5-gram Jaccard within small blocks
+  *    (lang × source × length bucket) — blocked pairwise dedup.
+  *  - d5 embedding near-dup: quantized-cosine threshold pairs within
+  *    (label × LSH-bucket) blocks.
+  *
+  * MinHash over md5-hex strings: lexicographic MIN of fixed-width hex ==
+  * numeric min of the 128-bit value, so both engines agree without any
+  * integer-hash builtin. The reference's group-signature dedup machinery
+  * (spark_script_sim.py:181-221) is the d1/t21 exact-signature case; d2-d5
+  * extend it to near-duplicate semantics.
+  */
+object Dedup extends OpModule {
+
+  /** Exact dedup groups by md5(text); one row per distinct content. */
+  val d1Exact: Op = Op(
+    "d1_dedup_exact",
+    Some("""
+      SELECT md5(text) AS text_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+      FROM documents
+      GROUP BY text_hash
+      ORDER BY text_hash
+    """))((spark, dir) => {
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy("text_hash")
+  })
+
+  private val NH = 8      // minhash functions
+  private val BANDS = 4   // bands of 2 hashes each
+  private val JACCARD_T = 0.5
+
+  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard. */
+  val d2MinHashLsh: Op = Op(
+    "d2_dedup_minhash_lsh", {
+      val mins = (1 to NH).map(j =>
+        s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min') AS h$j")
+        .mkString(",\n               ")
+      val bandKeys = (1 to BANDS).map(b =>
+        s"md5(h${2 * b - 1} || h${2 * b}) AS bk$b").mkString(", ")
+      val bandRows = (1 to BANDS).map(b =>
+        s"SELECT doc_id, $b AS band, bk$b AS bkey FROM sigs").mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN generate_series(1, len(w) - 2)]) AS sh
+        FROM toks WHERE len(w) >= 3
+      ), hashed AS (
+        SELECT doc_id, sh,
+               $mins
+        FROM sh
+      ), sigs AS (
+        SELECT doc_id, $bandKeys FROM hashed
+      ), bands AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+      ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(sa.sh) + len(sb.sh)
+                    - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+      )
+      SELECT doc_a, doc_b, jac AS jaccard
+      FROM scored WHERE jac >= $JACCARD_T
+      ORDER BY doc_a, doc_b
+    """)
+    })((spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
+    val hashed = (1 to NH).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"h$j", array_min(transform(col("sh"), s => md5(concat(lit(s"$j:"), s)))))
+    }
+    val sigs = (1 to BANDS).foldLeft(hashed) { (df, b) =>
+      df.withColumn(s"bk$b", md5(concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}"))))
+    }
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(array((1 to BANDS).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = toks
+    val scored = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("uni", TextFns.unionSize(col("sha"), col("shb")))
+      .withColumn("jac", (size(col("sha")) + size(col("shb")) - col("uni")).cast("double") / col("uni"))
+    scored.filter(col("jac") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  })
+
+  /** 16-bit SimHash fingerprint per document (occurrence-weighted). */
+  val d3SimHash: Op = Op(
+    "d3_dedup_simhash", {
+      val hv = TextFns.hex4ToIntSql("substring(md5(word), 1, 4)")
+      val bitSums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n               ")
+      val hash = (0 until 16).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      Some(s"""
+      WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+      ), hv AS (
+        SELECT doc_id, $hv AS hv FROM words
+      ), bits AS (
+        SELECT doc_id,
+               $bitSums
+        FROM hv GROUP BY doc_id
+      )
+      SELECT doc_id, CAST($hash AS INTEGER) AS simhash
+      FROM bits
+      ORDER BY doc_id
+    """)
+    })((spark, dir) => {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .withColumn("hv", TextFns.hex4ToInt(substring(md5(col("word")), 1, 4)))
+    val bitAggs = (0 until 16).map(b =>
+      sum(when(((col("hv") / lit(1 << b)).cast("long") % 2) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val bits = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until 16).map(b =>
+      when(col(s"s$b") >= 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    bits.select(col("doc_id"), hash.cast("int").as("simhash"))
+      .orderBy("doc_id")
+  })
+
+  /** Blocked exact char-5-gram Jaccard pairs (block = lang × source ×
+    * length-bucket). */
+  val d4NgramJaccard: Op = Op(
+    "d4_dedup_ngram_jaccard",
+    Some("""
+      WITH g AS (
+        SELECT doc_id, lang, source, n_chars // 100 AS lenb,
+               list_distinct([substring(text, i, 5)
+                              FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS gs
+        FROM documents
+      ), p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(a.gs) + len(b.gs)
+                    - len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.gs, b.gs))) AS jac
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+         AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, jac AS jaccard5
+      FROM p WHERE jac >= 0.5
+      ORDER BY doc_a, doc_b
+    """))((spark, dir) => {
+    val g = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / lit(100)).cast("long").as("lenb"),
+        array_distinct(TextFns.charShingles(col("text"), 5)).as("gs"))
+    val p = g.as("a")
+      .join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.lenb") === col("b.lenb") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.gs").as("ga"), col("b.gs").as("gb"))
+      .withColumn("uni", TextFns.unionSize(col("ga"), col("gb")))
+      .withColumn("jac", (size(col("ga")) + size(col("gb")) - col("uni")).cast("double") / col("uni"))
+    p.filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard5"))
+      .orderBy("doc_a", "doc_b")
+  })
+
+  /** Embedding near-duplicate pairs: quantized cosine ≥ 0.3 within
+    * (label × 8-bit LSH bucket) blocks. */
+  val d5EmbeddingNearDup: Op = Op(
+    "d5_dedup_embedding",
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
+        FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, qv, ${VectorFns.duckNorm2("qv")} AS nrm,
+               ${VectorFns.duckLshBucket8("qv")} AS bucket
+        FROM v
+      ), p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               CAST(${VectorFns.duckDot("a.qv", "b.qv")} AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, label, cos AS cosine
+      FROM p WHERE cos >= 0.3
+      ORDER BY vec_a, vec_b
+    """))((spark, dir) => {
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .withColumn("bucket", VectorFns.lshBucket8("qv"))
+    val p = n.as("a")
+      .join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.label").as("label"),
+        VectorFns.cosine(
+          VectorFns.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cos"))
+    p.filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos").as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  })
+
+  override def ops: Seq[Op] =
+    Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * s1 is the exact baseline: brute-force cosine top-k for a fixed query
+  * set. The query side is tiny (10 vectors) and broadcast, so the scan of
+  * the candidate side is a single pass — at 100 TB this is the right plan
+  * when the query set is small (broadcast-probe, no shuffle of the big
+  * side).
+  *
+  * s2 is the scale path: sign-random-projection LSH buckets (8 bits); a
+  * query only probes its own bucket, cutting candidates ~256×. Bucketing
+  * is a deterministic per-row projection, so the bucketed table can be
+  * written once, bucketed/partitioned by (bucket), and probed with
+  * partition pruning. Cosines use exact integer arithmetic
+  * ([[VectorFns]]) so both engines rank identically.
+  */
+object Similarity extends OpModule {
+
+  private val K = 5
+  private val NQ = 10 // query set: vec_id < 10
+
+  private def duckVecs(extra: String = ""): String =
+    s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
+       |      FROM embeddings$extra),
+       |n AS (SELECT vec_id, label, qv, ${VectorFns.duckNorm2("qv")} AS nrm FROM v)""".stripMargin
+
+  /** Brute-force exact cosine top-k. */
+  val s1BruteTopK: Op = Op(
+    "s1_ann_brute_topk",
+    Some(s"""
+      WITH ${duckVecs()},
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+             cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val pairs = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", VectorFns.dot(col("q_qv"), col("qv")))
+      .withColumn("cos", VectorFns.cosine(col("dot"), col("q_nrm"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
+  /** LSH-bucketed ANN: candidates restricted to the query's 8-bit
+    * sign-projection bucket. */
+  val s2LshTopK: Op = Op(
+    "s2_ann_lsh_topk",
+    Some(s"""
+      WITH ${duckVecs()},
+      b AS (SELECT vec_id, qv, nrm, ${VectorFns.duckLshBucket8("qv")} AS bucket FROM n),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, bucket, CAST(rnk AS INTEGER) AS rnk,
+             cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .withColumn("bucket", VectorFns.lshBucket8("qv"))
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(
+        col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val pairs = vecs
+      .join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("dot", VectorFns.dot(col("q_qv"), col("qv")))
+      .withColumn("cos", VectorFns.cosine(col("dot"), col("q_nrm"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"), col("rnk"),
+        col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
+  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK)
+}

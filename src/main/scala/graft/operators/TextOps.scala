@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization/word frequency, canonical document
+  * signatures (the reference's bridge-group signature machinery, SURVEY.md
+  * §2.3 A1-A8, generalized to documents), language-ID heuristic, quality
+  * scoring, token counting, and rolling-hash fingerprinting.
+  *
+  * Scale: all are per-row projections plus one hash aggregate — fully
+  * partition-parallel, no skew risk beyond word frequency (bounded
+  * vocabulary here; at 100 TB, word-freq would add a salted partial-agg
+  * round which Spark's partial aggregation already performs).
+  */
+object TextOps extends OpModule {
+
+  /** Explode tokens → corpus word frequency (A1/A2/A5 + G1). */
+  val t20WordFreq: Op = Op(
+    "t20_word_freq",
+    Some("""
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+            FROM documents)
+      GROUP BY word
+      ORDER BY word
+    """))((spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("word")
+  })
+
+  /** Canonical bag-of-words signature per document: sorted distinct
+    * tokens joined by '|', md5'd — the reference's cause-group signature
+    * (spark_script_sim.py:181-192: sort, concat_ws ':' / '|') applied to
+    * documents. Identical signature ⇒ same token set. */
+  val t21DocSignature: Op = Op(
+    "t21_doc_signature",
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))), '|')) AS token_sig,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS INTEGER) AS n_distinct_tokens
+      FROM documents
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat_ws("|", array_sort(array_distinct(toks)))).as("token_sig"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+      .orderBy("doc_id")
+  })
+
+  private val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  /** Language-ID heuristic: occurrence-weighted stopword hits per
+    * language dictionary; argmax with a fixed priority order, 'unknown'
+    * when nothing hits. (An n-gram char-model variant would train state;
+    * the stopword form is the stateless, per-row-parallel one.) */
+  val t22LangId: Op = Op(
+    "t22_langid", {
+    val hitsSql = langDicts.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($arr, x))) AS hits_$l"
+    }.mkString(",\n               ")
+    val caseSql =
+      """CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'unknown'
+        |     WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+        |     WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+        |     WHEN hits_de >= hits_fr THEN 'de'
+        |     ELSE 'fr' END""".stripMargin
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), scored AS (
+        SELECT doc_id, lang,
+               $hitsSql
+        FROM toks
+      )
+      SELECT doc_id, lang AS labeled_lang,
+             CAST(hits_en AS INTEGER) AS hits_en, CAST(hits_es AS INTEGER) AS hits_es,
+             CAST(hits_de AS INTEGER) AS hits_de, CAST(hits_fr AS INTEGER) AS hits_fr,
+             $caseSql AS predicted_lang
+      FROM scored
+      ORDER BY doc_id
+    """)
+  })((spark, dir) => {
+    val toks = TextFns.tokens(col("text"))
+    val withHits = langDicts.foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("w"))) {
+      case (df, (l, ws)) =>
+        val dict = array(ws.map(lit): _*)
+        df.withColumn(s"hits_$l", size(filter(col("w"), x => array_contains(dict, x))))
+    }
+    withHits
+      .withColumn(
+        "predicted_lang",
+        when(col("hits_en") === 0 && col("hits_es") === 0 && col("hits_de") === 0 && col("hits_fr") === 0, "unknown")
+          .when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr"), "en")
+          .when(col("hits_es") >= col("hits_de") && col("hits_es") >= col("hits_fr"), "es")
+          .when(col("hits_de") >= col("hits_fr"), "de")
+          .otherwise("fr"))
+      .select("doc_id", "labeled_lang", "hits_en", "hits_es", "hits_de", "hits_fr", "predicted_lang")
+      .orderBy("doc_id")
+  })
+
+  /** Quality scoring: length/word/distinct/stopword ratios combined into
+    * a [0,1]-ish score. All ratios are integer-derived doubles, so the
+    * score is bit-identical across engines. */
+  val t23Quality: Op = Op(
+    "t23_quality",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), m AS (
+        SELECT doc_id, n_chars,
+               CAST(len(w) AS INTEGER) AS n_words,
+               CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+               CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS INTEGER) AS n_stop
+        FROM t
+      )
+      SELECT doc_id, n_chars, n_words, n_distinct,
+             CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+             CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+             0.5 * (CAST(n_distinct AS DOUBLE) / n_words)
+                      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+                      + 0.2 * LEAST(CAST(n_words AS DOUBLE) / 60.0, 1.0) AS quality_score
+      FROM m
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    val stop = array(Seq("the", "a", "of", "and", "to", "is", "in").map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), TextFns.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        size(filter(col("w"), x => array_contains(stop, x))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+        (col("n_stop").cast("double") / col("n_words")).as("stopword_ratio"),
+        (lit(0.5) * (col("n_distinct").cast("double") / col("n_words"))
+          + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words"))
+          + lit(0.2) * least(col("n_words").cast("double") / 60.0, lit(1.0))).as("quality_score"))
+      .orderBy("doc_id")
+  })
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  val t24TokenStats: Op = Op(
+    "t24_token_stats",
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpeish_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_raw,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS chars_per_token
+      FROM documents
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    val bpeish = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(bpeish).as("n_bpeish_tokens"),
+        length(col("text")).as("n_chars_raw"),
+        (length(col("text")).cast("double") / size(bpeish)).as("chars_per_token"))
+      .orderBy("doc_id")
+  })
+
+  /** Document fingerprint: minimum md5 over character 8-grams (a
+    * winnowing-style content fingerprint — stable under small edits
+    * elsewhere in the doc), plus the 8-gram cardinality. */
+  val t25Fingerprint: Op = Op(
+    "t25_fingerprint",
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               [md5(substring(text, i, 8)) FOR i IN generate_series(1, greatest(length(text) - 7, 1))] AS hs,
+               [substring(text, i, 8) FOR i IN generate_series(1, greatest(length(text) - 7, 1))] AS gs
+        FROM documents
+      )
+      SELECT doc_id,
+             list_aggregate(hs, 'min') AS fingerprint,
+             CAST(len(list_distinct(gs)) AS INTEGER) AS n_distinct_8grams
+      FROM g
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    val grams = TextFns.charShingles(col("text"), 8)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        array_min(transform(grams, g => md5(g))).as("fingerprint"),
+        size(array_distinct(grams)).as("n_distinct_8grams"))
+      .orderBy("doc_id")
+  })
+
+  override def ops: Seq[Op] =
+    Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats, t25Fingerprint)
+}
