@@ -20,7 +20,8 @@ object SparkEntry {
     graft.operators.EventOps,
     graft.operators.TextOps,
     graft.operators.Dedup,
-    graft.operators.Similarity)
+    graft.operators.Similarity,
+    graft.operators.Multimodal)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)
 

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference is batch-only (SURVEY.md §2.9: its "incremental" axis is
+  * a daily partition loop); this module re-expresses that ingest as
+  * streams: watermarked tumbling-window aggregation (the streaming twin of
+  * the oracle-checked `q17_hourly_window` batch query) and a stateful
+  * per-user sessionizer via `flatMapGroupsWithState` (twin of
+  * `q18_sessionize`).
+  *
+  * Scale: state is keyed by (window × type) / user — both partition
+  * cleanly across executors; watermarks bound state size; file sources at
+  * 100 TB would be a partitioned directory with `Trigger.AvailableNow`
+  * for catch-up processing.
+  */
+object EventStream {
+
+  /** events schema as the streaming source sees it (ts arrives as raw
+    * nanos — parquet TIMESTAMP(NANOS) — and is truncated to micros,
+    * matching graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming read of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windows × event_type with a 2-hour watermark.
+    * Output schema matches the batch q17 (hour_start string key). */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  final case class SessionState(
+      sessionSeq: Int, startMicros: Long, lastMicros: Long, n: Int, sumValue: Double)
+  final case class SessionOut(
+      user_id: Long, session_seq: Int, n_events: Int, session_value: Double,
+      start_micros: Long, end_micros: Long)
+
+  private val GapMicros = 30L * 60 * 1000000
+
+  /** Stateful sessionizer: emits a session when a user is idle past the
+    * 30-minute gap (same semantics as batch q18; event-time timeout keeps
+    * state bounded by the watermark). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Within a micro-batch events may arrive unordered; sort locally.
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0, -1, -1, 0, 0.0))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st.n == 0) {
+              st = SessionState(st.sessionSeq + 1, e.tsMicros, e.tsMicros, 1, e.value)
+            } else if (e.tsMicros - st.lastMicros > GapMicros) {
+              out += SessionOut(user, st.sessionSeq, st.n, st.sumValue, st.startMicros, st.lastMicros)
+              st = SessionState(st.sessionSeq + 1, e.tsMicros, e.tsMicros, 1, e.value)
+            } else {
+              st = st.copy(lastMicros = e.tsMicros, n = st.n + 1, sumValue = st.sumValue + e.value)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Run a streaming query over a static directory to completion using
+    * the memory sink; returns the collected result table. Used by tests
+    * and as the local "catch-up" entry point (Trigger.AvailableNow
+    * semantics via processAllAvailable). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

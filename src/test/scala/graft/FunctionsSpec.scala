@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the shared Column helpers (table-driven, literal data —
+  * the reference-style decode/cleanup testing of SURVEY.md §5.1). */
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens drops empties, keeps duplicates") {
+    val out = Seq("a  b a", " x ", "", "solo")
+      .toDF("t").select(TextFns.tokens(col("t")).as("w"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("a", "b", "a"), List("x"), Nil, List("solo")))
+  }
+
+  test("wordShingles builds n-grams in order") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextFns.wordShingles(TextFns.tokens(col("t")), 3).as("s"))
+      .head().getSeq[String](0).toList
+    assert(out == List("a b c", "b c d"))
+  }
+
+  test("charShingles covers the text and short docs yield one gram") {
+    val out = Seq("abcdef", "ab").toDF("t")
+      .select(TextFns.charShingles(col("t"), 5).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("abcde", "bcdef"), List("ab")))
+  }
+
+  test("union/inter sizes follow the distinct-concat identity") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val r = df.select(
+      TextFns.unionSize(col("x"), col("y")),
+      TextFns.interSize(col("x"), col("y"))).head()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 2)
+  }
+
+  test("hex4ToInt decodes md5 prefixes") {
+    // md5("abc") = 900150983cd24fb0... → 0x9001 = 36865
+    val r = Seq("abc").toDF("t")
+      .select(TextFns.hex4ToInt(substring(md5(col("t")), 1, 4)))
+      .head().getInt(0)
+    assert(r == 0x9001)
+  }
+
+  test("quantize/dot/norm2/cosine: exact integer arithmetic") {
+    val df = Seq((Seq(1.0f, 0.0f, -0.5f), Seq(0.5f, 0.0f, 0.5f))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot(
+        VectorFns.quantize(col("a")), VectorFns.quantize(col("b"))).as("dot"),
+      VectorFns.norm2(VectorFns.quantize(col("a"))).as("na"),
+      VectorFns.norm2(VectorFns.quantize(col("b"))).as("nb")).head()
+    assert(r.getLong(0) == 1000000L * 500000 - 500000L * 500000)
+    assert(r.getLong(1) == 1000000L * 1000000 + 500000L * 500000)
+    assert(r.getLong(2) == 2L * 500000 * 500000)
+    val cos = r.getLong(0).toDouble / (math.sqrt(r.getLong(1).toDouble) * math.sqrt(r.getLong(2).toDouble))
+    assert(math.abs(cos - 0.25 / (math.sqrt(1.25) * math.sqrt(0.5))) < 1e-12)
+  }
+
+  test("lshBucket8 is a deterministic 8-char bitstring") {
+    val df = Seq(Seq(0.1f, -0.2f, 0.3f), Seq(0.1f, -0.2f, 0.3f)).toDF("v")
+      .select(VectorFns.quantize(col("v")).as("qv"))
+      .select(VectorFns.lshBucket8("qv").as("b"))
+    val bs = df.collect().map(_.getString(0)).toList
+    assert(bs.head.length == 8 && bs.head.forall(c => c == '0' || c == '1'))
+    assert(bs.distinct.size == 1)
+  }
+
+  test("multimodal stub decode is deterministic byte arithmetic") {
+    import graft.operators.Multimodal
+    val out = Multimodal.decodePartition(Iterator(
+      Multimodal.MediaRaw(7L, "video", "hello".getBytes("UTF-8")),
+      Multimodal.MediaRaw(8L, "image", Array.emptyByteArray))).toList
+    assert(out.head == Multimodal.MediaMeta(7L, "video", 5, 5, 'h'.toInt, 1 + 5 % 16, 'h'.toInt))
+    assert(out(1) == Multimodal.MediaMeta(8L, "image", 0, 0, 0, 1, 0))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+/** Every declared query runs at sf0.001 and returns a stable schema.
+  * (Value-level correctness is enforced by the DuckDB oracle gate —
+  * tools/check.py — run per round; these specs catch regressions fast.) */
+class QueriesSmokeSpec extends SparkSpecBase {
+
+  test("all declared queries run at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf())
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("every query has an oracle or is explicitly oracle-free") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg known group values at sf0.001") {
+    val rows = SparkEntry.queries("q1_agg")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5))).toSeq
+    assert(rows.map(_._3).sum == 6000) // every lineitem lands in exactly one group
+    assert(rows.map(t => (t._1, t._2)).distinct.size == rows.size)
+  }
+
+  test("q10 top-k emits at most 5 per brand, ranks contiguous") {
+    val df = SparkEntry.queries("q10_topk_per_group")(spark, sf())
+    val byBrand = df.collect().groupBy(_.getString(0))
+    byBrand.foreach { case (brand, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"$brand ranks: $ranks")
+      assert(ranks.size <= 5)
+    }
+  }
+
+  test("d2 minhash-lsh pairs are ordered and above threshold") {
+    val rows = SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf()).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("s1 brute-force ANN: 5 neighbors per query, self excluded") {
+    val rows = SparkEntry.queries("s1_ann_brute_topk")(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(!rs.exists(_.getLong(1) == q), s"query $q returned itself")
+      val cosines = rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "not descending")
+    }
+  }
+
+  test("s2 LSH ANN is a subset-ranking of s1 candidates (same bucket)") {
+    val s2 = SparkEntry.queries("s2_ann_lsh_topk")(spark, sf()).collect()
+    s2.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(2)).distinct.length == 1) // one bucket per query
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.EventStream
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Streaming twins must agree with their oracle-checked batch queries:
+  * hourlyWindows ≡ q17, sessionize ≡ q18 (same events, same results). */
+class StreamingSpec extends SparkSpecBase {
+
+  /** readStream needs a directory of a single schema; link events.parquet
+    * into a temp dir. */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.createSymbolicLink(
+      d.resolve("events.parquet"), Paths.get(s"${sf()}/events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly windows match batch q17 aggregates") {
+    // Complete mode so end-of-stream windows (still inside the watermark)
+    // are emitted too; Append would hold the final 2 hours back.
+    val stream = EventStream.hourlyWindows(EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runToMemory(
+      spark, stream, "hourly_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = SparkEntry.queries("q17_hourly_window")(spark, sf())
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("stateful sessionizer matches batch q18 session structure") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf())
+      .select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[EventStream.Ev]
+    // Run the same state machine in batch form (single group pass) — the
+    // flatMapGroupsWithState body is engine-agnostic logic.
+    val streamed = EventStream.sessionize(evs)
+      .collect().map(s => (s.user_id, s.session_seq, s.n_events)).toSet
+    val batch = SparkEntry.queries("q18_sessionize")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt + 1, r.getLong(2).toInt)).toSet // batch ids are 0-based
+    // Streaming Append mode only emits CLOSED sessions; every emitted
+    // session must exist in the batch result with identical counts.
+    assert(streamed.subsetOf(batch), s"extra sessions: ${streamed -- batch}")
+    assert(streamed.size >= batch.size / 2) // most sessions close
+  }
+}
