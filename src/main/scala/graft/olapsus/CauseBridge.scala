@@ -1,0 +1,112 @@
+package graft.olapsus
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The bridge-table merge — the one genuinely stateful operator in the
+  * reference (dags/spark_script_sim.py:130-255): each death carries an
+  * ordered list of ICD causes; identical (cause, order) lists share one
+  * `chave_grupo_causa`, and new lists get dense new ids appended to
+  * `ponteGrupoCausas`.
+  *
+  * The canonical signature format must be preserved exactly or group
+  * identities drift across runs: per element `"$chave_causa:$ordem"`,
+  * elements sorted by `ordem`, joined by `"|"` (sim.py:181-192).
+  *
+  * Scale notes: the per-row aggregation partitions on row_id (map-side
+  * combine). Only the NEW-group id assignment uses a global
+  * `row_number()` over the signature — same single-writer assumption as
+  * the reference (max+1, sim.py:214-227); new-group cardinality per
+  * batch is tiny, so the single-partition window sorts a handful of
+  * rows. At true 100 TB multi-writer scale this id assignment would move
+  * to a two-phase zipWithIndex-style scheme; semantics here match the
+  * reference.
+  */
+object CauseBridge {
+
+  final case class Result(resolved: DataFrame, newBridgeRows: DataFrame)
+
+  /** Attach `chave_grupo_causa` to each row of `clean` (needs `row_id`,
+    * LINHAA..D, LINHAII_arr) and return the bridge rows to append for
+    * groups not yet in `bridge`. */
+  def resolve(clean: DataFrame, dimCausa: DataFrame, bridge: DataFrame): Result = {
+    val spark = clean.sparkSession
+
+    // Per-row (ordem, codigo) cause list: LINHA A-D are orders 1-4,
+    // LINHAII elements continue from 5 (sim.py:149-158).
+    val arrays = clean
+      .select(col("row_id"), col("LINHAA"), col("LINHAB"), col("LINHAC"), col("LINHAD"),
+        coalesce(col("LINHAII_arr"), array()).as("LINHAII_arr"))
+      .withColumn(
+        "all_causes",
+        concat(
+          array(struct(lit(1).as("ordem"), col("LINHAA").as("codigo"))),
+          array(struct(lit(2).as("ordem"), col("LINHAB").as("codigo"))),
+          array(struct(lit(3).as("ordem"), col("LINHAC").as("codigo"))),
+          array(struct(lit(4).as("ordem"), col("LINHAD").as("codigo"))),
+          expr("transform(LINHAII_arr, (x, i) -> struct(cast(i + 5 as int) as ordem, x as codigo))")))
+
+    val stacked = arrays
+      .select(col("row_id"), explode(col("all_causes")).as("ci"))
+      .select(col("row_id"), col("ci.ordem").as("ordem_causa"), col("ci.codigo").as("cid_codigo"))
+      .filter(col("cid_codigo").isNotNull && col("cid_codigo") =!= "")
+
+    // Unknown ICD code → cause key 0 (sim.py:171-175).
+    val mapped = stacked
+      .join(broadcast(dimCausa.select(col("codigo_CID").as("cid_codigo"), col("chave_causa"))),
+        Seq("cid_codigo"), "left")
+      .na.fill(0, Seq("chave_causa"))
+
+    def signatureOf(df: DataFrame, groupCol: String): DataFrame =
+      df.withColumn("item_sig", concat_ws(":", col("chave_causa"), col("ordem_causa")))
+        .groupBy(groupCol)
+        .agg(array_sort(collect_list(struct(col("ordem_causa"), col("item_sig")))).as("sig_sorted"))
+        .select(col(groupCol),
+          concat_ws("|", expr("transform(sig_sorted, x -> x.item_sig)")).as("group_signature"))
+
+    val groups = mapped
+      .withColumn("item_sig", concat_ws(":", col("chave_causa"), col("ordem_causa")))
+      .withColumn("causa_struct", struct(col("chave_causa"), col("ordem_causa")))
+      .groupBy("row_id")
+      .agg(
+        array_sort(collect_list(struct(col("ordem_causa"), col("item_sig")))).as("sig_sorted"),
+        array_sort(collect_list(struct(col("ordem_causa"), col("causa_struct")))).as("causes_sorted"))
+      .select(
+        col("row_id"),
+        concat_ws("|", expr("transform(sig_sorted, x -> x.item_sig)")).as("group_signature"),
+        expr("transform(causes_sorted, x -> x.causa_struct)").as("causes_list"))
+
+    val existing = signatureOf(bridge, "chave_grupo_causa")
+      .withColumnRenamed("chave_grupo_causa", "existing_group_id")
+    val nextId: Long = bridge.agg(max("chave_grupo_causa")).head().get(0) match {
+      case null => 1L
+      case m: Number => m.longValue() + 1
+    }
+
+    val merged = groups.join(broadcast(existing), Seq("group_signature"), "left")
+
+    val newGroups = merged.filter(col("existing_group_id").isNull)
+      .select("group_signature", "causes_list").distinct()
+      .withColumn("new_group_id",
+        row_number().over(Window.orderBy("group_signature")) + lit(nextId - 1))
+
+    val newBridgeRows = newGroups
+      .select(col("new_group_id").as("chave_grupo_causa"), explode(col("causes_list")).as("cs"))
+      .select(
+        col("chave_grupo_causa").cast("int"),
+        col("cs.chave_causa").as("chave_causa"),
+        col("cs.ordem_causa").cast("int").as("ordem_causa"))
+
+    val mapping = merged
+      .join(broadcast(newGroups.select("group_signature", "new_group_id")), Seq("group_signature"), "left")
+      .withColumn("final_group_id",
+        coalesce(col("existing_group_id"), col("new_group_id")).cast("int"))
+
+    val resolved = clean.join(
+      mapping.select(col("row_id"), col("final_group_id").as("chave_grupo_causa")),
+      Seq("row_id"), "left")
+
+    Result(resolved, newBridgeRows)
+  }
+}

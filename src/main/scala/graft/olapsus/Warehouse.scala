@@ -1,0 +1,46 @@
+package graft.olapsus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed star-schema warehouse replacing the reference's Postgres
+  * instance (scripts/init.sql DDL; JDBC reads/writes in
+  * dags/spark_script_sim.py:27-29,239,402).
+  *
+  * One directory per table under `root`. Facts are append-only and
+  * partitioned by the ingest date (`dt`), giving the same
+  * partition-pruned daily layout the reference gets from its
+  * `dt=YYYY-MM-DD` landing keys (dags/spark_dag.py:70) — at 100 TB this
+  * is what makes per-day reprocessing and time-sliced queries prune.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private def path(table: String): String = s"$root/$table"
+
+  def write(table: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path(table))
+
+  def append(table: String, df: DataFrame, dt: String): Unit =
+    df.withColumn("dt", org.apache.spark.sql.functions.lit(dt))
+      .write.mode("append").partitionBy("dt").parquet(path(table))
+
+  def table(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  /** Register every existing table as a lowercase temp view (the serving
+    * queries use the reference's lowercase Postgres spellings). */
+  def registerViews(): Unit =
+    Warehouse.AllTables.filter(exists).foreach { t =>
+      table(t).createOrReplaceTempView(t.toLowerCase)
+    }
+}
+
+object Warehouse {
+  val Dims: Seq[String] = Seq(
+    "dimData", "dimHorario", "dimMunicipio", "dimOcupacao", "dimCausa",
+    "dimDemografia", "dimInfoNascimento")
+  val Bridge = "ponteGrupoCausas"
+  val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
+  val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
+}

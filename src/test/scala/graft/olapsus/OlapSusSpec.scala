@@ -1,0 +1,126 @@
+package graft.olapsus
+
+import graft.SparkSpecBase
+import java.nio.file.Files
+
+/** End-to-end golden test of the olap-sus parity pipeline (SURVEY.md §5):
+  * seed dims → ingest SIM + SINASC fixture CSVs (edge rows per
+  * FIXTURES.md) → check fact grain, null policies, bridge semantics →
+  * run all six serving queries.
+  */
+class OlapSusSpec extends SparkSpecBase {
+
+  private lazy val dir = Files.createTempDirectory("olapsus")
+  private lazy val municipioCsv = Fixtures.write(dir, "municipio.csv", Fixtures.municipio)
+  private lazy val cboCsv = Fixtures.write(dir, "cbo.csv", Fixtures.cbo)
+  private lazy val cidCsv = Fixtures.write(dir, "cid.csv", Fixtures.cid)
+  private lazy val simCsv = Fixtures.write(dir, "sim.csv", Fixtures.sim)
+  private lazy val sinascCsv = Fixtures.write(dir, "sinasc.csv", Fixtures.sinasc)
+
+  private lazy val wh: Warehouse = {
+    val w = new Warehouse(spark, dir.resolve("wh").toString)
+    Dims.seedAll(w, municipioCsv, cboCsv, cidCsv)
+    w
+  }
+
+  test("dim cardinalities match the reference generators") {
+    assert(wh.table("dimData").count() == 47847L)      // 1900-01-01..2030-12-31
+    assert(wh.table("dimHorario").count() == 86401L)   // 86400 + sentinel -1
+    assert(wh.table("dimDemografia").count() == 14257L)  // 6*6*6*3*22 + sentinel
+    assert(wh.table("dimInfoNascimento").count() == 9073L) // 3*6*6*3*7*4 + sentinel
+    assert(wh.table("dimMunicipio").count() == 6L)
+    assert(wh.table("dimCausa").count() == 6L)
+    assert(wh.table(Warehouse.Bridge).count() == 1L)
+  }
+
+  test("dimData attributes for a known date (leap day 2020-02-29)") {
+    val r = wh.table("dimData").where("data = DATE'2020-02-29'").head()
+    val m = r.getValuesMap[Any](Seq(
+      "numero_dia_semana", "dia_semana", "numero_dia", "dia_ano", "numero_mes",
+      "mes", "ano", "bimestre", "trimestre", "semestre"))
+    assert(m("numero_dia_semana") == 6 && m("dia_semana") == "Sábado")
+    assert(m("numero_dia") == 29 && m("dia_ano") == 60)
+    assert(m("numero_mes") == 2 && m("mes") == "Fevereiro" && m("ano") == 2020)
+    assert(m("bimestre") == 1 && m("trimestre") == 1 && m("semestre") == 1)
+  }
+
+  test("SINASC ingest: null policies, band boundaries, dropped rows") {
+    val n = Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01")
+    assert(n == 4L) // b3 dropped (missing DTNASC)
+    wh.registerViews()
+    val fact = spark.table("factnascimentos")
+    assert(fact.count() == 4L)
+    // weight 2500 lands exactly on the 'Normal' band lower bound
+    val bands = spark.sql("""
+      SELECT i.faixa_peso, count(*) n FROM factnascimentos f
+      JOIN diminfonascimento i ON i.chave_info_nascimento = f.chave_info_nascimento
+      GROUP BY 1""").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands("Normal") == 1)             // b1: 2500g
+    assert(bands("Extremo Baixo Peso") == 1) // b2: 999g
+    assert(bands("Macrossômico") == 1)       // b4: 4000g
+    assert(bands("Baixo Peso") == 1)         // b5: 1500g
+    // b2: null mother age → the null-bounds 'Ignorado' band (not key 0)
+    val idadeIgn = spark.sql("""
+      SELECT count(*) FROM factnascimentos f JOIN dimdemografia d
+      ON d.chave_demografia = f.chave_demografia
+      WHERE d.faixa_etaria = 'Ignorado' AND d.chave_demografia != 0""").head().getLong(0)
+    assert(idadeIgn == 1)
+    // b5: unknown birth municipality → sentinel key 0
+    val mun0 = fact.where("chave_municipio_nascimento = 0").count()
+    assert(mun0 == 1)
+  }
+
+  test("SIM ingest: bridge semantics, fills, and drops") {
+    Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01") // idempotent setup if run alone
+    val n = Pipeline.ingestSim(wh, simCsv, "2020-01-15")
+    // r4 (missing CODMUNRES) and r5 (unknown age) dropped
+    assert(n == 4L)
+    wh.registerViews()
+    val bridge = wh.table(Warehouse.Bridge)
+    // seed group 0 + three new groups: r1/r2 shared; r3 permuted order is
+    // distinct; r5's J189 registers a group even though the row is later
+    // dropped (bridge runs before dim resolution, as in the reference);
+    // r4's unknown-ICD signature "0:1" matches seeded group 0.
+    val groups = bridge.select("chave_grupo_causa").distinct().count()
+    assert(groups == 4L, s"expected 4 groups, got ${bridge.collect().mkString(",")}")
+    val fact = spark.table("factobitos")
+    // r1+r2 share a cause group but differ in other keys → separate grains
+    assert(fact.count() == 4L)
+    // r3: occurrence municipality 999999 present-but-unknown → key 0
+    assert(fact.where("chave_municipio_obito = 0").count() == 1L)
+    // r6: no causes at all → group 0
+    assert(fact.where("chave_grupo_causa = 0").count() == 1L)
+    // re-ingest: same cause lists must create NO new groups (idempotent ids)
+    val before = bridge.count()
+    Pipeline.ingestSim(wh, simCsv, "2020-01-16")
+    assert(wh.table(Warehouse.Bridge).count() == before)
+  }
+
+  test("all six serving queries answer over the warehouse") {
+    Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01")
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15")
+    wh.registerViews()
+
+    val roll1 = ServingQueries.firstRollUp(wh).collect()
+    assert(roll1.map(_.getLong(2)).sum >= 4L)
+
+    val roll2 = ServingQueries.secondRollUp(wh).collect()
+    assert(roll2.map(_.getLong(2)).sum >= 4L)
+    assert(roll2.map(_.getString(0)).toSet.subsetOf(Set("São Paulo", "Ignorado"))) // b5 lands on the Ignorado member
+
+    val sd = ServingQueries.sliceAndDice(wh, "São Carlos", 2020, 2020).collect()
+    assert(sd.map(_.getLong(2)).sum >= 2L) // r1 + r2 died in São Carlos in Jan 2020
+
+    val piv = ServingQueries.pivotYearUf(wh)
+    assert(piv.columns.contains("SP") && piv.columns.contains("IG"))
+    val y2020 = piv.where("ANO = 2020").head()
+    assert(y2020.getLong(piv.columns.indexOf("IG")) >= 1L) // r3's unknown municipality
+
+    val da = ServingQueries.drillAcross(wh).collect()
+    // São Carlos 2020 has both births (b2) and deaths (r1/r2)
+    assert(da.exists(r => r.getString(1) == "São Carlos" && r.getInt(0) == 2020))
+
+    val top = ServingQueries.top10CausesByOccupation(wh, "Engenheiros").collect()
+    assert(top.nonEmpty && top.head.getString(1) == "Infarto agudo do miocárdio")
+  }
+}
