@@ -20,6 +20,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Small single-file tables scan as ONE partition; operators doing
+    * heavy per-row work (hashing, HOFs, self-joins) must first spread
+    * rows across cores or they run single-threaded. Cheap for small
+    * tables; at 100 TB the scan is already many-partitioned and this is
+    * a near-no-op coalesce-to-parallelism. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

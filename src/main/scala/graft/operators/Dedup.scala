@@ -94,7 +94,7 @@ object Dedup extends OpModule {
       ORDER BY doc_a, doc_b
     """)
     })((spark, dir) => {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
@@ -151,7 +151,7 @@ object Dedup extends OpModule {
       ORDER BY doc_id
     """)
     })((spark, dir) => {
-    val words = Tables.documents(spark, dir)
+    val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
       .withColumn("hv", TextFns.hex4ToInt(substring(md5(col("word")), 1, 4)))
     val bitAggs = (0 until 16).map(b =>
@@ -186,21 +186,45 @@ object Dedup extends OpModule {
       FROM p WHERE jac >= 0.5
       ORDER BY doc_a, doc_b
     """))((spark, dir) => {
-    val g = Tables.documents(spark, dir)
+    // Gram-level equi-join instead of per-pair array unions: emit each
+    // doc's DISTINCT grams as rows, self-join on (block, gram) — one
+    // matched row per shared gram — then count per pair = |A ∩ B|. Same
+    // result, but the work is a hash join on a high-cardinality key
+    // (linear in total gram occurrences), not O(pairs × gram-array) —
+    // the shape that survives 100 TB. Pairs sharing no gram have
+    // Jaccard 0 and are (correctly) never materialized.
+    //
+    // Gram rows come from a broadcast range join + codegen'd substring
+    // (NOT explode(transform(...)): a generator over a derived array
+    // re-evaluates the array expression per emitted element — measured
+    // ~30× slower here).
+    val docs = Tables.spread(Tables.documents(spark, dir))
       .select(
-        col("doc_id"), col("lang"), col("source"),
+        col("doc_id"), col("lang"), col("source"), col("text"),
         (col("n_chars") / lit(100)).cast("long").as("lenb"),
-        array_distinct(TextFns.charShingles(col("text"), 5)).as("gs"))
-    val p = g.as("a")
-      .join(g.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.lenb") === col("b.lenb") && col("a.doc_id") < col("b.doc_id"))
+        greatest(length(col("text")) - 4, lit(1)).as("npos"))
+    val maxPos = docs.agg(max(col("npos"))).head().getInt(0)
+    val idx = spark.range(1, maxPos + 1L).select(col("id").cast("int").as("i"))
+    val grams = docs
+      .join(broadcast(idx), col("i") <= col("npos"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.gs").as("ga"), col("b.gs").as("gb"))
-      .withColumn("uni", TextFns.unionSize(col("ga"), col("gb")))
-      .withColumn("jac", (size(col("ga")) + size(col("gb")) - col("uni")).cast("double") / col("uni"))
-    p.filter(col("jac") >= 0.5)
+        col("doc_id"),
+        concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
+          expr("substring(text, i, 5)")).as("bg"))
+      .distinct()
+      .cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), Seq("doc_a"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), Seq("doc_b"))
+    inter
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+      .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard5"))
       .orderBy("doc_a", "doc_b")
   })
@@ -228,7 +252,7 @@ object Dedup extends OpModule {
       FROM p WHERE cos >= 0.3
       ORDER BY vec_a, vec_b
     """))((spark, dir) => {
-    val n = Tables.embeddings(spark, dir)
+    val n = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .withColumn("bucket", VectorFns.lshBucket8("qv"))

@@ -49,7 +49,7 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
     val q = vecs.filter(col("vec_id") < NQ)
@@ -87,7 +87,7 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .withColumn("bucket", VectorFns.lshBucket8("qv"))

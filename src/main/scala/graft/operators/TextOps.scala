@@ -29,7 +29,7 @@ object TextOps extends OpModule {
       GROUP BY word
       ORDER BY word
     """))((spark, dir) => {
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(
@@ -206,7 +206,7 @@ object TextOps extends OpModule {
       ORDER BY doc_id
     """))((spark, dir) => {
     val grams = TextFns.charShingles(col("text"), 8)
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         array_min(transform(grams, g => md5(g))).as("fingerprint"),

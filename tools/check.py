@@ -48,6 +48,9 @@ def main():
     declared = [d for d in sorted(os.listdir(outdir))
                 if os.path.isdir(os.path.join(outdir, d))]
     fails = 0
+    for name in sorted(set(oracle) - set(declared)):
+        print(f"FAIL {name}: oracle declared but no spark output directory")
+        fails += 1
     for name in declared:
         spark_files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not spark_files:
