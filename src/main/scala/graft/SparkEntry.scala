@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.TextOps,
     graft.operators.Dedup,
     graft.operators.Similarity,
-    graft.operators.Multimodal)
+    graft.operators.Multimodal,
+    graft.operators.Extras)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)
 
