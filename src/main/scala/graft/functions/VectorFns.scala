@@ -26,13 +26,20 @@ object VectorFns {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression ([[DotProductLong]]); semantics equal
+    * the HOF form `aggregate(zip_with(a,b,(x,y)->x*y), 0L, +)` but the
+    * inner loop compiles into whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    column(org.apache.spark.sql.graft.DotProductLong(expression(a), expression(b)))
 
-  /** Exact integer squared norm. */
-  def norm2(v: Column): Column =
-    aggregate(v, lit(0L), (acc, x) => acc + x * x)
+  /** Exact integer squared norm (dot of the vector with itself). */
+  def norm2(v: Column): Column = dot(v, v)
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+  private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
 
   /** Cosine from integer dot + squared norms, in double. */
   def cosine(dotC: Column, na: Column, nb: Column): Column =
