@@ -106,5 +106,83 @@ object Extras extends OpModule {
       .orderBy("o_custkey")
   })
 
-  override def ops: Seq[Op] = Seq(q19Json, q20TimeSpine, q21GroupIds)
+  /** As-of join (absent from the reference, SURVEY §2.4; essential for
+    * event timelines): each purchase is matched to the user's most
+    * recent signup at-or-before it. Composed from built-ins — union the
+    * tagged streams, per-user ordered window, last(ignoreNulls) — which
+    * shuffles each side ONCE on user_id; no custom SparkPlan needed for
+    * these semantics. Build side sorts before probe at equal timestamps
+    * (≤ as-of). */
+  val q22AsOf: Op = Op(
+    "q22_asof_join",
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('signup', 'purchase')
+      ), u AS (
+        SELECT *,
+               CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+               CASE WHEN event_type = 'signup' THEN epoch_us(ts) END AS sus
+        FROM ev
+      ), w AS (
+        SELECT *,
+               LAST_VALUE(sid IGNORE NULLS) OVER win AS signup_id,
+               LAST_VALUE(sus IGNORE NULLS) OVER win AS signup_us
+        FROM u
+        WINDOW win AS (PARTITION BY user_id
+                       ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT event_id AS purchase_id, user_id,
+             CAST(signup_id AS BIGINT) AS signup_id,
+             CAST(epoch_us(ts) - signup_us AS BIGINT) AS wait_us
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY purchase_id
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("sid", when(col("event_type") === "signup", col("event_id")))
+      .withColumn("sus", when(col("event_type") === "signup", unix_micros(col("ts"))))
+    val win = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(col("event_type") === "signup", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("signup_id", last(col("sid"), ignoreNulls = true).over(win))
+      .withColumn("signup_us", last(col("sus"), ignoreNulls = true).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("signup_id"),
+        (unix_micros(col("ts")) - col("signup_us")).as("wait_us"))
+      .orderBy("purchase_id")
+  })
+
+  /** Explicit two-phase salted aggregation — the skew-mitigation pattern
+    * (SURVEY §2.10 / the 100 TB heavy-hitter case): partial counts per
+    * (key, salt) spread a hot key over 8 reducers, then a cheap final
+    * re-aggregation. Result ≡ plain GROUP BY, which is the oracle. */
+  val q23Salted: Op = Op(
+    "q23_salted_word_freq",
+    Some("""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+            FROM documents)
+      GROUP BY word
+      ORDER BY word
+    """))((spark, dir) => {
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+    words
+      .withColumn("salt", pmod(col("doc_id"), lit(8)))
+      .groupBy("word", "salt")
+      .agg(count(lit(1)).as("partial"))
+      .groupBy("word")
+      .agg(sum(col("partial")).as("n_occurrences"))
+      .orderBy("word")
+  })
+
+  override def ops: Seq[Op] =
+    Seq(q19Json, q20TimeSpine, q21GroupIds, q22AsOf, q23Salted)
 }

@@ -108,5 +108,67 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
-  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK)
+  private val NC = 16 // IVF cells: first NC vectors act as centroids
+
+  /** IVF-style ANN: vectors are assigned to their nearest "centroid"
+    * (deterministic stand-in for k-means output: the first NC vectors —
+    * a trained codebook would slot in identically) by exact integer
+    * squared-L2 (na + nc − 2·dot); a query probes only its own cell.
+    * At scale the assignment is a broadcast argmin over the codebook and
+    * the probe prunes to 1/NC of the data — the standard IVF trade. */
+  val s3IvfTopK: Op = Op(
+    "s3_ann_ivf_topk",
+    Some(s"""
+      WITH ${duckVecs()},
+      cent AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id < $NC),
+      assign AS (
+        SELECT vec_id, qv, nrm, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY n.nrm + cent.cnrm - 2 * (${VectorFns.duckDot("n.qv", "cent.cv")}), cid) AS rk
+        FROM n CROSS JOIN cent
+      ), cells AS (
+        SELECT vec_id, qv, nrm, cid FROM assign WHERE rk = 1
+      ), pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cid,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM cells q JOIN cells c ON q.cid = c.cid AND q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(cid AS BIGINT) AS cell,
+             CAST(rnk AS INTEGER) AS rnk, cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val cent = vecs.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(
+      (col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))).asc, col("cid").asc)
+    val cells = vecs.crossJoin(broadcast(cent))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select("vec_id", "qv", "nrm", "cid")
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+    val pairs = cells
+      .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
+  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK, s3IvfTopK)
 }
