@@ -53,7 +53,7 @@ object Relational extends OpModule {
              COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag_norm
       FROM lineitem
       WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, charged, qty_decile, flag_norm
     """))((spark, dir) => {
     Tables.lineitem(spark, dir)
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
@@ -63,7 +63,7 @@ object Relational extends OpModule {
           .cast("decimal(27,6)").cast("double").as("charged"),
         floor(col("l_quantity") / 10).as("qty_decile"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE")).as("flag_norm"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "charged", "qty_decile", "flag_norm")
   })
 
   /** Full star join lineitem⋈orders⋈customer⋈nation⋈region → revenue per

@@ -24,17 +24,21 @@ object WindowOps extends OpModule {
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
              CAST(LAG(CAST(l_quantity AS DECIMAL(18,2))) OVER
-                  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
                   AS DOUBLE) AS prev_qty,
              CAST(ROW_NUMBER() OVER
-                  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
                   AS INTEGER) AS rn
       FROM lineitem
-      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_suppkey, rn
     """))((spark, dir) => {
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // l_quantity as the last tiebreak: (orderkey, linenumber) is NOT
+    // unique in the testdata at sf0.1; rows still tied after quantity are
+    // indistinguishable in every output column, so the result is a
+    // deterministic multiset either way.
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wo = Window.partitionBy("l_suppkey").orderBy(order: _*)
