@@ -49,18 +49,17 @@ object Dedup extends OpModule {
   private val BANDS = 4   // bands of 2 hashes each
   private val JACCARD_T = 0.5
 
-  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard. */
-  val d2MinHashLsh: Op = Op(
-    "d2_dedup_minhash_lsh", {
-      val mins = (1 to NH).map(j =>
-        s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min') AS h$j")
-        .mkString(",\n               ")
-      val bandKeys = (1 to BANDS).map(b =>
-        s"md5(h${2 * b - 1} || h${2 * b}) AS bk$b").mkString(", ")
-      val bandRows = (1 to BANDS).map(b =>
-        s"SELECT doc_id, $b AS band, bk$b AS bkey FROM sigs").mkString("\n        UNION ALL ")
-      Some(s"""
-      WITH toks AS (
+  /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
+    * (used by d2's oracle and d6's clustering oracle). */
+  private lazy val duckPairCtes: String = {
+    val mins = (1 to NH).map(j =>
+      s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min') AS h$j")
+      .mkString(",\n               ")
+    val bandKeys = (1 to BANDS).map(b =>
+      s"md5(h${2 * b - 1} || h${2 * b}) AS bk$b").mkString(", ")
+    val bandRows = (1 to BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, bk$b AS bkey FROM sigs").mkString("\n        UNION ALL ")
+    s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
         FROM documents
       ), sh AS (
@@ -88,19 +87,31 @@ object Dedup extends OpModule {
         FROM cand
         JOIN sh sa ON sa.doc_id = doc_a
         JOIN sh sb ON sb.doc_id = doc_b
-      )
+      )"""
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard. */
+  val d2MinHashLsh: Op = Op(
+    "d2_dedup_minhash_lsh",
+    Some(s"""
+      WITH $duckPairCtes
       SELECT doc_a, doc_b, jac AS jaccard
       FROM scored WHERE jac >= $JACCARD_T
       ORDER BY doc_a, doc_b
-    """)
-    })((spark, dir) => {
+    """))((spark, dir) => {
     val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
-    val hashed = (1 to NH).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"h$j", array_min(transform(col("sh"), s => md5(concat(lit(s"$j:"), s)))))
-    }
+      .cache() // reused for exact-Jaccard rescoring of the candidates
+    // Min-hashes via explode + codegen'd md5 + ONE hash aggregate with 8
+    // MIN columns — not 8 interpreted array_min(transform(...)) lambdas
+    // over the shingle array. Identical values, but the md5 loop stays
+    // inside whole-stage codegen and the shuffle is a single partial-agg
+    // pass (the shape that scales: shingle rows, not per-doc arrays).
+    val exploded = toks.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minAggs = (1 to NH).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j"))
+    val hashed = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val sigs = (1 to BANDS).foldLeft(hashed) { (df, b) =>
       df.withColumn(s"bk$b", md5(concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}"))))
     }
@@ -269,6 +280,68 @@ object Dedup extends OpModule {
       .orderBy("vec_a", "vec_b")
   })
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    * pair graph (d2's output as edges). Spark side runs iterative
+    * min-label propagation — each pass joins current labels to the edge
+    * list and takes the per-node minimum; converges to the unique
+    * component-minimum fixpoint, so the result is deterministic
+    * regardless of iteration schedule. The oracle computes the same
+    * components via a recursive transitive closure. At 100 TB this
+    * becomes large-star/small-star (the edge list here is tiny relative
+    * to the corpus by LSH design, so simple propagation converges in
+    * O(diameter) cheap joins). */
+  val d6Clusters: Op = Op(
+    "d6_dedup_clusters",
+    Some(s"""
+      WITH RECURSIVE $duckPairCtes,
+      pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= $JACCARD_T),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      )
+      SELECT c.doc_id, c.cluster_id, CAST(n.cnt AS BIGINT) AS cluster_size
+      FROM comp c
+      JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM comp GROUP BY cluster_id) n
+        USING (cluster_id)
+      ORDER BY c.doc_id
+    """))((spark, dir) => {
+    val pairs = d2MinHashLsh.run(spark, dir).select("doc_a", "doc_b")
+    val e = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("a", "b")
+      .cache()
+    var comp = e.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
+      .cache()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 25) {
+      val next = e
+        .join(comp.withColumnRenamed("doc_id", "b_id"), col("b") === col("b_id"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .join(comp, Seq("doc_id"))
+        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .cache()
+      val changed = next.join(comp.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      comp = next
+      converged = changed == 0
+      iters += 1
+    }
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  })
+
   override def ops: Seq[Op] =
-    Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup)
+    Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup, d6Clusters)
 }

@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL exposure of the engine's native expressions, both ways Spark
+  * supports:
+  *
+  *  - [[GraftFunctions.register]]: imperative per-session registration
+  *    (temp function) — used by tests and ad-hoc sessions;
+  *  - [[GraftExtensions]]: a `SparkSessionExtensions` installer for
+  *    `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`,
+  *    the production wiring (survives session cloning, visible to pure
+  *    SQL clients).
+  */
+object GraftFunctions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductLong].getCanonicalName, "dot_product_long")
+
+  private val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProductLong(exprs(0), exprs(1))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product_long", dotBuilder, "built-in")
+
+  private[graft] val injectable =
+    (FunctionIdentifier("dot_product_long"), dotInfo, dotBuilder)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftFunctions.injectable)
+}

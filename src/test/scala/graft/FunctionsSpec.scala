@@ -68,6 +68,13 @@ class FunctionsSpec extends SparkSpecBase {
     assert(bs.distinct.size == 1)
   }
 
+  test("dot_product_long is callable from SQL after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product_long(array(1L, 2L, 3L), array(4L, 5L, 6L))").head().getLong(0)
+    assert(r == 4 + 10 + 18)
+  }
+
   test("multimodal stub decode is deterministic byte arithmetic") {
     import graft.operators.Multimodal
     val out = Multimodal.decodePartition(Iterator(

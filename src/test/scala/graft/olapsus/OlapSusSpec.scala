@@ -96,6 +96,18 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table(Warehouse.Bridge).count() == before)
   }
 
+  test("streaming ingest (AvailableNow) drains landing dir through the batch resolvers") {
+    val landing = Files.createTempDirectory("sinasc-landing")
+    Fixtures.write(landing, "batch1.csv", Fixtures.sinasc)
+    val before =
+      if (wh.exists("factNascimentos")) wh.table("factNascimentos").count() else 0L
+    StreamingIngest.sinasc(wh, landing.toString).awaitTermination()
+    assert(wh.table("factNascimentos").count() == before + 4) // b3 dropped, as in batch
+    // Restart with no new files: checkpoint prevents re-ingest.
+    StreamingIngest.sinasc(wh, landing.toString).awaitTermination()
+    assert(wh.table("factNascimentos").count() == before + 4)
+  }
+
   test("all six serving queries answer over the warehouse") {
     Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01")
     Pipeline.ingestSim(wh, simCsv, "2020-01-15")
