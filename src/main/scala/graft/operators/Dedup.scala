@@ -342,6 +342,79 @@ object Dedup extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 16-bit
+    * fingerprint. Candidates come from 4-bit band collisions — by
+    * pigeonhole, any pair within Hamming 3 shares at least one of the 4
+    * nibbles, so banding loses nothing while cutting the join from
+    * all-pairs to per-bucket. Exact Hamming (bit_count of xor) then
+    * filters candidates. */
+  val d7SimHashPairs: Op = Op(
+    "d7_simhash_hamming_pairs", {
+      val hv = TextFns.hex4ToIntSql("substring(md5(word), 1, 4)")
+      val bitSums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val hash = (0 until 16).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash // ${1 << (4 * b)}) % 16 AS nib FROM sh")
+        .mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+      ), hv AS (
+        SELECT doc_id, $hv AS hv FROM words
+      ), bits AS (
+        SELECT doc_id, $bitSums FROM hv GROUP BY doc_id
+      ), sh AS (
+        SELECT doc_id, CAST($hash AS INTEGER) AS simhash FROM bits
+      ), bands AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY doc_a, doc_b
+    """)
+    })((spark, dir) => {
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .withColumn("hv", TextFns.hex4ToInt(substring(md5(col("word")), 1, 4)))
+    val bitAggs = (0 until 16).map(b =>
+      sum(when(((col("hv") / lit(1 << b)).cast("long") % 2) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val bits = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val hashExpr = (0 until 16).map(b =>
+      when(col(s"s$b") >= 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    val sh = bits.select(col("doc_id"), hashExpr.cast("int").as("simhash")).cache()
+    val bands = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          ((col("simhash") / lit(1 << (4 * b))).cast("int") % 16).as("nib"))): _*)).as("bn"))
+      .select(col("doc_id"), col("simhash"), col("bn.band").as("band"), col("bn.nib").as("nib"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("ha ^ hb").cast("long")).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  })
+
   override def ops: Seq[Op] =
-    Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup, d6Clusters)
+    Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
+      d6Clusters, d7SimHashPairs)
 }

@@ -170,5 +170,39 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
-  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK, s3IvfTopK)
+  /** Per-label centroid statistics over the quantized embedding space —
+    * the "aggregate a vector column" primitive (cluster profiling,
+    * codebook training input). Exact integer sums per (label, dim), so
+    * the centroid means are bit-identical across engines. */
+  val s4Centroids: Op = Op(
+    "s4_label_centroids",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+      ), e AS (
+        SELECT vec_id, label, generate_subscripts(qv, 1) AS dim, UNNEST(qv) AS q
+        FROM v
+      )
+      SELECT label, CAST(dim AS INTEGER) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000 AS mean
+      FROM e
+      GROUP BY label, dim
+      ORDER BY label, dim
+    """))((spark, dir) => {
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        posexplode(VectorFns.quantize(col("embedding"))).as(Seq("dim0", "q")))
+      .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"))
+      .withColumn("mean", col("sum_q").cast("double") / col("n") / 1000000)
+      .orderBy("label", "dim")
+  })
+
+  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids)
 }
