@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan regression guards for the scale properties the engine
+  * depends on: predicate pushdown + column pruning at the parquet scan,
+  * broadcast joins for dimensions, and partial (map-side) aggregation.
+  * If a refactor silently turns a broadcast join into an all-pairs
+  * nested loop or loses pushdown, these fail before any benchmark
+  * would notice. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q2: filter reaches the parquet scan; unused columns pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(800))
+    assert(!p.contains("l_shipdate"), "unused column not pruned from scan")
+  }
+
+  test("q3: all dimension joins are broadcast hash joins") {
+    val p = plan("q3_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "star join degraded to nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation has a partial (map-side) phase") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), "no partial aggregation before shuffle")
+  }
+
+  test("q4: band join is a broadcast nested loop, never a cartesian shuffle") {
+    val p = plan("q4_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13/q14: existence checks plan as semi/anti joins") {
+    assert(plan("q13_semi_join").contains("LeftSemi"))
+    assert(plan("q14_anti_join").contains("LeftAnti"))
+  }
+}
