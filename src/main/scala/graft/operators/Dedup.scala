@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFns, VectorFns}
 import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline:
@@ -313,34 +314,70 @@ object Dedup extends OpModule {
       ORDER BY c.doc_id
     """))((spark, dir) => {
     val pairs = d2MinHashLsh.run(spark, dir).select("doc_a", "doc_b")
-    val e = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("a", "b")
-      .cache()
-    var comp = e.groupBy(col("a").as("doc_id"))
-      .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
-      .cache()
-    var converged = false
-    var iters = 0
-    while (!converged && iters < 25) {
-      val next = e
-        .join(comp.withColumnRenamed("doc_id", "b_id"), col("b") === col("b_id"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-        .join(comp, Seq("doc_id"))
-        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .cache()
-      val changed = next.join(comp.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      comp = next
-      converged = changed == 0
-      iters += 1
-    }
+    val comp = connectedComponents(pairs)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   })
+
+  /** Connected components over an undirected pair list, labels = the
+    * component minimum (so results are schedule-independent).
+    *
+    * The LSH pair graph is tiny relative to the corpus BY DESIGN (only
+    * near-dup candidates survive banding + the Jaccard filter), so below
+    * `maxDriverEdges` we union-find on the driver — one collect of the
+    * edge list, zero extra Spark jobs. Above it, distributed min-label
+    * propagation takes over (O(diameter) join rounds; the 100 TB upgrade
+    * path is large-star/small-star, NEXT.md item 3). */
+  def connectedComponents(pairs: DataFrame, maxDriverEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e0 = pairs.select(col(pairs.columns(0)).cast("long"), col(pairs.columns(1)).cast("long"))
+      .cache()
+    if (e0.count() <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e0.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // attach the larger root under the smaller → root == component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+        } else { parent.getOrElseUpdate(ra, ra); () }
+      }
+      val nodes = e0.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    } else {
+      val e = e0.toDF("a", "b").union(e0.toDF("b0", "a0").select(col("a0"), col("b0"))).toDF("a", "b")
+        .cache()
+      var comp = e.groupBy(col("a").as("doc_id"))
+        .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
+        .cache()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 25) {
+        val next = e
+          .join(comp.withColumnRenamed("doc_id", "b_id"), col("b") === col("b_id"))
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+          .join(comp, Seq("doc_id"))
+          .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+          .cache()
+        val changed = next.join(comp.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("old")).count()
+        comp = next
+        converged = changed == 0
+        iters += 1
+      }
+      comp
+    }
+  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 16-bit
     * fingerprint. Candidates come from 4-bit band collisions — by

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Every declared query runs at sf0.001 and returns a stable schema.
   * (Value-level correctness is enforced by the DuckDB oracle gate —
   * tools/check.py — run per round; these specs catch regressions fast.) */
@@ -48,6 +50,19 @@ class QueriesSmokeSpec extends SparkSpecBase {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.5)
     }
+  }
+
+  test("connected-components: distributed propagation agrees with driver union-find") {
+    import graft.operators.Dedup
+    val pairs = Dedup.d2MinHashLsh.run(spark, sf()).select("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = toMap(Dedup.connectedComponents(pairs))
+    val distributed = toMap(
+      Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+        .select(col("doc_id").cast("long"), col("cluster_id").cast("long")))
+    assert(driver == distributed)
+    assert(driver.nonEmpty)
   }
 
   test("s1 brute-force ANN: 5 neighbors per query, self excluded") {
