@@ -1,0 +1,64 @@
+package graft.olapsus
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI surface mirroring the reference's entry points (SURVEY.md §7):
+  * the init.sql bootstrap becomes `Seed`, the spark-submit'd per-dataset
+  * ingest (dags/spark_script_{sim,sinasc}.py main(), argparse
+  * `--dataset --date --prefix`) becomes `Ingest`. Postgres connection
+  * flags are gone — the warehouse is a Parquet root.
+  */
+object Cli {
+  private[olapsus] def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("olapsus")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private[olapsus] def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+}
+
+/** `runMain graft.olapsus.Seed --warehouse DIR --municipio-csv F
+  * --cbo-csv F --cid-csv F` — generates/loads all dimensions + the
+  * bridge seed (scripts/init.sql equivalent). */
+object Seed {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val wh = new Warehouse(spark, a("warehouse"))
+    Dims.seedAll(wh, a("municipio-csv"), a("cbo-csv"), a("cid-csv"))
+    Warehouse.Dims.foreach(t => println(f"$t%-20s ${wh.table(t).count()}%,d rows"))
+    spark.stop()
+  }
+}
+
+/** `runMain graft.olapsus.Ingest --dataset sim|sinasc --date YYYY-MM-DD
+  * --prefix LANDING_DIR --warehouse DIR` — ingests
+  * `LANDING_DIR/<dataset>/dt=<date>/` CSVs into the matching fact,
+  * exactly the reference's per-day batch
+  * (dags/spark_script_sim.py:258-299). */
+object Ingest {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val wh = new Warehouse(spark, a("warehouse"))
+    val glob = s"${a("prefix")}/${a("dataset")}/dt=${a("date")}/*.csv"
+    val n = a("dataset") match {
+      case "sim" => Pipeline.ingestSim(wh, glob, a("date"))
+      case "sinasc" => Pipeline.ingestSinasc(wh, glob, a("date"))
+      case other => sys.error(s"unknown --dataset $other (sim|sinasc)")
+    }
+    println(s"ingested $n fact rows from $glob")
+    spark.stop()
+  }
+}
