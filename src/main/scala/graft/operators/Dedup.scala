@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *    (lang × source × length bucket) — blocked pairwise dedup.
   *  - d5 embedding near-dup: quantized-cosine threshold pairs within
   *    (label × LSH-bucket) blocks.
+  *  - d6 clustering: connected components over the d2 pair graph
+  *    (driver union-find for small graphs, distributed propagation
+  *    beyond).
+  *  - d7 SimHash pairing: Hamming ≤ 3 pairs via pigeonhole nibble bands.
   *
   * MinHash over md5-hex strings: lexicographic MIN of fixed-width hex ==
   * numeric min of the 128-bit value, so both engines agree without any
