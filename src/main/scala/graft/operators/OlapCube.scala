@@ -198,6 +198,60 @@ object OlapCube extends OpModule {
       .orderBy("p_brand", "rnk")
   })
 
+  /** ROLLUP grouping-sets: subtotals at every prefix grain in ONE pass
+    * (the reference runs separate GROUP BYs per grain, SURVEY §2.5 G5 —
+    * this is the engine's sugar for the same lattice). Group-marker
+    * NULLs are COALESCE'd to 'ALL' so cross-engine null ordering never
+    * matters. */
+  val q25RollupSets: Op = Op(
+    "q25_rollup_sets",
+    Some("""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      ORDER BY segment, priority
+    """))((spark, dir) => {
+    // Spark SQL ROLLUP over direct parquet relations (the DataFrame
+    // rollup-after-join path trips Spark's ambiguous-self-join detector
+    // on the re-selected grouping columns).
+    spark.sql(s"""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM parquet.`$dir/orders.parquet`
+      JOIN parquet.`$dir/customer.parquet` ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      ORDER BY segment, priority
+    """)
+  })
+
+  /** CUBE grouping-sets: all 2^k grains in one pass. */
+  val q26CubeSets: Op = Op(
+    "q26_cube_sets",
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+             COALESCE(l_linestatus, 'ALL') AS lstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus
+    """))((spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+  })
+
   override def ops: Seq[Op] =
-    Seq(q5Rollup, q6Drilldown, q7SliceDice, q8Pivot, q9DrillAcross, q10TopK)
+    Seq(q5Rollup, q6Drilldown, q7SliceDice, q8Pivot, q9DrillAcross, q10TopK,
+      q25RollupSets, q26CubeSets)
 }
