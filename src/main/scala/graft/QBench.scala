@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for iterating on one operator without the
+  * full bench sweep: runs each named query `reps` times (first run is the
+  * warm-up) and prints per-run wall times.
+  *
+  *   sbt "runMain graft.QBench <sfDir> <reps> <query> [query ...]"
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val names = if (args.length > 2) args.drop(2).toSeq else Seq("q1_agg")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-qbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val times = (0 until reps).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, rows)
+      }
+      println(f"QBENCH $n rows=${times.head._2} times=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -210,19 +210,24 @@ object Dedup extends OpModule {
     // the shape that survives 100 TB. Pairs sharing no gram have
     // Jaccard 0 and are (correctly) never materialized.
     //
-    // Gram rows come from a broadcast range join + codegen'd substring
-    // (NOT explode(transform(...)): a generator over a derived array
-    // re-evaluates the array expression per emitted element — measured
-    // ~30× slower here).
+    // Gram positions come from explode(sequence(1, npos)) — a generator
+    // over a per-row primitive int range, O(total_chars) with no global
+    // max and no driver action. (An earlier broadcast range join against
+    // range(1, max(npos)) was O(docs × max_doc_len): every document paid
+    // a probe proportional to the LONGEST document — skew-amplified —
+    // and the max() itself cost a driver action. The old ~30× note was
+    // about explode(transform(...)) over a derived STRING array, which
+    // re-evaluates its child per element; sequence-of-int has no such
+    // problem.)
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id"), col("lang"), col("source"), col("text"),
         (col("n_chars") / lit(100)).cast("long").as("lenb"),
         greatest(length(col("text")) - 4, lit(1)).as("npos"))
-    val maxPos = docs.agg(max(col("npos"))).head().getInt(0)
-    val idx = spark.range(1, maxPos + 1L).select(col("id").cast("int").as("i"))
     val grams = docs
-      .join(broadcast(idx), col("i") <= col("npos"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("lenb"), col("text"),
+        explode(sequence(lit(1), col("npos"))).as("i"))
       .select(
         col("doc_id"),
         concat_ws("\u0001", col("lang"), col("source"), col("lenb"),

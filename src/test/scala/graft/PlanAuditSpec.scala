@@ -39,4 +39,11 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
   }
+
+  test("d4: gram generation is a generator, not a nested-loop range join") {
+    val p = plan("d4_dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d4 gram rows degraded to an O(docs x max_len) nested loop")
+    assert(p.contains("Generate"), "expected explode(sequence) generator")
+  }
 }
