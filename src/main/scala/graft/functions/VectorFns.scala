@@ -45,19 +45,36 @@ object VectorFns {
   def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Deterministic pseudo-random sign for (bit b, component i):
+  /** Deterministic pseudo-random sign for (bit b, 1-based component i):
     * parity of popcount(b·1000003 + i). Drives the sign-random-projection
     * LSH bucket; reproducible in any engine with bit_count. */
-  def lshBitSql(b: Int, qv: String): String =
-    s"""aggregate(transform(sequence(1, size($qv)), i ->
-       |  (CASE WHEN bit_count(CAST($b * 1000003 + i AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END)
-       |  * element_at($qv, i)), 0L, (acc, x) -> acc + x)""".stripMargin
+  private def signParity(b: Int, i: Int): Long =
+    if (java.lang.Long.bitCount(b.toLong * 1000003L + i) % 2 == 0) 1L else -1L
 
-  /** Spark Column: 8-bit sign-projection LSH bucket id as a '0'/'1'
-    * string, e.g. "01101001". */
-  def lshBucket8(qv: String): Column =
-    concat((0 until 8).map(b =>
-      when(expr(lshBitSql(b, qv)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  /** Vectors longer than this would silently truncate the projection —
+    * bump the constant for wider embeddings (cost is bits × 8 bytes of
+    * plan constants, nothing per-row). */
+  private val LshMaxDim = 4096
+
+  /** One sign-projection bit as a codegen'd integer dot against a
+    * precomputed ±1 literal row. [[DotProductLong]] iterates
+    * min(len(qv), len(signs)), so the constant row just needs to be at
+    * least as long as the vector — no per-dataset dimension probe, no
+    * interpreted HOF lambda in the hot path. */
+  def lshBit(b: Int, qv: Column): Column =
+    dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray))
+
+  /** Sign-projection LSH bucket id as a '0'/'1' string, e.g. "01101001".
+    *
+    * Sizing rule for real corpora: bits ≈ log2(n / target_bucket_size)
+    * — e.g. 10⁹ vectors at ~10⁴ per bucket wants ~17 bits (plus
+    * multi-probe on the query side for recall). The testdata pins 8 so
+    * the DuckDB oracle ([[duckLshBucket8]]) stays byte-identical. */
+  def lshBucket(qv: Column, bits: Int): Column =
+    concat((0 until bits).map(b =>
+      when(lshBit(b, qv) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  def lshBucket8(qv: String): Column = lshBucket(col(qv), 8)
 
   /** DuckDB mirror of [[lshBitSql]]. */
   def duckLshBit(b: Int, qv: String): String =
