@@ -1,6 +1,5 @@
 package graft.olapsus
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -15,13 +14,13 @@ import org.apache.spark.sql.DataFrame
   * elements sorted by `ordem`, joined by `"|"` (sim.py:181-192).
   *
   * Scale notes: the per-row aggregation partitions on row_id (map-side
-  * combine). Only the NEW-group id assignment uses a global
-  * `row_number()` over the signature — same single-writer assumption as
-  * the reference (max+1, sim.py:214-227); new-group cardinality per
-  * batch is tiny, so the single-partition window sorts a handful of
-  * rows. At true 100 TB multi-writer scale this id assignment would move
-  * to a two-phase zipWithIndex-style scheme; semantics here match the
-  * reference.
+  * combine). New-group id assignment keeps the reference's semantics
+  * (dense ids in signature order continuing from max+1, sim.py:214-227)
+  * but NOT its single-partition `row_number()` window: ids come from
+  * [[graft.operators.Ranks.globalRowNumber]] — range-partition by
+  * signature, rank within partitions in parallel, shift by per-partition
+  * offsets — so no task ever sorts more than its own partition. The
+  * single-writer assumption (read-before-write merge) is unchanged.
   */
 object CauseBridge {
 
@@ -86,10 +85,12 @@ object CauseBridge {
 
     val merged = groups.join(broadcast(existing), Seq("group_signature"), "left")
 
-    val newGroups = merged.filter(col("existing_group_id").isNull)
-      .select("group_signature", "causes_list").distinct()
-      .withColumn("new_group_id",
-        row_number().over(Window.orderBy("group_signature")) + lit(nextId - 1))
+    val newGroups = graft.operators.Ranks.globalRowNumber(
+        merged.filter(col("existing_group_id").isNull)
+          .select("group_signature", "causes_list").distinct(),
+        col("group_signature"), "sig_rank")
+      .withColumn("new_group_id", col("sig_rank") + lit(nextId - 1))
+      .drop("sig_rank")
 
     val newBridgeRows = newGroups
       .select(col("new_group_id").as("chave_grupo_causa"), explode(col("causes_list")).as("cs"))

@@ -163,15 +163,14 @@ object Pipeline {
     val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"), wh.table(Warehouse.Bridge))
     // Read-before-write single-writer merge (no ON CONFLICT in Parquet;
     // same assumption as the reference's max+1 id scheme, sim.py:214).
+    // count() fully materializes the new rows into the cache BEFORE the
+    // append below adds files to the directory the lazy plan reads.
     val newRows = bridge.newBridgeRows.cache()
-    if (!newRows.isEmpty) {
-      val updated = wh.table(Warehouse.Bridge).unionByName(newRows)
-      val tmp = s"${wh.root}/.ponte_tmp"
-      updated.write.mode("overwrite").parquet(tmp)
-      wh.write(Warehouse.Bridge, wh.spark.read.parquet(tmp))
-    }
+    if (newRows.count() > 0) wh.appendRows(Warehouse.Bridge, newRows)
     val fact = resolveSim(bridge.resolved, wh)
     wh.append("factObitos", fact, dt)
-    fact.count()
+    val n = fact.count()
+    newRows.unpersist()
+    n
   }
 }

@@ -52,14 +52,13 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
           val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"), wh.table(Warehouse.Bridge))
+          // Append only the new groups' rows (files of pre-existing
+          // groups are never rewritten) — O(new groups) per micro-batch.
           val newRows = bridge.newBridgeRows.cache()
-          if (!newRows.isEmpty) {
-            val updated = wh.table(Warehouse.Bridge).unionByName(newRows)
-            val tmp = s"${wh.root}/.ponte_tmp"
-            updated.write.mode("overwrite").parquet(tmp)
-            wh.write(Warehouse.Bridge, wh.spark.read.parquet(tmp))
-          }
+          if (newRows.count() > 0) wh.appendRows(Warehouse.Bridge, newRows)
           wh.append("factObitos", Pipeline.resolveSim(bridge.resolved, wh), s"stream-$id")
+          newRows.unpersist()
+          ()
         }
       }
       .start()

@@ -23,6 +23,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.withColumn("dt", org.apache.spark.sql.functions.lit(dt))
       .write.mode("append").partitionBy("dt").parquet(path(table))
 
+  /** Un-partitioned row append (bridge-table merge): adds only the new
+    * rows' files — existing files are never rewritten, so the daily cost
+    * is O(new rows), not O(table). The reference does the same
+    * (mode("append") to ponteGrupoCausas, spark_script_sim.py:239). */
+  def appendRows(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(path(table))
+
   def table(table: String): DataFrame = spark.read.parquet(path(table))
 
   def exists(table: String): Boolean =

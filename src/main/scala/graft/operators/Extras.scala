@@ -101,8 +101,16 @@ object Extras extends OpModule {
       .agg(
         md5(concat_ws("|", array_sort(collect_list(col("item"))))).as("sig"),
         count(lit(1)).as("n_orders"))
+    // dense_rank by sig without a single-partition window: globally rank
+    // the DISTINCT signatures (two-phase, Ranks.globalRowNumber) and map
+    // them back — rank-of-distinct == dense_rank, and every step is
+    // partition-parallel.
+    val ranked = Ranks.globalRowNumber(
+      sigs.select("sig").distinct(), col("sig"), "group_id")
     sigs
-      .withColumn("group_id", dense_rank().over(Window.orderBy("sig")))
+      .join(ranked, Seq("sig"))
+      .withColumn("group_id", col("group_id").cast("int"))
+      .select("o_custkey", "sig", "n_orders", "group_id")
       .orderBy("o_custkey")
   })
 

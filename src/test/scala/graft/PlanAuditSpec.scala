@@ -40,6 +40,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan("q14_anti_join").contains("LeftAnti"))
   }
 
+  test("q21: global id assignment is two-phase, no data-wide single-partition window") {
+    val p = plan("q21_group_signature_ids")
+    assert(p.contains("rangepartitioning"), "expected range repartition for two-phase rank")
+    val rnWindows = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("__pid")),
+      "row_number window must be partitioned by __pid, not global:\n" + rnWindows.mkString("\n"))
+  }
+
   test("d4: gram generation is a generator, not a nested-loop range join") {
     val p = plan("d4_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"),

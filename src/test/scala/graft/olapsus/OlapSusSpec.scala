@@ -96,6 +96,29 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table(Warehouse.Bridge).count() == before)
   }
 
+  test("bridge merge appends only new-group files; existing files untouched") {
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15") // idempotent setup if run alone
+    val bridgeDir = new java.io.File(dir.resolve("wh").resolve(Warehouse.Bridge).toString)
+    def snap(): Map[String, (Long, Long)] =
+      bridgeDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val filesBefore = snap()
+    assert(filesBefore.nonEmpty)
+    val groupsBefore = wh.table(Warehouse.Bridge).select("chave_grupo_causa").distinct().count()
+    // One row with an unseen cause list (N40 at ordem 1, X999 at 2).
+    val extraCsv = Fixtures.write(dir, "sim_extra.csv", Seq(Fixtures.sim.head,
+      "20012020;07071955;1000;1;1;2;3;460;N40;X999;;;;354890;354890;123456"))
+    Pipeline.ingestSim(wh, extraCsv, "2020-01-17")
+    val filesAfter = snap()
+    filesBefore.foreach { case (name, meta) =>
+      assert(filesAfter.get(name).contains(meta),
+        s"pre-existing bridge file $name was rewritten by the merge")
+    }
+    assert(filesAfter.size > filesBefore.size, "append added no new files")
+    assert(wh.table(Warehouse.Bridge).select("chave_grupo_causa").distinct().count()
+      == groupsBefore + 1)
+  }
+
   test("streaming ingest (AvailableNow) drains landing dir through the batch resolvers") {
     val landing = Files.createTempDirectory("sinasc-landing")
     Fixtures.write(landing, "batch1.csv", Fixtures.sinasc)
