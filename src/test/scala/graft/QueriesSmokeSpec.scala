@@ -65,6 +65,25 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(driver.nonEmpty)
   }
 
+  test("connected-components: large-star/small-star handles deep and cyclic graphs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // A 60-node path (diameter 59 — multiple LS/SS rounds), a cycle, a
+    // star rooted at a LARGE id, and an isolated pair.
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val star = Seq((900L, 200L), (900L, 201L), (900L, 202L))
+    val pair = Seq((500L, 501L))
+    val edges = (path ++ cycle ++ star ++ pair).toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = toMap(Dedup.connectedComponents(edges))
+    val dist = toMap(Dedup.connectedComponents(edges, maxDriverEdges = 0))
+    assert(driver == dist)
+    assert(dist.filter(_._1 <= 60L).values.toSet == Set(0L), "path collapses to min 0")
+    assert(dist(103L) == 100L && dist(900L) == 200L && dist(501L) == 500L)
+  }
+
   test("s1 brute-force ANN: 5 neighbors per query, self excluded") {
     val rows = SparkEntry.queries("s1_ann_brute_topk")(spark, sf()).collect()
     val byQ = rows.groupBy(_.getLong(0))
