@@ -52,13 +52,15 @@ object Ingest {
     val a = Cli.parseArgs(args)
     val spark = Cli.session()
     val wh = new Warehouse(spark, a("warehouse"))
-    val glob = s"${a("prefix")}/${a("dataset")}/dt=${a("date")}/*.csv"
+    // FileSystem-resolved listing: --prefix may be s3a://, hdfs://, or a
+    // local dir — same code path either way (Landing).
+    val files = Landing.listDay(spark, a("prefix"), a("dataset"), a("date"))
     val n = a("dataset") match {
-      case "sim" => Pipeline.ingestSim(wh, glob, a("date"))
-      case "sinasc" => Pipeline.ingestSinasc(wh, glob, a("date"))
+      case "sim" => Pipeline.ingestSimFiles(wh, files, a("date"))
+      case "sinasc" => Pipeline.ingestSinascFiles(wh, files, a("date"))
       case other => sys.error(s"unknown --dataset $other (sim|sinasc)")
     }
-    println(s"ingested $n fact rows from $glob")
+    println(s"ingested $n fact rows from ${files.size} files under ${a("prefix")}")
     spark.stop()
   }
 }

@@ -140,12 +140,20 @@ object Pipeline {
       .na.drop(keys)
   }
 
-  /** Full SINASC ingest of one `dt=` batch of raw CSVs (header, `;`,
-    * no inference — sinasc.py:192). */
-  def ingestSinasc(wh: Warehouse, csvGlob: String, dt: String): Long = {
-    val raw = wh.spark.read
+  private def readRaw(wh: Warehouse, paths: Seq[String]): DataFrame =
+    wh.spark.read
       .option("header", "true").option("sep", ";").option("inferSchema", "false")
-      .csv(csvGlob)
+      .csv(paths: _*)
+
+  /** Full SINASC ingest of one `dt=` batch of raw CSVs (header, `;`,
+    * no inference — sinasc.py:192). Paths may be globs or concrete
+    * files in any configured FileSystem scheme (see [[Landing]]). */
+  def ingestSinasc(wh: Warehouse, csvGlob: String, dt: String): Long =
+    ingestSinascFiles(wh, Seq(csvGlob), dt)
+
+  def ingestSinascFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
+    if (paths.isEmpty) return 0L
+    val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val fact = resolveSinasc(Transforms.sinasc(raw), wh)
     wh.append("factNascimentos", fact, dt)
@@ -154,10 +162,12 @@ object Pipeline {
 
   /** Full SIM ingest: transform → bridge merge (append new groups) →
     * resolve → append fact. */
-  def ingestSim(wh: Warehouse, csvGlob: String, dt: String): Long = {
-    val raw = wh.spark.read
-      .option("header", "true").option("sep", ";").option("inferSchema", "false")
-      .csv(csvGlob)
+  def ingestSim(wh: Warehouse, csvGlob: String, dt: String): Long =
+    ingestSimFiles(wh, Seq(csvGlob), dt)
+
+  def ingestSimFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
+    if (paths.isEmpty) return 0L
+    val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val clean = Transforms.sim(raw.withColumn("row_id", monotonically_increasing_id()))
     val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"), wh.table(Warehouse.Bridge))

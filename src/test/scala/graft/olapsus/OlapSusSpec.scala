@@ -131,6 +131,29 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table("factNascimentos").count() == before + 4)
   }
 
+  test("landing listing + ingest work through a non-local FileSystem scheme") {
+    // Register a distinct URI scheme whose FileSystem is resolved via
+    // Hadoop's fs.<scheme>.impl mechanism — the same resolution path an
+    // s3a:// prefix takes with hadoop-aws on the classpath.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val landing = Files.createTempDirectory("landing-objstore")
+    Files.createDirectories(landing.resolve("sinasc/dt=2020-02-01"))
+    Fixtures.write(landing.resolve("sinasc/dt=2020-02-01"), "drop1.csv", Fixtures.sinasc)
+    val prefix = "graftfs://" + landing.toString
+
+    val files = Landing.listDay(spark, prefix, "sinasc", "2020-02-01")
+    assert(files.nonEmpty, "globStatus found no files through the custom scheme")
+    assert(files.forall(_.startsWith("graftfs:")), files.mkString(","))
+    assert(Landing.listDay(spark, prefix, "sinasc", "2099-01-01").isEmpty)
+
+    val before =
+      if (wh.exists("factNascimentos")) wh.table("factNascimentos").count() else 0L
+    val n = Pipeline.ingestSinascFiles(wh, files, "2020-02-09")
+    assert(n == 4L) // same rows/drops as the local-path ingest
+    assert(wh.table("factNascimentos").count() == before + 4)
+  }
+
   test("all six serving queries answer over the warehouse") {
     Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01")
     Pipeline.ingestSim(wh, simCsv, "2020-01-15")
