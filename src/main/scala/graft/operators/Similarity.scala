@@ -170,6 +170,112 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
+  private val KC = 8       // trained-codebook cells
+  private val KM_ITERS = 2 // fixed Lloyd iterations (determinism + an
+                           // exactly-unrollable DuckDB mirror)
+
+  /** One k-means assignment round as a DuckDB CTE: nearest centroid by
+    * exact integer squared-L2, ties to the lowest cid. */
+  private def duckAssign(name: String, centTbl: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT n.vec_id, n.qv, n.nrm, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |             n.nrm + ${VectorFns.duckNorm2("c.cv")}
+       |               - 2 * (${VectorFns.duckDot("n.qv", "c.cv")}), c.cid) AS rk
+       |    FROM n CROSS JOIN $centTbl c) WHERE rk = 1
+       |)""".stripMargin
+
+  /** One k-means update round as a DuckDB CTE: per-(cell, dim) integer
+    * mean, rounded identically to the Spark side (round() is
+    * half-away-from-zero on both engines). */
+  private def duckUpdate(name: String, assignTbl: String): String =
+    s"""$name AS (
+       |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
+       |    SELECT cid, dim,
+       |           CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+       |    FROM (SELECT cid, generate_subscripts(qv, 1) AS dim, UNNEST(qv) AS q
+       |          FROM $assignTbl)
+       |    GROUP BY cid, dim) GROUP BY cid
+       |)""".stripMargin
+
+  /** IVF with a TRAINED codebook: deterministic Lloyd k-means (seeds =
+    * the first KC vectors, KM_ITERS fixed rounds) expressed as iterative
+    * DataFrame jobs — broadcast-codebook argmin assignment (one pass
+    * over the data per round, no shuffle of the big side) and a
+    * map-side-combinable per-(cell, dim) integer-sum update. Centroid
+    * components round to integers so every distance stays in exact
+    * integer arithmetic and the DuckDB oracle (same rounds unrolled as
+    * CTEs) lands on bit-identical cells. The trained codebook stays a
+    * handful of rows: per round it is localCheckpoint'ed so the final
+    * probe's plan reads K rows instead of replaying the training
+    * lineage. */
+  val s5IvfTrained: Op = Op(
+    "s5_ann_ivf_trained", {
+      val ctes = Seq(
+        s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $KC)") ++
+        (1 to KM_ITERS).flatMap(i => Seq(
+          duckAssign(s"a$i", s"c${i - 1}"), duckUpdate(s"c$i", s"a$i"))) ++
+        Seq(duckAssign("af", s"c$KM_ITERS"))
+      Some(s"""
+      WITH ${duckVecs()},
+      ${ctes.mkString(",\n      ")},
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cid,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM af q JOIN af c ON q.cid = c.cid AND q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(cid AS BIGINT) AS cell,
+             CAST(rnk AS INTEGER) AS rnk, cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+    })((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .cache() // scanned once per training round + the final probe
+    def assign(cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val c = broadcast(cent.withColumn("cnrm", VectorFns.norm2(col("cv"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+      vecs.crossJoin(c)
+        .withColumn("d2", col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "qv", "nrm", "cid")
+    }
+    var cent = vecs.filter(col("vec_id") < KC)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to KM_ITERS) {
+      cent = assign(cent)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim0", "q")))
+        .groupBy("cid", "dim0")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .withColumn("comp", round(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim0, comp))), x -> x.comp)").as("cv"))
+        .localCheckpoint()
+    }
+    val cells = assign(cent)
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+    val pairs = cells
+      .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
   /** Per-label centroid statistics over the quantized embedding space —
     * the "aggregate a vector column" primitive (cluster profiling,
     * codebook training input). Exact integer sums per (label, dim), so
@@ -204,5 +310,6 @@ object Similarity extends OpModule {
       .orderBy("label", "dim")
   })
 
-  override def ops: Seq[Op] = Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids)
+  override def ops: Seq[Op] =
+    Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained)
 }
