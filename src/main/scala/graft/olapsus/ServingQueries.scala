@@ -16,8 +16,9 @@ import org.apache.spark.sql.DataFrame
 object ServingQueries {
 
   /** Roll-up #1: deaths by occupation family × schooling
-    * (queries-scripts.py:9-20). */
-  def firstRollUp(wh: Warehouse): DataFrame = wh.spark.sql("""
+    * (queries-scripts.py:9-20). The SQL text is public so clients of the
+    * Thrift endpoint ([[ServingEndpoint]]) can issue it verbatim. */
+  val firstRollUpSql: String = """
     SELECT d_ocp.descricao_familia AS familia,
            d_dem.escolaridade AS escolaridade,
            SUM(f_obt.quantidade_obitos) AS quantidade_obitos
@@ -26,7 +27,9 @@ object ServingQueries {
     JOIN dimdemografia d_dem ON d_dem.chave_demografia = f_obt.chave_demografia
     GROUP BY d_ocp.descricao_familia, d_dem.escolaridade
     ORDER BY familia, escolaridade
-  """)
+  """
+
+  def firstRollUp(wh: Warehouse): DataFrame = wh.spark.sql(firstRollUpSql)
 
   /** Roll-up #2 / drill-down: births by state × mother age band
     * (queries-scripts.py:29-40, app.py:71-81). */

@@ -12,6 +12,9 @@ trait SparkSpecBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Static conf consumed by the ServingEndpoint spec: JDBC connections
+    // share this session's state (so they see registered temp views).
+    .config("spark.sql.hive.thriftServer.singleSession", "true")
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
