@@ -55,15 +55,20 @@ object Dedup extends OpModule {
   private val JACCARD_T = 0.5
 
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
-    * (used by d2's oracle and d6's clustering oracle). */
+    * (used by d2's oracle and d6's clustering oracle). MinHash values
+    * are int64 (first 15 hex chars of the salted md5, parsed as a
+    * number) — fixed-width hex is order-preserving, so both engines
+    * agree, and the signature/band shuffle carries 8 longs per doc
+    * instead of 8 32-char strings. Band keys are the raw (h,h) long
+    * pairs — no extra hash at all. */
   private lazy val duckPairCtes: String = {
     val mins = (1 to NH).map(j =>
-      s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min') AS h$j")
+      s"list_aggregate(list_transform(sh, s -> " +
+        s"CAST(('0x' || substring(md5('$j:' || s), 1, 15)) AS BIGINT)), 'min') AS h$j")
       .mkString(",\n               ")
-    val bandKeys = (1 to BANDS).map(b =>
-      s"md5(h${2 * b - 1} || h${2 * b}) AS bk$b").mkString(", ")
     val bandRows = (1 to BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, bk$b AS bkey FROM sigs").mkString("\n        UNION ALL ")
+      s"SELECT doc_id, $b AS band, h${2 * b - 1} AS hx, h${2 * b} AS hy FROM hashed")
+      .mkString("\n        UNION ALL ")
     s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
         FROM documents
@@ -76,13 +81,11 @@ object Dedup extends OpModule {
         SELECT doc_id, sh,
                $mins
         FROM sh
-      ), sigs AS (
-        SELECT doc_id, $bandKeys FROM hashed
       ), bands AS (
         $bandRows
       ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        FROM bands a JOIN bands b ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy
                                   AND a.doc_id < b.doc_id
       ), scored AS (
         SELECT doc_a, doc_b,
@@ -115,20 +118,27 @@ object Dedup extends OpModule {
     // inside whole-stage codegen and the shuffle is a single partial-agg
     // pass (the shape that scales: shingle rows, not per-doc arrays).
     val exploded = toks.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minAggs = (1 to NH).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j"))
+    // int64 minhash values (15-hex prefix of the salted md5, parsed):
+    // the 8-column agg state and every downstream shuffle row carries
+    // longs, not 32-char strings; fixed-width hex keeps the MIN
+    // order-preserving so the DuckDB mirror lands on identical values.
+    val minAggs = (1 to NH).map(j =>
+      min(conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10)
+        .cast("long")).as(s"h$j"))
     val hashed = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val sigs = (1 to BANDS).foldLeft(hashed) { (df, b) =>
-      df.withColumn(s"bk$b", md5(concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}"))))
-    }
-    val bands = sigs.select(
+    // Band key = the raw (h, h) long pair — hashing the pair again would
+    // buy nothing: the join key is already fixed-width.
+    val bands = hashed.select(
       col("doc_id"),
       explode(array((1 to BANDS).map(b =>
-        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        struct(lit(b).as("band"),
+          col(s"h${2 * b - 1}").as("hx"), col(s"h${2 * b}").as("hy"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.hx").as("hx"), col("bb.hy").as("hy"))
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
+          && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = toks
