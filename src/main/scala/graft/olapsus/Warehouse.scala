@@ -32,6 +32,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def table(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** Write a table copy bucketed (and sorted) by the given key into the
+    * session catalog as `<table>_bucketed`, backed by files under the
+    * warehouse root.
+    *
+    * Bucketing pre-hash-partitions the data ON DISK: a join or
+    * aggregation keyed on the bucket columns between two tables with the
+    * same bucket count reads co-located buckets and plans with NO
+    * shuffle exchange — the 100 TB lever for repeated fact⋈fact /
+    * fact⋈big-dim joins when broadcast is off (the reference disables
+    * auto-broadcast globally, dags/spark_dag.py:41). Small dims should
+    * stay broadcast; bucket the big sides. */
+  def writeBucketed(table: String, buckets: Int, bucketCols: Seq[String]): String = {
+    val name = s"${table}_bucketed".toLowerCase
+    this.table(table).write.mode("overwrite")
+      .option("path", path(name))
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    name
+  }
+
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 

@@ -131,6 +131,26 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table("factNascimentos").count() == before + 4)
   }
 
+  test("bucketed warehouse: fact-dim join and agg on the bucket key plan shuffle-free") {
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15") // idempotent setup if run alone
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Mirror the reference's auto-broadcast-off posture (spark_dag.py:41)
+    // so the co-located bucketed join is what actually gets planned.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = wh.writeBucketed("factObitos", 8, Seq("chave_demografia"))
+      val dim = wh.writeBucketed("dimDemografia", 8, Seq("chave_demografia"))
+      val joined = spark.table(fact)
+        .join(spark.table(dim), Seq("chave_demografia"))
+        .groupBy("chave_demografia")
+        .agg(org.apache.spark.sql.functions.sum("quantidade_obitos"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join/agg still shuffles:\n" + p.take(2000))
+      assert(joined.count() >= 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("landing listing + ingest work through a non-local FileSystem scheme") {
     // Register a distinct URI scheme whose FileSystem is resolved via
     // Hadoop's fs.<scheme>.impl mechanism — the same resolution path an
