@@ -111,5 +111,43 @@ object Multimodal extends OpModule {
       .orderBy("doc_id")
   })
 
-  override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode)
+  /** Per-frame feature table: video rows fan out to one row per SAMPLED
+    * frame (every 4th of the stub-decoded n_frames) with a per-frame
+    * stub feature read at a frame-dependent offset. The shape is the
+    * real thing — explode(sequence) over a per-row frame count, then a
+    * per-frame projection; a production pipeline swaps the feature
+    * expression for a decoded-frame kernel (m2's mapPartitions seam).
+    * Payloads never shuffle: the generator and projection run in the
+    * scan stage, and only (doc_id, frame_id, feature) flows on. */
+  val m3FrameSample: Op = Op(
+    "m3_media_frame_sample",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS len,
+               CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+      )
+      SELECT doc_id, n_frames,
+             CAST(f AS INTEGER) AS frame_id,
+             CAST((f - 1) * 40 AS INTEGER) AS frame_ms,
+             CAST(ascii(substring(text, CAST((f * 997) % length(text) AS INTEGER) + 1, 1)) AS INTEGER) AS feat
+      FROM (SELECT *, UNNEST(generate_series(1, n_frames, 4)) AS f FROM v)
+      ORDER BY doc_id, frame_id
+    """))((spark, dir) => {
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2) // the rows mediaTable types as video
+      .select(col("doc_id"), col("text"),
+        (lit(1) + length(encode(col("text"), "UTF-8")) % 16).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(1), col("n_frames"), lit(4))).as("frame_id"))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_id"),
+        ((col("frame_id") - 1) * 40).cast("int").as("frame_ms"),
+        ascii(expr("substring(text, (frame_id * 997) % length(text) + 1, 1)"))
+          .cast("int").as("feat"))
+      .orderBy("doc_id", "frame_id")
+  })
+
+  override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample)
 }

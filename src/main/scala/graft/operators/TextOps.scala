@@ -214,6 +214,92 @@ object TextOps extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** TF-IDF top-3 terms per document. The idf factor is the RAW ratio
+    * (N+1)/(df+1) rather than its logarithm: log is monotone, so the
+    * per-document ranking is identical, while products and quotients of
+    * small integers in IEEE double are exactly rounded on every engine —
+    * a transcendental would risk last-ulp drift between libm
+    * implementations and break hash equality. Shapes: one token explode,
+    * one (doc, word) count, one word-level doc-frequency aggregate
+    * joined back (broadcast at this vocabulary; shuffle-join at corpus
+    * scale), one per-doc top-k window. */
+  val t26TfIdf: Op = Op(
+    "t26_tfidf_top_terms",
+    Some("""
+      WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+      ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+      ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM words
+      ), scored AS (
+        SELECT doc_id, word,
+               CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+        FROM scored
+      )
+      SELECT doc_id, word, CAST(rnk AS INTEGER) AS rnk, score
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = words.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double")
+          * ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("rnk"), col("score"))
+      .orderBy("doc_id", "rnk")
+  })
+
+  /** Deterministic hash-based train/valid/test split — the corpus-
+    * curation primitive for reproducible sampling at any scale: the
+    * split is a pure function of doc_id (md5 bucket 0-99 → 80/10/10),
+    * so it is stable under re-runs, partitioning, and engine choice, and
+    * needs no shuffle or state. Output is the per-(lang, split) census. */
+  val t27HashSplit: Op = Op(
+    "t27_hash_split_census",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+      ), s AS (
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        FROM b
+      )
+      SELECT lang, split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+      FROM s
+      GROUP BY lang, split
+      ORDER BY lang, split
+    """))((spark, dir) => {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang", "split")
+  })
+
   override def ops: Seq[Op] =
-    Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats, t25Fingerprint)
+    Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
+      t25Fingerprint, t26TfIdf, t27HashSplit)
 }
