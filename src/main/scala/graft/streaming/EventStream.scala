@@ -92,6 +92,29 @@ object EventStream {
       }
   }
 
+  /** Stream-stream self-join: each purchase matched to the same user's
+    * signups within the preceding 7 days. Both sides carry watermarks
+    * and the join condition bounds event-time distance — exactly what
+    * Spark needs to evict join state and run with finite memory; an
+    * unbounded stream-stream join would otherwise buffer both streams
+    * forever. State is keyed by user, so it partitions cleanly. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(signups, expr(
+      """p_user = s_user AND
+         purchase_ts >= signup_ts AND
+         purchase_ts <= signup_ts + INTERVAL 7 DAYS"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("signup_id"),
+        col("purchase_ts"), col("signup_ts"), col("value"))
+  }
+
   /** Run a streaming query over a static directory to completion using
     * the memory sink; returns the collected result table. Used by tests
     * and as the local "catch-up" entry point (Trigger.AvailableNow

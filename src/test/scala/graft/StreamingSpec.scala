@@ -34,6 +34,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventStream.purchaseAttribution(EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runToMemory(spark, stream, "attrib_test")
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Batch twin: identical join over the static table.
+    val ev = Tables.events(spark, sf())
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val want = p.join(s, expr(
+      "p_user = s_user AND purchase_ts >= signup_ts AND purchase_ts <= signup_ts + INTERVAL 7 DAYS"))
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionizer matches batch q18 session structure") {
     import spark.implicits._
     val evs = Tables.events(spark, sf())
