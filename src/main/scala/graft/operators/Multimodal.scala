@@ -149,5 +149,43 @@ object Multimodal extends OpModule {
       .orderBy("doc_id", "frame_id")
   })
 
-  override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample)
+  /** Resize planning for image rows: aspect-preserving target geometry
+    * (longest side capped at 256, minimum 1px) computed in pure integer
+    * arithmetic from the stub-decoded dimensions. The pixel resample
+    * itself belongs behind m2's per-partition codec seam; what the
+    * engine owns — and what is oracle-checked — is the geometry plan
+    * and the narrow projection shape (no payload bytes flow through). */
+  val m4Resize: Op = Op(
+    "m4_media_resize_plan",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS w,
+               CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      )
+      SELECT doc_id, w, h,
+             CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                       ELSE greatest(1, (w * 256) // greatest(w, h)) END AS INTEGER) AS out_w,
+             CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                       ELSE greatest(1, (h * 256) // greatest(w, h)) END AS INTEGER) AS out_h
+      FROM d
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0) // the rows mediaTable types as image
+      .select(col("doc_id"),
+        (length(encode(col("text"), "UTF-8")) % 1024).cast("int").as("w"),
+        ascii(substring(col("text"), 1, 1)).cast("int").as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        when(greatest(col("w"), col("h")) <= 256, col("w"))
+          .otherwise(greatest(lit(1), expr("(w * 256) div greatest(w, h)")))
+          .cast("int").as("out_w"),
+        when(greatest(col("w"), col("h")) <= 256, col("h"))
+          .otherwise(greatest(lit(1), expr("(h * 256) div greatest(w, h)")))
+          .cast("int").as("out_h"))
+      .orderBy("doc_id")
+  })
+
+  override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample, m4Resize)
 }
