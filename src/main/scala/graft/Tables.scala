@@ -24,10 +24,26 @@ object Tables {
     * heavy per-row work (hashing, HOFs, self-joins) must first spread
     * rows across cores or they run single-threaded. Cheap for small
     * tables; at 100 TB the scan is already many-partitioned and this is
-    * a near-no-op coalesce-to-parallelism. */
+    * a no-op.
+    *
+    * The partition estimate is metadata-only — `inputFiles` plus (when
+    * the file count alone doesn't settle it) driver-side file sizes
+    * against `files.maxPartitionBytes`. Never touches `df.rdd`, which
+    * would force RDD lineage materialization on every loader call. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= p) df
+    else {
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val conf = spark.sparkContext.hadoopConfiguration
+      val bytes = files.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(conf).getFileStatus(path).getLen
+      }.sum
+      if (bytes / math.max(maxBytes, 1L) >= p) df else df.repartition(p)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -92,6 +92,32 @@ object EventStream {
       }
   }
 
+  /** Sliding 1-hour windows every 15 minutes — the streaming twin of
+    * batch q24 (which materializes the 4 covering windows per event via
+    * explode); streaming uses the native sliding `window()` so state is
+    * per-(window) and watermark-evicted. */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup: keeps the first (user_id, event_type)
+    * occurrence, with state bounded by the watermark —
+    * dropDuplicatesWithinWatermark is the streaming form of d1-style
+    * exact dedup (state for a key is dropped once the watermark passes
+    * it, so an infinite stream runs in finite memory at the cost of
+    * possibly re-admitting a duplicate older than the watermark). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stream-stream self-join: each purchase matched to the same user's
     * signups within the preceding 7 days. Both sides carry watermarks
     * and the join condition bounds event-time distance — exactly what

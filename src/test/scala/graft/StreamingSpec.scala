@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streaming sliding windows match batch q24 aggregates") {
+    val stream = EventStream.slidingWindows(EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runToMemory(
+      spark, stream, "sliding_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = SparkEntry.queries("q24_sliding_window")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("streaming watermark dedup keeps one row per key (single-batch ≡ global dedup)") {
+    val stream = EventStream.dedupStream(EventStream.readEvents(spark, eventsDir))
+    val got = EventStream.runToMemory(spark, stream, "dedup_test")
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.toSet.size, "streaming dedup emitted duplicate keys")
+    assert(got.toSet == want.toSet)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStream.purchaseAttribution(EventStream.readEvents(spark, eventsDir))
     val got = EventStream.runToMemory(spark, stream, "attrib_test")
