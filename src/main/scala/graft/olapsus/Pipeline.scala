@@ -152,11 +152,12 @@ object Pipeline {
     ingestSinascFiles(wh, Seq(csvGlob), dt)
 
   def ingestSinascFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
-    if (paths.isEmpty) return 0L
+    if (paths.isEmpty || wh.ingestLogged("sinasc", dt)) return 0L
     val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val fact = resolveSinasc(Transforms.sinasc(raw), wh)
     wh.append("factNascimentos", fact, dt)
+    wh.logIngest("sinasc", dt)
     fact.count()
   }
 
@@ -166,7 +167,7 @@ object Pipeline {
     ingestSimFiles(wh, Seq(csvGlob), dt)
 
   def ingestSimFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
-    if (paths.isEmpty) return 0L
+    if (paths.isEmpty || wh.ingestLogged("sim", dt)) return 0L
     val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val clean = Transforms.sim(raw.withColumn("row_id", monotonically_increasing_id()))
@@ -179,6 +180,7 @@ object Pipeline {
     if (newRows.count() > 0) wh.appendRows(Warehouse.Bridge, newRows)
     val fact = resolveSim(bridge.resolved, wh)
     wh.append("factObitos", fact, dt)
+    wh.logIngest("sim", dt)
     val n = fact.count()
     newRows.unpersist()
     n

@@ -56,6 +56,38 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
+  /** Has this (dataset, dt) batch already been ingested? The manifest
+    * makes per-day batch ingest idempotent: Airflow-style re-runs of a
+    * day (the reference would double-append, spark_dag.py:48-78 has no
+    * guard) become no-ops. Single-writer, like the bridge merge. */
+  def ingestLogged(dataset: String, dt: String): Boolean =
+    exists(Warehouse.IngestLog) &&
+      !table(Warehouse.IngestLog)
+        .where(s"dataset = '$dataset' AND dt = '$dt'").isEmpty
+
+  def logIngest(dataset: String, dt: String): Unit = {
+    import spark.implicits._
+    appendRows(Warehouse.IngestLog, Seq((dataset, dt)).toDF("dataset", "dt"))
+  }
+
+  /** Rewrite a table's accumulated small append files into
+    * ceil(bytes / targetFileBytes) files (append-only merges pay one
+    * file per batch; compaction is the periodic counterpart). The
+    * rewrite goes through a temp dir and a FileSystem rename, so it
+    * works on any configured scheme. Returns the new file count. */
+  def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path(tableName))
+    val bytes = fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path(s".${tableName}_compact_tmp"))
+    table(tableName).repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    nFiles
+  }
+
   /** Register every existing table as a lowercase temp view (the serving
     * queries use the reference's lowercase Postgres spellings). */
   def registerViews(): Unit =
@@ -69,6 +101,7 @@ object Warehouse {
     "dimData", "dimHorario", "dimMunicipio", "dimOcupacao", "dimCausa",
     "dimDemografia", "dimInfoNascimento")
   val Bridge = "ponteGrupoCausas"
+  val IngestLog = "_ingest_log"
   val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
   val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
 }

@@ -201,4 +201,28 @@ class OlapSusSpec extends SparkSpecBase {
     val top = ServingQueries.top10CausesByOccupation(wh, "Engenheiros").collect()
     assert(top.nonEmpty && top.head.getString(1) == "Infarto agudo do miocárdio")
   }
+
+  test("re-ingesting an already-logged day is a no-op (manifest idempotency)") {
+    Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01") // logs if run alone
+    val before = wh.table("factNascimentos").count()
+    val n = Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01")
+    assert(n == 0L, "re-run of a logged day re-ingested")
+    assert(wh.table("factNascimentos").count() == before)
+    assert(wh.ingestLogged("sinasc", "2020-02-01"))
+    assert(!wh.ingestLogged("sinasc", "2099-12-31"))
+  }
+
+  test("compaction rewrites accumulated bridge files without changing rows") {
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15") // ensure bridge populated
+    val bridgeDir = new java.io.File(dir.resolve("wh").resolve(Warehouse.Bridge).toString)
+    def nFiles() = bridgeDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val rowsBefore = wh.table(Warehouse.Bridge)
+      .collect().map(_.toString).sorted.toSeq
+    assert(nFiles() >= 2, "expected accumulated append files to compact")
+    val target = wh.compact(Warehouse.Bridge)
+    assert(target == 1 && nFiles() == 1, "tiny bridge should compact to one file")
+    val rowsAfter = wh.table(Warehouse.Bridge)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+  }
 }
