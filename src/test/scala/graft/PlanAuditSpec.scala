@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, lpad, when}
+
 /** Physical-plan regression guards for the scale properties the engine
   * depends on: predicate pushdown + column pruning at the parquet scan,
   * broadcast joins for dimensions, and partial (map-side) aggregation.
@@ -53,5 +55,46 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "d4 gram rows degraded to an O(docs x max_len) nested loop")
     assert(p.contains("Generate"), "expected explode(sequence) generator")
+  }
+
+  test("s5: k-means assignment broadcasts the codebook; no cartesian shuffle") {
+    val p = plan("s5_ann_ivf_trained")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "codebook should broadcast")
+    assert(!p.contains("CartesianProduct"), "assignment degraded to a shuffled cartesian")
+  }
+
+  test("t26: tf aggregation has a partial (map-side) phase") {
+    assert(plan("t26_tfidf_top_terms").contains("partial_"))
+  }
+
+  test("AQE splits a runtime-skewed join partition") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of left rows share one key; payload widens the skewed
+      // partition past the threshold so AQE must split it.
+      val left = spark.range(0, 60000)
+        .select(
+          when($"id" % 10 =!= 0, 0L).otherwise($"id").as("k"),
+          lpad($"id".cast("string"), 64, "x").as("pad"))
+      val right = spark.range(0, 500).select($"id".as("k"), lit(1).as("m"))
+      val joined = left.join(right, Seq("k"))
+      // Execute THIS DataFrame's own queryExecution (count() would build
+      // a separate aggregate plan and leave this one un-finalized).
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not mark/split the skewed partition:\n" + p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
