@@ -76,6 +76,18 @@ object VectorFns {
 
   def lshBucket8(qv: String): Column = lshBucket(col(qv), 8)
 
+  /** Same bucket as an INTEGER (bit b → 1<<b): XOR-able, so multi-probe
+    * neighbors (Hamming-1 buckets) are `bucket ^ (1 << j)`. */
+  def lshBucketInt(qv: Column, bits: Int): Column =
+    (0 until bits).map(b =>
+      when(lshBit(b, qv) >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** DuckDB mirror of [[lshBucketInt]]. */
+  def duckLshBucketInt(qv: String, bits: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN (${duckLshBit(b, qv)}) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+
   /** DuckDB mirror of [[lshBitSql]]. */
   def duckLshBit(b: Int, qv: String): String =
     s"""list_reduce([(CASE WHEN bit_count(CAST($b * 1000003 + i AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END)

@@ -108,6 +108,59 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
+  /** Multi-probe LSH ANN: recall falls off a cliff when a true neighbor
+    * lands one sign-flip away from the query's bucket, so the QUERY side
+    * (tiny) explodes into its own bucket plus all 8 Hamming-1 buckets
+    * and equi-joins on the probe value — the candidate side keeps its
+    * single bucket column and the join stays a bucket-pruned hash probe
+    * (never a distance predicate against the whole table). 9× more probe
+    * rows on a 10-row query set; the big side is untouched. */
+  val s6MultiProbe: Op = Op(
+    "s6_ann_lsh_multiprobe", {
+      val bInt = VectorFns.duckLshBucketInt("qv", 8)
+      Some(s"""
+      WITH ${duckVecs()},
+      b AS (SELECT vec_id, qv, nrm, $bInt AS bucket FROM n),
+      qp AS (
+        SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm,
+               UNNEST([bucket] || [CAST(xor(bucket, CAST(1 << j AS BIGINT)) AS BIGINT)
+                                   FOR j IN generate_series(0, 7)]) AS probe
+        FROM b WHERE vec_id < $NQ
+      ), pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(${VectorFns.duckDot("q.q_qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM qp q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+    })((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), 8))
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(array(col("bucket") +: (0 until 8).map(j =>
+          expr(s"bucket ^ ${1L << j}")): _*)).as("probe"))
+    val pairs = vecs
+      .join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
   private val NC = 16 // IVF cells: first NC vectors act as centroids
 
   /** IVF-style ANN: vectors are assigned to their nearest "centroid"
@@ -311,5 +364,5 @@ object Similarity extends OpModule {
   })
 
   override def ops: Seq[Op] =
-    Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained)
+    Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained, s6MultiProbe)
 }
