@@ -299,7 +299,62 @@ object TextOps extends OpModule {
       .orderBy("lang", "split")
   })
 
+  private val KMV_K = 64
+
+  /** KMV (k-minimum-values) distinct-count sketch per language — the
+    * mergeable-sketch primitive: each partition keeps only its k
+    * smallest word hashes, merge = k smallest of a union, estimate =
+    * (k−1)/U_k. Chosen over HLL because the sketch is a DETERMINISTIC
+    * function of the data (the k minimum md5-derived values), so the
+    * DuckDB mirror reproduces the estimate bit-for-bit — approximate in
+    * accuracy, exact in cross-engine agreement. Groups with fewer than
+    * k distinct values fall back to the exact count (the sketch is
+    * exact below k by construction). */
+  val t28KmvDistinct: Op = Op(
+    "t28_kmv_distinct_sketch",
+    Some(s"""
+      WITH words AS (
+        SELECT lang, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+      ), h AS (
+        SELECT DISTINCT lang,
+               CAST(('0x' || substring(md5(word), 1, 13)) AS BIGINT) AS h
+        FROM words
+      ), r AS (
+        SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk FROM h
+      ), kth AS (
+        SELECT lang, h AS hk FROM r WHERE rnk = $KMV_K
+      ), exact AS (
+        SELECT lang, COUNT(DISTINCT word) AS n_exact FROM words GROUP BY lang
+      )
+      SELECT e.lang, CAST(n_exact AS BIGINT) AS n_exact,
+             COALESCE(CAST(${KMV_K - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                        / CAST(hk AS DOUBLE),
+                      CAST(n_exact AS DOUBLE)) AS kmv_estimate
+      FROM exact e LEFT JOIN kth USING (lang)
+      ORDER BY lang
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
+    // 52-bit uniform hash: md5 prefix, so U_k = hk / 2^52.
+    val h = words.select(col("lang"),
+        conv(substring(md5(col("word")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy("h")
+    val kth = h.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === KMV_K)
+      .select(col("lang"), col("h").as("hk"))
+    val exact = words.groupBy("lang").agg(countDistinct(col("word")).as("n_exact"))
+    exact.join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"),
+        coalesce(
+          lit((KMV_K - 1).toDouble) * lit(4503599627370496.0) / col("hk").cast("double"),
+          col("n_exact").cast("double")).as("kmv_estimate"))
+      .orderBy("lang")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
-      t25Fingerprint, t26TfIdf, t27HashSplit)
+      t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct)
 }
