@@ -70,19 +70,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     appendRows(Warehouse.IngestLog, Seq((dataset, dt)).toDF("dataset", "dt"))
   }
 
-  /** Rewrite a table's accumulated small append files into
-    * ceil(bytes / targetFileBytes) files (append-only merges pay one
-    * file per batch; compaction is the periodic counterpart). The
-    * rewrite goes through a temp dir and a FileSystem rename, so it
-    * works on any configured scheme. Returns the new file count. */
-  def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+  /** Rewrite a table's (or one fact `dt=` partition's) accumulated
+    * small append files into ceil(bytes / targetFileBytes) files
+    * (append-only merges pay one file per batch; compaction is the
+    * periodic counterpart). Compacting a single partition touches ONLY
+    * that directory — a daily maintenance job compacts yesterday's
+    * partition without rewriting history. The rewrite goes through a
+    * temp dir and a FileSystem rename, so it works on any configured
+    * scheme. Returns the new file count. */
+  def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      partition: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
+    val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(path(tableName))
+    val dir = new Path(path(rel))
     val bytes = fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path(s".${tableName}_compact_tmp"))
-    table(tableName).repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // A partition dir read drops the dt column (it lives in the path);
+    // files rewritten into the same dir keep the partitioned layout.
+    spark.read.parquet(dir.toString)
+      .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dir, true)
     fs.rename(tmp, dir)
     nFiles

@@ -225,4 +225,24 @@ class OlapSusSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted.toSeq
     assert(rowsAfter == rowsBefore)
   }
+
+  test("per-partition fact compaction leaves sibling partitions untouched") {
+    Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01") // setup if run alone
+    // A second day, so the fact table has two dt= partitions.
+    val day2 = Fixtures.write(dir, "sinasc_day2.csv", Fixtures.sinasc)
+    Pipeline.ingestSinascFiles(wh, Seq(day2), "2020-02-02")
+    val factDir = new java.io.File(dir.resolve("wh").resolve("factNascimentos").toString)
+    def files(p: String): Map[String, Long] = {
+      val d = new java.io.File(factDir, p)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val day1Before = files("dt=2020-02-01")
+    val rowsBefore = wh.table("factNascimentos").count()
+    wh.compact("factNascimentos", partition = Some("dt=2020-02-02"))
+    assert(files("dt=2020-02-01") == day1Before, "sibling partition was rewritten")
+    assert(files("dt=2020-02-02").size == 1)
+    assert(wh.table("factNascimentos").count() == rowsBefore)
+    assert(wh.table("factNascimentos").where("dt = '2020-02-02'").count() == 4L)
+  }
 }
