@@ -300,6 +300,65 @@ object Dedup extends OpModule {
       .orderBy("vec_a", "vec_b")
   })
 
+  /** d5 with multi-probe blocks: embedding near-dup pairs where the two
+    * buckets differ by AT MOST ONE sign bit. Single-bucket blocking
+    * (d5) misses any true pair straddling a bucket boundary; expanding
+    * ONE side of the self-join into its bucket plus the 8 Hamming-1
+    * neighbors recovers those pairs while the join stays a (label,
+    * bucket) equi-join — candidates grow ~9×, not quadratically, and
+    * the big side still carries a single bucket column. Pairs found
+    * through two different probes dedupe on DISTINCT. */
+  val d8EmbeddingMultiProbe: Op = Op(
+    "d8_dedup_embedding_multiprobe", {
+      val bInt = graft.functions.VectorFns.duckLshBucketInt("qv", 8)
+      Some(s"""
+      WITH v AS (
+        SELECT vec_id, label, ${graft.functions.VectorFns.duckQuantize("embedding")} AS qv
+        FROM embeddings
+      ), n AS (
+        SELECT vec_id, label, qv, ${graft.functions.VectorFns.duckNorm2("qv")} AS nrm,
+               $bInt AS bucket
+        FROM v
+      ), probes AS (
+        SELECT vec_id, label, qv, nrm,
+               UNNEST([bucket] || [CAST(xor(bucket, CAST(1 << j AS BIGINT)) AS BIGINT)
+                                   FOR j IN generate_series(0, 7)]) AS probe
+        FROM n
+      ), p AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               CAST(${graft.functions.VectorFns.duckDot("a.qv", "b.qv")} AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+        FROM probes a JOIN n b
+          ON a.label = b.label AND a.probe = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, label, cos AS cosine
+      FROM p WHERE cos >= 0.3
+      ORDER BY vec_a, vec_b
+    """)
+    })((spark, dir) => {
+    import graft.functions.VectorFns
+    val n = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), 8))
+    val probes = n.select(
+      col("vec_id"), col("label"), col("qv"), col("nrm"),
+      explode(array(col("bucket") +: (0 until 8).map(j =>
+        expr(s"bucket ^ ${1L << j}")): _*)).as("probe"))
+    val p = probes.as("a")
+      .join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.probe") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.label").as("label"),
+        VectorFns.cosine(
+          VectorFns.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cos"))
+      .distinct()
+    p.filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos").as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  })
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     * pair graph (d2's output as edges). Spark side runs iterative
     * min-label propagation — each pass joins current labels to the edge
@@ -515,5 +574,5 @@ object Dedup extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
-      d6Clusters, d7SimHashPairs)
+      d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe)
 }
