@@ -329,6 +329,88 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
+  private val PQ_M = 4    // sub-vector blocks
+  private val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)
+  private val PQ_K = 8    // codes per block (seeded: first PQ_K vectors)
+
+  /** Product-quantization ANN (s7): the memory-scaling path — each
+    * vector is stored as M small codes instead of d floats (here 4
+    * bytes vs 64 floats, a 64× compression), and query scoring is
+    * asymmetric distance computation: a per-query lookup table of
+    * (block, code) → partial distance, built against the codebook
+    * (NQ × M × K = 320 rows, broadcast), joined to the candidates'
+    * codes and summed. Every arithmetic step stays in exact integers
+    * (sub-block squared-L2 via the codegen'd dot), so the approximate
+    * distances — and therefore the ranking — are bit-identical in the
+    * DuckDB mirror. Codebooks are seeded from the first PQ_K vectors
+    * (s5 shows trained ones slot in identically). */
+  val s7PqTopK: Op = Op(
+    "s7_ann_pq_topk", {
+      def nrm(x: String) = VectorFns.duckNorm2(x)
+      def dot(a: String, b: String) = VectorFns.duckDot(a, b)
+      Some(s"""
+      WITH v AS (
+        SELECT vec_id, ${VectorFns.duckQuantize("embedding")} AS qv FROM embeddings
+      ), subs AS (
+        SELECT vec_id, m, qv[(m * $PQ_SUB + 1):(m * $PQ_SUB + $PQ_SUB)] AS sub
+        FROM v, UNNEST([${(0 until PQ_M).mkString(", ")}]) AS t(m)
+      ), cb AS (
+        SELECT m, vec_id AS cid, sub AS csub FROM subs WHERE vec_id < $PQ_K
+      ), codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   ${nrm("s.sub")} + ${nrm("c.csub")} - 2 * (${dot("s.sub", "c.csub")}), c.cid) AS rk
+          FROM subs s JOIN cb c USING (m)) WHERE rk = 1
+      ), qdist AS (
+        SELECT q.vec_id AS query_id, c.m, c.cid,
+               ${nrm("q.sub")} + ${nrm("c.csub")} - 2 * (${dot("q.sub", "c.csub")}) AS pd
+        FROM subs q JOIN cb c USING (m) WHERE q.vec_id < $NQ
+      ), scored AS (
+        SELECT d.query_id, x.vec_id AS neighbor_id, CAST(SUM(pd) AS BIGINT) AS adc_d2
+        FROM codes x JOIN qdist d ON d.m = x.m AND d.cid = x.code AND x.vec_id <> d.query_id
+        GROUP BY d.query_id, x.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, adc_d2
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+    })((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+    // One row per (vector, block): the explode is over a 4-element
+    // array of slices — payload per row shrinks to one sub-vector.
+    val subs = vecs.select(
+      col("vec_id"),
+      posexplode(array((0 until PQ_M).map(m =>
+        expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "sub")))
+    val cb = broadcast(subs.filter(col("vec_id") < PQ_K)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub")))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("pd").asc, col("cid").asc)
+    val codes = subs.join(cb, Seq("m"))
+      .withColumn("pd", d2(col("sub"), col("csub")))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val qdist = broadcast(subs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        d2(col("sub"), col("csub")).as("pd")))
+    val scored = codes.as("x").join(qdist.as("d"),
+        col("d.m") === col("x.m") && col("d.cid") === col("x.code")
+          && col("x.vec_id") =!= col("d.query_id"))
+      .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"))
+      .agg(sum(col("d.pd")).as("adc_d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
+      .orderBy("query_id", "rnk")
+  })
+
   /** Per-label centroid statistics over the quantized embedding space —
     * the "aggregate a vector column" primitive (cluster profiling,
     * codebook training input). Exact integer sums per (label, dim), so
@@ -364,5 +446,6 @@ object Similarity extends OpModule {
   })
 
   override def ops: Seq[Op] =
-    Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained, s6MultiProbe)
+    Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
+      s6MultiProbe, s7PqTopK)
 }
