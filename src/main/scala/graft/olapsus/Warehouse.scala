@@ -56,6 +56,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
+  /** Optional JDBC table reader — the reference pulls every dimension
+    * over JDBC from Postgres (get_jdbc_df, spark_script_sim.py:27-29)
+    * and appends facts the same way. The Parquet warehouse replaces
+    * both by design, but the seam stays for hybrid deployments where a
+    * dim is mastered in an RDBMS: swap `table(name)` for
+    * `jdbcTable(url, name)` and the rest of the pipeline is unchanged
+    * (both return a lazy DataFrame). */
+  def jdbcTable(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** Has this (dataset, dt) batch already been ingested? The manifest
     * makes per-day batch ingest idempotent: Airflow-style re-runs of a
     * day (the reference would double-append, spark_dag.py:48-78 has no

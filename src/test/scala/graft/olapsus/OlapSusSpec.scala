@@ -226,6 +226,20 @@ class OlapSusSpec extends SparkSpecBase {
     assert(rowsAfter == rowsBefore)
   }
 
+  test("JDBC seam: a dim written to and read from an RDBMS matches the warehouse copy") {
+    // Embedded Derby stands in for the reference's Postgres: the same
+    // spark.read.jdbc/write.jdbc path, an in-process database.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties
+    wh.table("dimMunicipio").write.mode("overwrite").jdbc(url, "dimmunicipio", props)
+    val viaJdbc = wh.jdbcTable(url, "dimmunicipio")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = wh.table("dimMunicipio")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaJdbc == direct)
+    assert(viaJdbc.nonEmpty)
+  }
+
   test("per-partition fact compaction leaves sibling partitions untouched") {
     Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01") // setup if run alone
     // A second day, so the fact table has two dt= partitions.
