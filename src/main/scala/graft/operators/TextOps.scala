@@ -250,9 +250,13 @@ object TextOps extends OpModule {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    // df and N both derive from the (doc, word) aggregate — the token
+    // stream is exploded and shuffled ONCE, not three times (tf rows
+    // are distinct per (doc, word), so counting them per word IS the
+    // document frequency).
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val n = words.agg(countDistinct(col("doc_id")).as("n"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double")
