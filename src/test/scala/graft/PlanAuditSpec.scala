@@ -68,6 +68,39 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan("t26_tfidf_top_terms").contains("partial_"))
   }
 
+  test("whole suite: no query plans a shuffled cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
+  test("whole suite: single-partition exchanges only below aggregates") {
+    // A SinglePartition exchange fed by an aggregate carries
+    // partition-count-sized (or group-count-sized) data — global
+    // min/max/count finals and Ranks' per-partition offset table. A
+    // SinglePartition exchange fed by anything else is sort-the-world:
+    // a scale bug this guard exists to catch.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val root = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition
+              && !e.child.nodeName.contains("Aggregate") =>
+          s"$name (above ${e.child.nodeName})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-aggregate SinglePartition exchanges: ${offenders.mkString(", ")}")
+  }
+
   test("AQE splits a runtime-skewed join partition") {
     import spark.implicits._
     val confs = Seq(
