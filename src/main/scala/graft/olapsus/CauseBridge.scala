@@ -24,12 +24,22 @@ import org.apache.spark.sql.DataFrame
   */
 object CauseBridge {
 
-  final case class Result(resolved: DataFrame, newBridgeRows: DataFrame)
+  final case class Result(
+      resolved: DataFrame, newBridgeRows: DataFrame, newSignatureRows: DataFrame)
 
   /** Attach `chave_grupo_causa` to each row of `clean` (needs `row_id`,
-    * LINHAA..D, LINHAII_arr) and return the bridge rows to append for
-    * groups not yet in `bridge`. */
-  def resolve(clean: DataFrame, dimCausa: DataFrame, bridge: DataFrame): Result = {
+    * LINHAA..D, LINHAII_arr) and return the bridge rows (and signature
+    * lookup rows) to append for groups not yet in `bridge`.
+    *
+    * `knownSignatures` is the incrementally-maintained
+    * (chave_grupo_causa, group_signature) lookup table: when supplied,
+    * the merge joins against it directly instead of re-deriving every
+    * existing group's signature from the exploded bridge rows (an
+    * explode + sort + collect_list over ALL groups, every batch). The
+    * recompute path stays as the bootstrap/fallback and the spec
+    * cross-checks the two agree. */
+  def resolve(clean: DataFrame, dimCausa: DataFrame, bridge: DataFrame,
+      knownSignatures: Option[DataFrame] = None): Result = {
     val spark = clean.sparkSession
 
     // Per-row (ordem, codigo) cause list: LINHA A-D are orders 1-4,
@@ -57,13 +67,6 @@ object CauseBridge {
         Seq("cid_codigo"), "left")
       .na.fill(0, Seq("chave_causa"))
 
-    def signatureOf(df: DataFrame, groupCol: String): DataFrame =
-      df.withColumn("item_sig", concat_ws(":", col("chave_causa"), col("ordem_causa")))
-        .groupBy(groupCol)
-        .agg(array_sort(collect_list(struct(col("ordem_causa"), col("item_sig")))).as("sig_sorted"))
-        .select(col(groupCol),
-          concat_ws("|", expr("transform(sig_sorted, x -> x.item_sig)")).as("group_signature"))
-
     val groups = mapped
       .withColumn("item_sig", concat_ws(":", col("chave_causa"), col("ordem_causa")))
       .withColumn("causa_struct", struct(col("chave_causa"), col("ordem_causa")))
@@ -76,7 +79,9 @@ object CauseBridge {
         concat_ws("|", expr("transform(sig_sorted, x -> x.item_sig)")).as("group_signature"),
         expr("transform(causes_sorted, x -> x.causa_struct)").as("causes_list"))
 
-    val existing = signatureOf(bridge, "chave_grupo_causa")
+    val existing = knownSignatures
+      .map(_.select(col("chave_grupo_causa"), col("group_signature")))
+      .getOrElse(signatures(bridge))
       .withColumnRenamed("chave_grupo_causa", "existing_group_id")
     val nextId: Long = bridge.agg(max("chave_grupo_causa")).head().get(0) match {
       case null => 1L
@@ -108,6 +113,21 @@ object CauseBridge {
       mapping.select(col("row_id"), col("final_group_id").as("chave_grupo_causa")),
       Seq("row_id"), "left")
 
-    Result(resolved, newBridgeRows)
+    val newSignatureRows = newGroups.select(
+      col("new_group_id").cast("int").as("chave_grupo_causa"),
+      col("group_signature"))
+
+    Result(resolved, newBridgeRows, newSignatureRows)
   }
+
+  /** Canonical signature per existing bridge group, derived from the
+    * bridge rows (explode + sort + collect_list over every group). Used
+    * to BOOTSTRAP the incrementally-maintained signature lookup table
+    * and as the fallback when none is supplied. */
+  def signatures(bridge: DataFrame): DataFrame =
+    bridge.withColumn("item_sig", concat_ws(":", col("chave_causa"), col("ordem_causa")))
+      .groupBy("chave_grupo_causa")
+      .agg(array_sort(collect_list(struct(col("ordem_causa"), col("item_sig")))).as("sig_sorted"))
+      .select(col("chave_grupo_causa"),
+        concat_ws("|", expr("transform(sig_sorted, x -> x.item_sig)")).as("group_signature"))
 }

@@ -171,13 +171,22 @@ object Pipeline {
     val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val clean = Transforms.sim(raw.withColumn("row_id", monotonically_increasing_id()))
-    val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"), wh.table(Warehouse.Bridge))
+    // Incremental signature lookup: bootstrapped from the bridge once,
+    // then maintained by appending each batch's new groups — the merge
+    // never re-derives existing groups' signatures again.
+    if (!wh.exists(Warehouse.Signatures))
+      wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
+    val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
+      wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
     // Read-before-write single-writer merge (no ON CONFLICT in Parquet;
     // same assumption as the reference's max+1 id scheme, sim.py:214).
     // count() fully materializes the new rows into the cache BEFORE the
     // append below adds files to the directory the lazy plan reads.
     val newRows = bridge.newBridgeRows.cache()
-    if (newRows.count() > 0) wh.appendRows(Warehouse.Bridge, newRows)
+    if (newRows.count() > 0) {
+      wh.appendRows(Warehouse.Bridge, newRows)
+      wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
+    }
     val fact = resolveSim(bridge.resolved, wh)
     wh.append("factObitos", fact, dt)
     wh.logIngest("sim", dt)

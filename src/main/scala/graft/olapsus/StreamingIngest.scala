@@ -51,11 +51,17 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
           val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
-          val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"), wh.table(Warehouse.Bridge))
+          if (!wh.exists(Warehouse.Signatures))
+            wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
+          val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
+            wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
           // Append only the new groups' rows (files of pre-existing
           // groups are never rewritten) — O(new groups) per micro-batch.
           val newRows = bridge.newBridgeRows.cache()
-          if (newRows.count() > 0) wh.appendRows(Warehouse.Bridge, newRows)
+          if (newRows.count() > 0) {
+            wh.appendRows(Warehouse.Bridge, newRows)
+            wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
+          }
           wh.append("factObitos", Pipeline.resolveSim(bridge.resolved, wh), s"stream-$id")
           newRows.unpersist()
           ()

@@ -120,6 +120,7 @@ object Warehouse {
     "dimData", "dimHorario", "dimMunicipio", "dimOcupacao", "dimCausa",
     "dimDemografia", "dimInfoNascimento")
   val Bridge = "ponteGrupoCausas"
+  val Signatures = "ponteAssinaturas"
   val IngestLog = "_ingest_log"
   val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
   val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts

@@ -119,6 +119,17 @@ class OlapSusSpec extends SparkSpecBase {
       == groupsBefore + 1)
   }
 
+  test("incremental signature table stays consistent with the bridge") {
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15") // setup if run alone
+    val fromTable = wh.table(Warehouse.Signatures)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val recomputed = CauseBridge.signatures(wh.table(Warehouse.Bridge))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fromTable == recomputed,
+      "incrementally-maintained signatures diverged from the bridge-derived ones")
+    assert(fromTable.nonEmpty)
+  }
+
   test("streaming ingest (AvailableNow) drains landing dir through the batch resolvers") {
     val landing = Files.createTempDirectory("sinasc-landing")
     Fixtures.write(landing, "batch1.csv", Fixtures.sinasc)
