@@ -64,3 +64,28 @@ object Ingest {
     spark.stop()
   }
 }
+
+/** `runMain graft.olapsus.Maintain --warehouse DIR
+  *   [--compact TABLE] [--partition dt=YYYY-MM-DD] [--target-mb N]` —
+  * periodic warehouse maintenance: compacts the named table (or one
+  * fact `dt=` partition) and prints the ingest manifest. The daily
+  * companion of the append-only ingest path. */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val wh = new Warehouse(spark, a("warehouse"))
+    a.get("compact").foreach { table =>
+      val target = a.get("target-mb").map(_.toLong * 1024 * 1024)
+        .getOrElse(128L * 1024 * 1024)
+      val n = wh.compact(table, target, a.get("partition"))
+      println(s"compacted $table${a.get("partition").fold("")(p => s"/$p")} -> $n file(s)")
+    }
+    if (wh.exists(Warehouse.IngestLog)) {
+      println("ingest manifest:")
+      wh.table(Warehouse.IngestLog).orderBy("dataset", "dt")
+        .collect().foreach(r => println(s"  ${r.getString(0)} dt=${r.getString(1)}"))
+    }
+    spark.stop()
+  }
+}

@@ -114,6 +114,35 @@ object Extras extends OpModule {
       .orderBy("o_custkey")
   })
 
+  /** Grouped continuous percentiles — ordered-set aggregation. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same
+    * (n−1)·p interpolation over the sorted values, and the inputs are
+    * integers, so the interpolated doubles are bit-identical. (The
+    * approximate variant — percentile_approx / t-digest — is the
+    * at-scale swap-in; it is NOT cross-engine deterministic, which is
+    * why the oracle-checked entry uses the exact form.) */
+  val q28Percentiles: Op = Op(
+    "q28_percentiles",
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             quantile_cont(n_chars, 0.5) AS p50_chars,
+             quantile_cont(n_chars, 0.9) AS p90_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """))((spark, dir) => {
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+  })
+
   /** As-of join (absent from the reference, SURVEY §2.4; essential for
     * event timelines): each purchase is matched to the user's most
     * recent signup at-or-before it. Composed from built-ins — union the
@@ -191,6 +220,65 @@ object Extras extends OpModule {
       .orderBy("word")
   })
 
+  /** Per-column table profiling — the data-quality census a pipeline
+    * runs before training: null counts, distinct counts, and numeric
+    * min/max per column, computed in ONE pass (a single aggregate row,
+    * unpivoted to one output row per column). At any scale this is a
+    * full scan with map-side partials and a one-row shuffle. */
+  val q29Profile: Op = Op(
+    "q29_column_profile",
+    Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nul_orderkey,
+               COUNT(DISTINCT l_orderkey) AS dis_orderkey,
+               CAST(MIN(l_orderkey) AS DOUBLE) AS min_orderkey,
+               CAST(MAX(l_orderkey) AS DOUBLE) AS max_orderkey,
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nul_quantity,
+               COUNT(DISTINCT l_quantity) AS dis_quantity,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_quantity,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_quantity,
+               SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nul_returnflag,
+               COUNT(DISTINCT l_returnflag) AS dis_returnflag
+        FROM lineitem
+      )
+      SELECT col, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+             CAST(n_distinct AS BIGINT) AS n_distinct, vmin, vmax
+      FROM (
+        SELECT 'l_orderkey' AS col, n_rows, nul_orderkey AS n_null,
+               dis_orderkey AS n_distinct, min_orderkey AS vmin, max_orderkey AS vmax FROM a
+        UNION ALL
+        SELECT 'l_quantity', n_rows, nul_quantity, dis_quantity, min_quantity, max_quantity FROM a
+        UNION ALL
+        SELECT 'l_returnflag', n_rows, nul_returnflag, dis_returnflag, NULL, NULL FROM a
+      )
+      ORDER BY col
+    """))((spark, dir) => {
+    val a = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("nul_orderkey"),
+      countDistinct(col("l_orderkey")).as("dis_orderkey"),
+      min(col("l_orderkey")).cast("double").as("min_orderkey"),
+      max(col("l_orderkey")).cast("double").as("max_orderkey"),
+      sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("nul_quantity"),
+      countDistinct(col("l_quantity")).as("dis_quantity"),
+      min(col("l_quantity")).cast("double").as("min_quantity"),
+      max(col("l_quantity")).cast("double").as("max_quantity"),
+      sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("nul_returnflag"),
+      countDistinct(col("l_returnflag")).as("dis_returnflag"))
+    val rows = Seq(
+      ("l_orderkey", "nul_orderkey", "dis_orderkey", Some(("min_orderkey", "max_orderkey"))),
+      ("l_quantity", "nul_quantity", "dis_quantity", Some(("min_quantity", "max_quantity"))),
+      ("l_returnflag", "nul_returnflag", "dis_returnflag", None))
+      .map { case (name, nul, dis, mm) =>
+        a.select(
+          lit(name).as("col"), col("n_rows"), col(nul).as("n_null"), col(dis).as("n_distinct"),
+          mm.map(m => col(m._1)).getOrElse(lit(null).cast("double")).as("vmin"),
+          mm.map(m => col(m._2)).getOrElse(lit(null).cast("double")).as("vmax"))
+      }
+    rows.reduce(_.unionByName(_)).orderBy("col")
+  })
+
   override def ops: Seq[Op] =
-    Seq(q19Json, q20TimeSpine, q21GroupIds, q22AsOf, q23Salted)
+    Seq(q19Json, q20TimeSpine, q21GroupIds, q22AsOf, q23Salted, q28Percentiles, q29Profile)
 }
