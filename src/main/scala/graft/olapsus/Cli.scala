@@ -65,6 +65,21 @@ object Ingest {
   }
 }
 
+/** `runMain graft.olapsus.Backfill --dataset sim|sinasc --prefix
+  * LANDING_DIR --warehouse DIR` — ingest every pending `dt=` partition
+  * (manifest-skipped days are no-ops), oldest first. */
+object Backfill {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session()
+    val wh = new Warehouse(spark, a("warehouse"))
+    Pipeline.backfill(wh, a("prefix"), a("dataset")).foreach { case (dt, n) =>
+      println(s"dt=$dt: ${if (n == 0) "skipped (logged or empty)" else s"$n fact rows"}")
+    }
+    spark.stop()
+  }
+}
+
 /** `runMain graft.olapsus.Maintain --warehouse DIR
   *   [--compact TABLE] [--partition dt=YYYY-MM-DD] [--target-mb N]` —
   * periodic warehouse maintenance: compacts the named table (or one

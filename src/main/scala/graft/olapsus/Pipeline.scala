@@ -161,6 +161,28 @@ object Pipeline {
     fact.count()
   }
 
+  /** Backfill every pending `dt=` day partition under the landing
+    * prefix, oldest first — the engine-side equivalent of the
+    * reference's daily Airflow loop (dags/spark_dag.py:48-78), driven
+    * by the landing listing plus the ingest manifest: days already
+    * logged are skipped (ingest*Files is idempotent), so re-running
+    * backfill after a crash or on a schedule is safe. Returns
+    * (dt, rows) per day processed. */
+  def backfill(wh: Warehouse, prefix: String, dataset: String): Seq[(String, Long)] = {
+    val days = Landing.listGlob(wh.spark, s"$prefix/$dataset/dt=*")
+      .map(p => p.substring(p.lastIndexOf("dt=") + 3).stripSuffix("/"))
+      .distinct.sorted
+    days.map { dt =>
+      val files = Landing.listDay(wh.spark, prefix, dataset, dt)
+      val n = dataset match {
+        case "sim" => ingestSimFiles(wh, files, dt)
+        case "sinasc" => ingestSinascFiles(wh, files, dt)
+        case other => sys.error(s"unknown dataset $other (sim|sinasc)")
+      }
+      dt -> n
+    }
+  }
+
   /** Full SIM ingest: transform → bridge merge (append new groups) →
     * resolve → append fact. */
   def ingestSim(wh: Warehouse, csvGlob: String, dt: String): Long =

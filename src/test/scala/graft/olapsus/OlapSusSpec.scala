@@ -237,6 +237,18 @@ class OlapSusSpec extends SparkSpecBase {
     assert(rowsAfter == rowsBefore)
   }
 
+  test("backfill ingests every pending day once; re-runs are no-ops") {
+    val landing = Files.createTempDirectory("landing-backfill")
+    Files.createDirectories(landing.resolve("sinasc/dt=2021-03-01"))
+    Files.createDirectories(landing.resolve("sinasc/dt=2021-03-02"))
+    Fixtures.write(landing.resolve("sinasc/dt=2021-03-01"), "a.csv", Fixtures.sinasc)
+    Fixtures.write(landing.resolve("sinasc/dt=2021-03-02"), "b.csv", Fixtures.sinasc)
+    val first = Pipeline.backfill(wh, landing.toString, "sinasc")
+    assert(first == Seq("2021-03-01" -> 4L, "2021-03-02" -> 4L), first.toString)
+    val second = Pipeline.backfill(wh, landing.toString, "sinasc")
+    assert(second == Seq("2021-03-01" -> 0L, "2021-03-02" -> 0L), second.toString)
+  }
+
   test("JDBC seam: a dim written to and read from an RDBMS matches the warehouse copy") {
     // Embedded Derby stands in for the reference's Postgres: the same
     // spark.read.jdbc/write.jdbc path, an in-process database.
