@@ -221,10 +221,10 @@ object Extras extends OpModule {
   })
 
   /** Per-column table profiling — the data-quality census a pipeline
-    * runs before training: null counts, distinct counts, and numeric
-    * min/max per column, computed in ONE pass (a single aggregate row,
-    * unpivoted to one output row per column). At any scale this is a
-    * full scan with map-side partials and a one-row shuffle. */
+    * runs before training; delegates to the schema-driven
+    * [[Profiler.profile]] (one aggregate row generated from the schema,
+    * unpivoted to a row per column), pinned here to three lineitem
+    * columns so the DuckDB oracle stays hand-writable. */
   val q29Profile: Op = Op(
     "q29_column_profile",
     Some("""
@@ -254,29 +254,9 @@ object Extras extends OpModule {
       )
       ORDER BY col
     """))((spark, dir) => {
-    val a = Tables.lineitem(spark, dir).agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("nul_orderkey"),
-      countDistinct(col("l_orderkey")).as("dis_orderkey"),
-      min(col("l_orderkey")).cast("double").as("min_orderkey"),
-      max(col("l_orderkey")).cast("double").as("max_orderkey"),
-      sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("nul_quantity"),
-      countDistinct(col("l_quantity")).as("dis_quantity"),
-      min(col("l_quantity")).cast("double").as("min_quantity"),
-      max(col("l_quantity")).cast("double").as("max_quantity"),
-      sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("nul_returnflag"),
-      countDistinct(col("l_returnflag")).as("dis_returnflag"))
-    val rows = Seq(
-      ("l_orderkey", "nul_orderkey", "dis_orderkey", Some(("min_orderkey", "max_orderkey"))),
-      ("l_quantity", "nul_quantity", "dis_quantity", Some(("min_quantity", "max_quantity"))),
-      ("l_returnflag", "nul_returnflag", "dis_returnflag", None))
-      .map { case (name, nul, dis, mm) =>
-        a.select(
-          lit(name).as("col"), col("n_rows"), col(nul).as("n_null"), col(dis).as("n_distinct"),
-          mm.map(m => col(m._1)).getOrElse(lit(null).cast("double")).as("vmin"),
-          mm.map(m => col(m._2)).getOrElse(lit(null).cast("double")).as("vmax"))
-      }
-    rows.reduce(_.unionByName(_)).orderBy("col")
+    Profiler.profile(
+      Tables.lineitem(spark, dir),
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
   })
 
   override def ops: Seq[Op] =

@@ -83,4 +83,20 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out.head == Multimodal.MediaMeta(7L, "video", 5, 5, 'h'.toInt, 1 + 5 % 16, 'h'.toInt))
     assert(out(1) == Multimodal.MediaMeta(8L, "image", 0, 0, 0, 1, 0))
   }
+
+  test("Profiler handles any schema: numeric min/max, string nulls, full-table default") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), "a"), (2L, None, "b"), (3L, Some(7.0), null.asInstanceOf[String]))
+      .toDF("id", "score", "tag")
+    val p = graft.operators.Profiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(p.keySet == Set("id", "score", "tag"))
+    assert(p("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(p("score") == ((3L, 1L, 2L, Some(2.5), Some(7.0))))
+    assert(p("tag") == ((3L, 1L, 2L, None, None)))
+  }
 }
