@@ -411,6 +411,109 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
+  /** IVF+PQ composition (s8): the full FAISS-style index shape —
+    * vectors are assigned to a coarse cell (broadcast-argmin, as s3),
+    * the RESIDUAL x − c is product-quantized against a shared codebook,
+    * and a query scans only its own cell with ADC lookups over the
+    * residual codes. Cell pruning cuts the scan to 1/NC of the data and
+    * residual encoding keeps PQ error small where it matters (residual
+    * norms ≪ vector norms). Residuals are elementwise differences of
+    * quantized longs, so every distance remains exact integer
+    * arithmetic and the DuckDB mirror ranks identically. The residual
+    * zip_with is the one interpreted HOF here — per row, off the
+    * candidate path; at extreme scale it would move into a codegen'd
+    * expression like the dot product. */
+  val s8IvfPqTopK: Op = Op(
+    "s8_ann_ivfpq_topk", {
+      def nrm(x: String) = VectorFns.duckNorm2(x)
+      def dot(a: String, b: String) = VectorFns.duckDot(a, b)
+      Some(s"""
+      WITH v AS (
+        SELECT vec_id, ${VectorFns.duckQuantize("embedding")} AS qv FROM embeddings
+      ), n AS (
+        SELECT vec_id, qv, ${nrm("qv")} AS nrm FROM v
+      ), coarse AS (
+        SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $PQ_K
+      ), cells AS (
+        SELECT vec_id, qv, cid, cv FROM (
+          SELECT n.vec_id, n.qv, c.cid, c.cv,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                   n.nrm + ${nrm("c.cv")} - 2 * (${dot("n.qv", "c.cv")}), c.cid) AS rk
+          FROM n CROSS JOIN coarse c) WHERE rk = 1
+      ), rsubs AS (
+        SELECT vec_id, cid, m,
+               ([qv[i] - cv[i] FOR i IN generate_series(1, len(qv))])
+                 [(m * $PQ_SUB + 1):(m * $PQ_SUB + $PQ_SUB)] AS rsub
+        FROM cells, UNNEST([${(0 until PQ_M).mkString(", ")}]) AS t(m)
+      ), cb AS (
+        SELECT m, vec_id AS code, rsub AS csub FROM rsubs WHERE vec_id < $PQ_K
+      ), codes AS (
+        SELECT vec_id, cid, m, code FROM (
+          SELECT r.vec_id, r.cid, r.m, c.code,
+                 ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.m ORDER BY
+                   ${nrm("r.rsub")} + ${nrm("c.csub")} - 2 * (${dot("r.rsub", "c.csub")}), c.code) AS rk
+          FROM rsubs r JOIN cb c USING (m)) WHERE rk = 1
+      ), qdist AS (
+        SELECT q.vec_id AS query_id, q.cid AS q_cid, c.m, c.code,
+               ${nrm("q.rsub")} + ${nrm("c.csub")} - 2 * (${dot("q.rsub", "c.csub")}) AS pd
+        FROM rsubs q JOIN cb c USING (m) WHERE q.vec_id < $NQ
+      ), scored AS (
+        SELECT d.query_id, x.vec_id AS neighbor_id, CAST(x.cid AS BIGINT) AS cell,
+               CAST(SUM(pd) AS BIGINT) AS adc_d2
+        FROM codes x JOIN qdist d
+          ON d.m = x.m AND d.code = x.code AND d.q_cid = x.cid
+             AND x.vec_id <> d.query_id
+        GROUP BY d.query_id, x.vec_id, x.cid
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, cell, CAST(rnk AS INTEGER) AS rnk, adc_d2
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+    })((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val coarse = broadcast(vecs.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").as("cid"), col("qv").as("cv")))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cd2").asc, col("cid").asc)
+    val cells = vecs.crossJoin(coarse)
+      .withColumn("cd2",
+        col("nrm") + VectorFns.norm2(col("cv")) - lit(2) * VectorFns.dot(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wCell)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"), col("cv"))
+    val rsubs = cells
+      .withColumn("rv", expr("zip_with(qv, cv, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until PQ_M).map(m =>
+          expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "rsub")))
+    val cb = broadcast(rsubs.filter(col("vec_id") < PQ_K)
+      .select(col("m"), col("vec_id").as("code"), col("rsub").as("csub")))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("pd").asc, col("code").asc)
+    val codes = rsubs.join(cb, Seq("m"))
+      .withColumn("pd", d2(col("rsub"), col("csub")))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    val qdist = broadcast(rsubs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
+      .select(col("vec_id").as("query_id"), col("cid").as("q_cid"), col("m"),
+        col("code"), d2(col("rsub"), col("csub")).as("pd")))
+    val scored = codes.as("x").join(qdist.as("d"),
+        col("d.m") === col("x.m") && col("d.code") === col("x.code")
+          && col("d.q_cid") === col("x.cid") && col("x.vec_id") =!= col("d.query_id"))
+      .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"),
+        col("x.cid").as("cell"))
+      .agg(sum(col("d.pd")).as("adc_d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
+      .orderBy("query_id", "rnk")
+  })
+
   /** Per-label centroid statistics over the quantized embedding space —
     * the "aggregate a vector column" primitive (cluster profiling,
     * codebook training input). Exact integer sums per (label, dim), so
@@ -447,5 +550,5 @@ object Similarity extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
-      s6MultiProbe, s7PqTopK)
+      s6MultiProbe, s7PqTopK, s8IvfPqTopK)
 }
