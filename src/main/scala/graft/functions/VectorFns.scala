@@ -36,6 +36,12 @@ object VectorFns {
   /** Exact integer squared norm (dot of the vector with itself). */
   def norm2(v: Column): Column = dot(v, v)
 
+  /** Elementwise difference of two quantized vectors (residual x − c) —
+    * native codegen'd ([[SubtractArraysLong]]); semantics equal
+    * `zip_with(a, b, (x, y) -> x - y)` for null-free arrays. */
+  def subtract(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.graft.SubtractArraysLong(expression(a), expression(b)))
+
   private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graft.Bridge.expression(c)
   private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

@@ -420,9 +420,10 @@ object Similarity extends OpModule {
     * norms ≪ vector norms). Residuals are elementwise differences of
     * quantized longs, so every distance remains exact integer
     * arithmetic and the DuckDB mirror ranks identically. The residual
-    * zip_with is the one interpreted HOF here — per row, off the
-    * candidate path; at extreme scale it would move into a codegen'd
-    * expression like the dot product. */
+    * subtraction is the codegen'd [[SubtractArraysLong]] expression —
+    * it runs once per row of the full scan, so like the dot product it
+    * stays inside whole-stage codegen rather than an interpreted
+    * zip_with lambda. */
   val s8IvfPqTopK: Op = Op(
     "s8_ann_ivfpq_topk", {
       def nrm(x: String) = VectorFns.duckNorm2(x)
@@ -485,7 +486,7 @@ object Similarity extends OpModule {
       .withColumn("rk", row_number().over(wCell)).filter(col("rk") === 1)
       .select(col("vec_id"), col("qv"), col("cid"), col("cv"))
     val rsubs = cells
-      .withColumn("rv", expr("zip_with(qv, cv, (a, b) -> a - b)"))
+      .withColumn("rv", VectorFns.subtract(col("qv"), col("cv")))
       .select(col("vec_id"), col("cid"),
         posexplode(array((0 until PQ_M).map(m =>
           expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "rsub")))

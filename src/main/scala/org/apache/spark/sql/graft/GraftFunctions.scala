@@ -18,19 +18,27 @@ object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(
     classOf[DotProductLong].getCanonicalName, "dot_product_long")
-
   private val dotBuilder: Seq[Expression] => Expression =
     exprs => DotProductLong(exprs(0), exprs(1))
 
-  def register(spark: SparkSession): Unit =
+  private val subInfo = new ExpressionInfo(
+    classOf[SubtractArraysLong].getCanonicalName, "subtract_arrays_long")
+  private val subBuilder: Seq[Expression] => Expression =
+    exprs => SubtractArraysLong(exprs(0), exprs(1))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product_long", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "subtract_arrays_long", subBuilder, "built-in")
+  }
 
-  private[graft] val injectable =
-    (FunctionIdentifier("dot_product_long"), dotInfo, dotBuilder)
+  private[graft] val injectables = Seq(
+    (FunctionIdentifier("dot_product_long"), dotInfo, dotBuilder),
+    (FunctionIdentifier("subtract_arrays_long"), subInfo, subBuilder))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftFunctions.injectable)
+    GraftFunctions.injectables.foreach(e.injectFunction)
 }

@@ -75,6 +75,21 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r == 4 + 10 + 18)
   }
 
+  test("subtract_arrays_long equals zip_with subtraction and is SQL-callable") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT subtract_arrays_long(array(10L, 20L, 30L), array(1L, 2L, 3L))")
+      .head().getSeq[Long](0)
+    assert(r == Seq(9L, 18L, 27L))
+    import spark.implicits._
+    val df = Seq((Array(5L, -7L, 2L), Array(3L, 3L, 3L))).toDF("a", "b")
+    val native = df.select(graft.functions.VectorFns.subtract(col("a"), col("b")))
+      .head().getSeq[Long](0)
+    val hof = df.select(expr("zip_with(a, b, (x, y) -> x - y)"))
+      .head().getSeq[Long](0)
+    assert(native == hof && native == Seq(2L, -10L, -1L))
+  }
+
   test("multimodal stub decode is deterministic byte arithmetic") {
     import graft.operators.Multimodal
     val out = Multimodal.decodePartition(Iterator(
