@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.Multimodal,
+    graft.operators.Curation,
     graft.operators.Extras)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)
