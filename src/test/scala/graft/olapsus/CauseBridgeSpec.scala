@@ -61,6 +61,23 @@ class CauseBridgeSpec extends SparkSpecBase {
     }
   }
 
+  test("precomputed signature lookup gives identical results to the recompute path") {
+    samples(Gen.listOfN(4, causeList), 4).foreach { lists =>
+      val first = CauseBridge.resolve(cleanOf(lists), dimCausa, seedBridge)
+      val bridgeAfter = seedBridge.unionByName(first.newBridgeRows)
+      val sigTable = CauseBridge.signatures(seedBridge)
+        .unionByName(first.newSignatureRows)
+      def ids(r: CauseBridge.Result) = r.resolved
+        .select("row_id", "chave_grupo_causa")
+        .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      val viaTable = CauseBridge.resolve(
+        cleanOf(lists), dimCausa, bridgeAfter, Some(sigTable))
+      val viaRecompute = CauseBridge.resolve(cleanOf(lists), dimCausa, bridgeAfter)
+      assert(viaTable.newBridgeRows.isEmpty, s"lookup path re-created groups for $lists")
+      assert(ids(viaTable) == ids(viaRecompute), s"paths diverged for $lists")
+    }
+  }
+
   test("permutation sensitivity: order of causes changes the group") {
     // (A at ordem 1, B at ordem 5) vs (B at ordem 1, A at ordem 5)
     val r = CauseBridge.resolve(
