@@ -15,7 +15,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q10_topk_per_group")
+      else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q10_topk_per_group",
+        "d2_dedup_minhash_lsh", "d4_dedup_ngram_jaccard", "s8_ann_ivfpq_topk",
+        "q21_group_signature_ids")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
