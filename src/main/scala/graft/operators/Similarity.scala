@@ -342,8 +342,10 @@ object Similarity extends OpModule {
     * codes and summed. Every arithmetic step stays in exact integers
     * (sub-block squared-L2 via the codegen'd dot), so the approximate
     * distances — and therefore the ranking — are bit-identical in the
-    * DuckDB mirror. Codebooks are seeded from the first PQ_K vectors
-    * (s5 shows trained ones slot in identically). */
+    * DuckDB mirror. Codebooks are seeded from the first PQ_K vectors'
+    * sub-blocks and refined with ONE Lloyd round per block (s5's
+    * training machinery at sub-block granularity: assign, then rounded
+    * per-(block, code, dim) integer means). */
   val s7PqTopK: Op = Op(
     "s7_ann_pq_topk", {
       def nrm(x: String) = VectorFns.duckNorm2(x)
@@ -354,8 +356,22 @@ object Similarity extends OpModule {
       ), subs AS (
         SELECT vec_id, m, qv[(m * $PQ_SUB + 1):(m * $PQ_SUB + $PQ_SUB)] AS sub
         FROM v, UNNEST([${(0 until PQ_M).mkString(", ")}]) AS t(m)
-      ), cb AS (
+      ), cb0 AS (
         SELECT m, vec_id AS cid, sub AS csub FROM subs WHERE vec_id < $PQ_K
+      ), a0 AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   ${nrm("s.sub")} + ${nrm("c.csub")} - 2 * (${dot("s.sub", "c.csub")}), c.cid) AS rk
+          FROM subs s JOIN cb0 c USING (m)) WHERE rk = 1
+      ), enc0 AS (
+        SELECT a.m, a.code, generate_subscripts(s.sub, 1) AS dim, UNNEST(s.sub) AS q
+        FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+      ), cb AS (
+        SELECT m, code AS cid, list(comp ORDER BY dim) AS csub FROM (
+          SELECT m, code, dim,
+                 CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+          FROM enc0 GROUP BY m, code, dim) GROUP BY m, code
       ), codes AS (
         SELECT vec_id, m, cid AS code FROM (
           SELECT s.vec_id, s.m, c.cid,
@@ -387,15 +403,29 @@ object Similarity extends OpModule {
       col("vec_id"),
       posexplode(array((0 until PQ_M).map(m =>
         expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "sub")))
-    val cb = broadcast(subs.filter(col("vec_id") < PQ_K)
-      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub")))
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
     val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("pd").asc, col("cid").asc)
-    val codes = subs.join(cb, Seq("m"))
-      .withColumn("pd", d2(col("sub"), col("csub")))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    def encode(cbDf: org.apache.spark.sql.DataFrame) =
+      subs.join(cbDf, Seq("m"))
+        .withColumn("pd", d2(col("sub"), col("csub")))
+        .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val cb0 = broadcast(subs.filter(col("vec_id") < PQ_K)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub")))
+    // One Lloyd refinement: rounded per-(block, code, dim) integer means
+    // of the seed assignment; localCheckpoint'ed so downstream plans
+    // read PQ_M × PQ_K rows, not the training lineage.
+    val cb = broadcast(encode(cb0).join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim0", "q")))
+      .groupBy("m", "code", "dim0")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("comp", round(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(dim0, comp))), x -> x.comp)").as("csub"))
+      .withColumnRenamed("code", "cid")
+      .localCheckpoint())
+    val codes = encode(cb)
     val qdist = broadcast(subs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cid"),
         d2(col("sub"), col("csub")).as("pd")))
