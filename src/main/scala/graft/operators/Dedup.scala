@@ -196,7 +196,9 @@ object Dedup extends OpModule {
     Some("""
       WITH g AS (
         SELECT doc_id, lang, source, n_chars // 100 AS lenb,
-               list_distinct([substring(text, i, 5)
+               list_distinct([CAST(('0x' || substring(md5(
+                                concat_ws(chr(1), lang, source, n_chars // 100,
+                                          substring(text, i, 5))), 1, 15)) AS BIGINT)
                               FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS gs
         FROM documents
       ), p AS (
@@ -240,8 +242,11 @@ object Dedup extends OpModule {
         explode(sequence(lit(1), col("npos"))).as("i"))
       .select(
         col("doc_id"),
-        concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
-          expr("substring(text, i, 5)")).as("bg"))
+        // Block-gram key hashed to int64 (15-hex md5 prefix, mirrored
+        // in the oracle): the distinct and the self-join shuffle 8-byte
+        // longs instead of ~25-byte strings.
+        conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
+          expr("substring(text, i, 5)"))), 1, 15), 16, 10).cast("long").as("bg"))
       .distinct()
       .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
