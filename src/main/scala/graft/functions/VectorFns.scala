@@ -66,9 +66,17 @@ object VectorFns {
     * precomputed ±1 literal row. [[DotProductLong]] iterates
     * min(len(qv), len(signs)), so the constant row just needs to be at
     * least as long as the vector — no per-dataset dimension probe, no
-    * interpreted HOF lambda in the hot path. */
+    * interpreted HOF lambda in the hot path. Vectors WIDER than the
+    * constant row would silently project only their first LshMaxDim
+    * components (wrong buckets, no error), so the width is checked
+    * per row — `size()` is an O(1) array-header read — and overflow
+    * fails fast instead of truncating. */
   def lshBit(b: Int, qv: Column): Column =
-    dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray))
+    when(size(qv) <= LshMaxDim,
+      dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray)))
+      .otherwise(raise_error(concat(
+        lit("lshBit: embedding has "), size(qv).cast("string"),
+        lit(s" dims > LshMaxDim=$LshMaxDim; raise VectorFns.LshMaxDim"))))
 
   /** Sign-projection LSH bucket id as a '0'/'1' string, e.g. "01101001".
     *

@@ -71,10 +71,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * makes per-day batch ingest idempotent: Airflow-style re-runs of a
     * day (the reference would double-append, spark_dag.py:48-78 has no
     * guard) become no-ops. Single-writer, like the bridge merge. */
-  def ingestLogged(dataset: String, dt: String): Boolean =
+  def ingestLogged(dataset: String, dt: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Column expressions, not an interpolated where-string: CLI-supplied
+    // values with quotes must compare as literals, never reparse as SQL.
     exists(Warehouse.IngestLog) &&
       !table(Warehouse.IngestLog)
-        .where(s"dataset = '$dataset' AND dt = '$dt'").isEmpty
+        .where(col("dataset") === lit(dataset) && col("dt") === lit(dt)).isEmpty
+  }
 
   def logIngest(dataset: String, dt: String): Unit = {
     import spark.implicits._
@@ -87,23 +91,69 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * periodic counterpart). Compacting a single partition touches ONLY
     * that directory — a daily maintenance job compacts yesterday's
     * partition without rewriting history. The rewrite goes through a
-    * temp dir and a FileSystem rename, so it works on any configured
-    * scheme. Returns the new file count. */
+    * temp dir and FileSystem renames, so it works on any configured
+    * scheme. Returns the new file count.
+    *
+    * A WHOLE-table compact of a partitioned table must preserve the
+    * `col=value` directory layout: partition discovery materializes the
+    * partition columns as data columns, so a flat rewrite would drop
+    * the directories and leave a mix of `dt=` subdirs (from later
+    * appends) and root-level files — unreadable ("conflicting directory
+    * structures"). Detected from the dir listing and rewritten with
+    * `partitionBy`, clustered so each partition compacts to one file.
+    *
+    * Commit order is crash-safe: write tmp → rename live aside (.bak) →
+    * rename tmp in → delete .bak. Every crash point leaves either the
+    * old or the new data recoverable by a rename; the destructive
+    * delete happens only after the new files are live. */
   def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partition: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path(rel))
-    val bytes = fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+    val entries = fs.listStatus(dir)
+    // Hive-style partition dirs directly under the target (name=value).
+    val partCols = entries.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.contains("=") && !n.startsWith(".") && !n.startsWith("_"))
+      .map(_.split("=", 2)(0)).distinct.toSeq
+    def filesUnder(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      }
+      total
+    }
+    val bytes = filesUnder(dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path(s".${tableName}_compact_tmp"))
-    // A partition dir read drops the dt column (it lives in the path);
-    // files rewritten into the same dir keep the partitioned layout.
-    spark.read.parquet(dir.toString)
-      .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    val bak = new Path(path(s".${tableName}_compact_bak"))
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+    val df = spark.read.parquet(dir.toString)
+    if (partCols.nonEmpty && partition.isEmpty) {
+      // Cluster rows by the partition columns so each partition dir gets
+      // one writer task (one compacted file per partition), then restore
+      // the Hive layout on write.
+      import org.apache.spark.sql.functions.col
+      df.repartition(math.max(nFiles, 1), partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+    } else {
+      // A partition dir read drops the dt column (it lives in the path);
+      // files rewritten into the same dir keep the partitioned layout.
+      df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    }
+    require(fs.exists(tmp), s"compact: tmp write produced nothing at $tmp")
+    if (!fs.rename(dir, bak))
+      throw new java.io.IOException(s"compact: could not move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(bak, dir) // roll back: old data intact
+      throw new java.io.IOException(s"compact: could not publish $tmp; rolled back")
+    }
+    fs.delete(bak, true)
     nFiles
   }
 

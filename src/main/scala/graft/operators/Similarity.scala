@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFns
 import graft.{Op, OpModule, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -24,6 +23,26 @@ object Similarity extends OpModule {
 
   private val K = 5
   private val NQ = 10 // query set: vec_id < 10
+
+  /** Map-side-combinable argmin: for each `keys` group, the `payload`
+    * columns of the row minimizing (ord, tie). Equivalent to the
+    * rank-1-of-a-window pattern but plans as a partial aggregate — no
+    * shuffle-and-sort of the full n × K assignment rows, just a hash
+    * agg whose map side combines before the exchange. `tie` must be
+    * unique within a group so the argmin is deterministic. */
+  private def argminBy(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      ord: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,
+      payload: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), struct(ord, tie)).as("__best"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__best.$p").as(p)): _*)
+
+  /** Per-query top-k via [[Ranks.topK]] — the two-level funnel (local
+    * pre-reduce, then the tiny global window) so NQ partitions never
+    * hold the full candidate set. */
+  private def topKPerQuery(pairs: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    Ranks.topK(pairs, Seq("query_id"), order, K, "rnk")
 
   private def duckVecs(extra: String = ""): String =
     s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
@@ -57,9 +76,7 @@ object Similarity extends OpModule {
     val pairs = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("dot", VectorFns.dot(col("q_qv"), col("qv")))
       .withColumn("cos", VectorFns.cosine(col("dot"), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("cos").as("cosine"))
@@ -99,9 +116,7 @@ object Similarity extends OpModule {
       .join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("dot", VectorFns.dot(col("q_qv"), col("qv")))
       .withColumn("cos", VectorFns.cosine(col("dot"), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"), col("rnk"),
         col("cos").as("cosine"))
@@ -153,9 +168,7 @@ object Similarity extends OpModule {
       .join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", VectorFns.cosine(
         VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         col("cos").as("cosine"))
       .orderBy("query_id", "rnk")
@@ -195,18 +208,16 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
     val cent = vecs.filter(col("vec_id") < NC)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(
-      (col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))).asc, col("cid").asc)
-    val cells = vecs.crossJoin(broadcast(cent))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select("vec_id", "qv", "nrm", "cid")
+    val cells = argminBy(
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("d2",
+          col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
+      Seq("vec_id"), col("d2"), col("cid"), Seq("qv", "nrm", "cid"))
     val q = cells.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cid").as("q_cid"))
@@ -214,9 +225,7 @@ object Similarity extends OpModule {
       .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", VectorFns.cosine(
         VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
         col("rnk"), col("cos").as("cosine"))
@@ -294,11 +303,10 @@ object Similarity extends OpModule {
       .cache() // scanned once per training round + the final probe
     def assign(cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val c = broadcast(cent.withColumn("cnrm", VectorFns.norm2(col("cv"))))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
-      vecs.crossJoin(c)
-        .withColumn("d2", col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv")))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select("vec_id", "qv", "nrm", "cid")
+      argminBy(
+        vecs.crossJoin(c).withColumn("d2",
+          col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
+        Seq("vec_id"), col("d2"), col("cid"), Seq("qv", "nrm", "cid"))
     }
     var cent = vecs.filter(col("vec_id") < KC)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
@@ -320,9 +328,7 @@ object Similarity extends OpModule {
       .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", VectorFns.cosine(
         VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
         col("rnk"), col("cos").as("cosine"))
@@ -405,12 +411,11 @@ object Similarity extends OpModule {
         expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "sub")))
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("pd").asc, col("cid").asc)
     def encode(cbDf: org.apache.spark.sql.DataFrame) =
-      subs.join(cbDf, Seq("m"))
-        .withColumn("pd", d2(col("sub"), col("csub")))
-        .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("cid").as("code"))
+      argminBy(
+        subs.join(cbDf, Seq("m")).withColumn("pd", d2(col("sub"), col("csub"))),
+        Seq("vec_id", "m"), col("pd"), col("cid"), Seq("cid"))
+        .withColumnRenamed("cid", "code")
     val cb0 = broadcast(subs.filter(col("vec_id") < PQ_K)
       .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub")))
     // One Lloyd refinement: rounded per-(block, code, dim) integer means
@@ -434,9 +439,7 @@ object Similarity extends OpModule {
           && col("x.vec_id") =!= col("d.query_id"))
       .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"))
       .agg(sum(col("d.pd")).as("adc_d2"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")
   })
@@ -453,7 +456,10 @@ object Similarity extends OpModule {
     * subtraction is the codegen'd [[SubtractArraysLong]] expression —
     * it runs once per row of the full scan, so like the dot product it
     * stays inside whole-stage codegen rather than an interpreted
-    * zip_with lambda. */
+    * zip_with lambda. The residual codebook is seeded from vectors
+    * PQ_K..2·PQ_K−1 — never the coarse centroids themselves, whose
+    * residuals are all-zero and would collapse ADC to a constant
+    * (SimilaritySpec pins the non-degeneracy). */
   val s8IvfPqTopK: Op = Op(
     "s8_ann_ivfpq_topk", {
       def nrm(x: String) = VectorFns.duckNorm2(x)
@@ -477,7 +483,8 @@ object Similarity extends OpModule {
                  [(m * $PQ_SUB + 1):(m * $PQ_SUB + $PQ_SUB)] AS rsub
         FROM cells, UNNEST([${(0 until PQ_M).mkString(", ")}]) AS t(m)
       ), cb AS (
-        SELECT m, vec_id AS code, rsub AS csub FROM rsubs WHERE vec_id < $PQ_K
+        SELECT m, vec_id - $PQ_K AS code, rsub AS csub
+        FROM rsubs WHERE vec_id >= $PQ_K AND vec_id < ${2 * PQ_K}
       ), codes AS (
         SELECT vec_id, cid, m, code FROM (
           SELECT r.vec_id, r.cid, r.m, c.code,
@@ -509,25 +516,29 @@ object Similarity extends OpModule {
       .withColumn("nrm", VectorFns.norm2(col("qv")))
     val coarse = broadcast(vecs.filter(col("vec_id") < PQ_K)
       .select(col("vec_id").as("cid"), col("qv").as("cv")))
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cd2").asc, col("cid").asc)
-    val cells = vecs.crossJoin(coarse)
-      .withColumn("cd2",
-        col("nrm") + VectorFns.norm2(col("cv")) - lit(2) * VectorFns.dot(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(wCell)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"), col("cv"))
+    val cells = argminBy(
+      vecs.crossJoin(coarse)
+        .withColumn("cd2",
+          col("nrm") + VectorFns.norm2(col("cv")) - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
+      Seq("vec_id"), col("cd2"), col("cid"), Seq("qv", "cid", "cv"))
     val rsubs = cells
       .withColumn("rv", VectorFns.subtract(col("qv"), col("cv")))
       .select(col("vec_id"), col("cid"),
         posexplode(array((0 until PQ_M).map(m =>
           expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "rsub")))
-    val cb = broadcast(rsubs.filter(col("vec_id") < PQ_K)
-      .select(col("m"), col("vec_id").as("code"), col("rsub").as("csub")))
+    // Codebook seeds must NOT be the coarse centroids: a centroid's own
+    // residual is the zero vector, which would collapse every codebook
+    // entry to zeros and every ADC distance to a per-query constant
+    // (no ranking signal). Seed from the NEXT PQ_K vectors' residuals
+    // instead — varied, non-zero, still deterministic.
+    val cb = broadcast(rsubs
+      .filter(col("vec_id") >= PQ_K && col("vec_id") < 2 * PQ_K)
+      .select(col("m"), (col("vec_id") - PQ_K).as("code"), col("rsub").as("csub")))
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("pd").asc, col("code").asc)
-    val codes = rsubs.join(cb, Seq("m"))
-      .withColumn("pd", d2(col("rsub"), col("csub")))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+    val codes = argminBy(
+      rsubs.join(cb, Seq("m")).withColumn("pd", d2(col("rsub"), col("csub"))),
+      Seq("vec_id", "m"), col("pd"), col("code"), Seq("cid", "code"))
       .select(col("vec_id"), col("cid"), col("m"), col("code"))
     val qdist = broadcast(rsubs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
       .select(col("vec_id").as("query_id"), col("cid").as("q_cid"), col("m"),
@@ -538,9 +549,7 @@ object Similarity extends OpModule {
       .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"),
         col("x.cid").as("cell"))
       .agg(sum(col("d.pd")).as("adc_d2"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")
   })

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.operators.{Ranks, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN-family invariants beyond the DuckDB oracle gate. */
+class SimilaritySpec extends SparkSpecBase {
+
+  test("s8 ADC distances vary across a query's neighbors (no degenerate codebook)") {
+    // A residual codebook seeded from the coarse centroids themselves
+    // encodes every vector to the all-zero residual, making adc_d2 a
+    // per-query CONSTANT — oracle equality still passes (the mirror
+    // shares the construction) but the index carries no ANN signal.
+    // Pin the fix: at least one query must see >1 distinct distance,
+    // and across the result set distances must not collapse per query.
+    val s8 = Similarity.s8IvfPqTopK.run(spark, sf()).cache()
+    val perQuery = s8.groupBy("query_id")
+      .agg(countDistinct("adc_d2").as("nd"), count(lit(1)).as("n"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    val varying = perQuery.count(r => r.getLong(1) > 1)
+    assert(varying * 2 >= perQuery.length,
+      s"adc_d2 constant for ${perQuery.length - varying}/${perQuery.length} queries — degenerate codebook?")
+    s8.unpersist()
+  }
+
+  test("s7 ADC distances vary across a query's neighbors") {
+    val s7 = Similarity.s7PqTopK.run(spark, sf())
+    val maxDistinct = s7.groupBy("query_id")
+      .agg(countDistinct("adc_d2").as("nd"))
+      .agg(max("nd")).collect()(0).getLong(0)
+    assert(maxDistinct > 1, "every query's ADC distances are constant")
+  }
+
+  test("Ranks.topK equals the single-window grouped top-k") {
+    import spark.implicits._
+    // Deliberately many input partitions so the local pre-reduce runs
+    // across several (group, partition) cells.
+    val df = spark.range(0, 1000, 1, 16)
+      .select((col("id") % 7).as("g"), col("id"),
+        (col("id") * 2654435761L % 1013).as("score"))
+    val viaHelper = Ranks.topK(df, Seq("g"), Seq(col("score").desc, col("id")), 5)
+      .select("g", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("g", "id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(viaHelper == viaWindow)
+  }
+
+  test("lshBucket fails fast on vectors wider than LshMaxDim") {
+    import spark.implicits._
+    val wide = Seq((1L, Array.fill(5000)(1L))).toDF("vec_id", "qv")
+    val ex = intercept[Exception] {
+      wide.select(VectorFns.lshBucket(col("qv"), 8)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(ex).exists(m => m != null && m.contains("LshMaxDim")))
+  }
+}

@@ -282,4 +282,32 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table("factNascimentos").count() == rowsBefore)
     assert(wh.table("factNascimentos").where("dt = '2020-02-02'").count() == 4L)
   }
+
+  test("whole-table compaction of a dt-partitioned fact keeps the partition layout") {
+    // No --partition arg on a partitioned table: the rewrite must come
+    // back as dt= directories (partition discovery materializes dt as a
+    // data column; a flat rewrite would drop the dirs and a later
+    // append would then mix layouts — unreadable).
+    Pipeline.ingestSinasc(wh, sinascCsv, "2020-02-01") // setup if run alone
+    val day3 = Fixtures.write(dir, "sinasc_day3.csv", Fixtures.sinasc)
+    Pipeline.ingestSinascFiles(wh, Seq(day3), "2020-02-03")
+    val rowsBefore = wh.table("factNascimentos")
+      .collect().map(_.toString).sorted.toSeq
+    wh.compact("factNascimentos")
+    val factDir = new java.io.File(dir.resolve("wh").resolve("factNascimentos").toString)
+    val kids = factDir.listFiles().toSeq
+    assert(kids.exists(f => f.isDirectory && f.getName.startsWith("dt=")),
+      "partition directories were dropped by compaction")
+    assert(!kids.exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "compaction left root-level data files beside dt= partitions")
+    assert(kids.forall(f => !f.getName.contains("_compact_")),
+      "compaction left tmp/bak directories behind")
+    val rowsAfter = wh.table("factNascimentos")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // The table must still accept partitioned appends and read cleanly.
+    val day4 = Fixtures.write(dir, "sinasc_day4.csv", Fixtures.sinasc)
+    Pipeline.ingestSinascFiles(wh, Seq(day4), "2020-02-04")
+    assert(wh.table("factNascimentos").where("dt = '2020-02-04'").count() == 4L)
+  }
 }
