@@ -22,9 +22,12 @@ object VectorFns {
 
   /** array<float> → array<long>, component ×1e6 rounded (half away from
     * zero on both engines; round() makes the value integral so the long
-    * cast is exact). */
+    * cast is exact). Native codegen'd ([[QuantizeFloatLong]]) — it roots
+    * every vector scan, so the per-element lambda cost of the HOF form
+    * `transform(v, x -> round(x * 1e6)::long)` would tax the whole
+    * dedup/ANN family. */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+    column(org.apache.spark.sql.graft.QuantizeFloatLong(expression(v)))
 
   /** Exact integer dot product of two quantized vectors — a native
     * codegen'd Catalyst expression ([[DotProductLong]]); semantics equal

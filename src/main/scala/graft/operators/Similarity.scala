@@ -24,25 +24,73 @@ object Similarity extends OpModule {
   private val K = 5
   private val NQ = 10 // query set: vec_id < 10
 
-  /** Map-side-combinable argmin: for each `keys` group, the `payload`
-    * columns of the row minimizing (ord, tie). Equivalent to the
-    * rank-1-of-a-window pattern but plans as a partial aggregate — no
-    * shuffle-and-sort of the full n × K assignment rows, just a hash
-    * agg whose map side combines before the exchange. `tie` must be
-    * unique within a group so the argmin is deterministic. */
-  private def argminBy(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-      ord: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,
-      payload: Seq[String]): org.apache.spark.sql.DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*), struct(ord, tie)).as("__best"))
-      .select(keys.map(col) ++ payload.map(p => col(s"__best.$p").as(p)): _*)
-
   /** Per-query top-k via [[Ranks.topK]] — the two-level funnel (local
     * pre-reduce, then the tiny global window) so NQ partitions never
     * hold the full candidate set. */
   private def topKPerQuery(pairs: org.apache.spark.sql.DataFrame,
       order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
     Ranks.topK(pairs, Seq("query_id"), order, K, "rnk")
+
+  // ---- driver-side codebook machinery ---------------------------------
+  //
+  // IVF/PQ codebooks are BOUNDED-tiny by construction (K ≤ 16 cells,
+  // M·K ≤ 32 codes) — the standard distributed-k-means shape is to hold
+  // them on the driver (as MLlib does for its centroids) and push each
+  // assignment into the row expression as literals. Assignment then
+  // costs one literal dot product per candidate inside whole-stage
+  // codegen — no join, no shuffle, no aggregate — and the only cluster
+  // work per training round is one map-side-combinable (cell, dim) sum.
+  // All arithmetic stays in Long, so driver and executor (and DuckDB
+  // oracle) math are bit-identical.
+
+  private def dotL(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def d2L(a: Array[Long], b: Array[Long]): Long =
+    dotL(a, a) + dotL(b, b) - 2 * dotL(a, b)
+
+  /** Half-away-from-zero rounding on the driver, matching Spark's
+    * `round()` (BigDecimal.valueOf + HALF_UP) and DuckDB's `round()` for
+    * the k-means mean update. */
+  private def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Codegen'd inline nearest-entry id against a driver-side codebook:
+    * argmin over entries of (‖c‖² − 2·v·c, id). The ‖v‖² term is
+    * constant per row and dropped (order-preserving), so each candidate
+    * costs one [[VectorFns.dot]] against a literal; ties break to the
+    * lowest id, matching the oracles' ORDER BY (d2, id). */
+  private def nearestId(v: org.apache.spark.sql.Column,
+      entries: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+    require(entries.nonEmpty, "empty codebook")
+    val cands = entries.map { case (id, c) =>
+      struct((lit(dotL(c, c)) - lit(2L) * VectorFns.dot(v, typedLit(c))).as("pd"),
+        lit(id).as("id"))
+    }
+    (if (cands.sizeIs == 1) cands.head else least(cands: _*)).getField("id")
+  }
+
+  /** Driver-side mirror of [[nearestId]] (same full-d2 ordering). */
+  private def nearestIdL(v: Array[Long], entries: Seq[(Long, Array[Long])]): Long =
+    entries.map { case (id, c) => (d2L(v, c), id) }.min._2
+
+  /** Collect (vec_id, qv) for vec_id < n — the bounded seed/query head
+    * of the table. Reads the RAW scan (not the spread/repartitioned
+    * branch) so the vec_id predicate pushes down to parquet row groups
+    * instead of scanning-and-shuffling the whole table for ≤16 rows. */
+  private def collectHead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      n: Long): Map[Long, Array[Long]] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
 
   private def duckVecs(extra: String = ""): String =
     s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
@@ -211,13 +259,10 @@ object Similarity extends OpModule {
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
-    val cent = vecs.filter(col("vec_id") < NC)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
-    val cells = argminBy(
-      vecs.crossJoin(broadcast(cent))
-        .withColumn("d2",
-          col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
-      Seq("vec_id"), col("d2"), col("cid"), Seq("qv", "nrm", "cid"))
+    // The NC-row codebook lives on the driver; assignment is an inline
+    // codegen'd argmin — one narrow scan, no join, no shuffle.
+    val cent = collectHead(spark, dir, NC).toSeq.sortBy(_._1)
+    val cells = vecs.withColumn("cid", nearestId(col("qv"), cent))
     val q = cells.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cid").as("q_cid"))
@@ -262,16 +307,14 @@ object Similarity extends OpModule {
        |)""".stripMargin
 
   /** IVF with a TRAINED codebook: deterministic Lloyd k-means (seeds =
-    * the first KC vectors, KM_ITERS fixed rounds) expressed as iterative
-    * DataFrame jobs — broadcast-codebook argmin assignment (one pass
-    * over the data per round, no shuffle of the big side) and a
-    * map-side-combinable per-(cell, dim) integer-sum update. Centroid
+    * the first KC vectors, KM_ITERS fixed rounds) in the MLlib shape —
+    * the KC-row codebook lives on the driver, each round is one pass
+    * over the data (inline codegen'd assignment, no shuffle of the big
+    * side) feeding a map-side-combinable per-(cell, dim) integer-sum
+    * update, and the rounded mean recomputes on the driver. Centroid
     * components round to integers so every distance stays in exact
     * integer arithmetic and the DuckDB oracle (same rounds unrolled as
-    * CTEs) lands on bit-identical cells. The trained codebook stays a
-    * handful of rows: per round it is localCheckpoint'ed so the final
-    * probe's plan reads K rows instead of replaying the training
-    * lineage. */
+    * CTEs) lands on bit-identical cells. */
   val s5IvfTrained: Op = Op(
     "s5_ann_ivf_trained", {
       val ctes = Seq(
@@ -301,26 +344,28 @@ object Similarity extends OpModule {
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .cache() // scanned once per training round + the final probe
-    def assign(cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val c = broadcast(cent.withColumn("cnrm", VectorFns.norm2(col("cv"))))
-      argminBy(
-        vecs.crossJoin(c).withColumn("d2",
-          col("nrm") + col("cnrm") - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
-        Seq("vec_id"), col("d2"), col("cid"), Seq("qv", "nrm", "cid"))
-    }
-    var cent = vecs.filter(col("vec_id") < KC)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // MLlib-style Lloyd: centroids live on the driver (KC rows); each
+    // round is ONE pass over the data — inline codegen'd assignment plus
+    // a map-side-combinable (cell, dim) integer-sum aggregate of
+    // KC × dims groups — and the mean update runs on the driver with
+    // the identical rounding. No per-round lineage growth, so no
+    // localCheckpoint ritual either.
+    var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, KC).toSeq.sortBy(_._1)
+    val dims = cent.head._2.length
     for (_ <- 1 to KM_ITERS) {
-      cent = assign(cent)
-        .select(col("cid"), posexplode(col("qv")).as(Seq("dim0", "q")))
-        .groupBy("cid", "dim0")
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .withColumn("comp", round(col("s").cast("double") / col("n")).cast("long"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim0, comp))), x -> x.comp)").as("cv"))
-        .localCheckpoint()
+      // n rows stay n rows: `dims` element-wise sums per cell instead of
+      // a dims×n posexplode — map-side combines to KC × (dims + 1) longs.
+      val aggs = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = vecs.withColumn("cid", nearestId(col("qv"), cent))
+        .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      cent = rows.map { r =>
+        val n = r.getLong(dims + 1)
+        r.getLong(0) -> Array.tabulate(dims)(i => roundHalfUp(r.getLong(i + 1).toDouble / n))
+      }.toSeq.sortBy(_._1)
     }
-    val cells = assign(cent)
+    val cells = vecs.withColumn("cid", nearestId(col("qv"), cent))
     val q = cells.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cid").as("q_cid"))
@@ -401,41 +446,55 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
+    import spark.implicits._
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-    // One row per (vector, block): the explode is over a 4-element
-    // array of slices — payload per row shrinks to one sub-vector.
-    val subs = vecs.select(
-      col("vec_id"),
-      posexplode(array((0 until PQ_M).map(m =>
-        expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "sub")))
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
-    def encode(cbDf: org.apache.spark.sql.DataFrame) =
-      argminBy(
-        subs.join(cbDf, Seq("m")).withColumn("pd", d2(col("sub"), col("csub"))),
-        Seq("vec_id", "m"), col("pd"), col("cid"), Seq("cid"))
-        .withColumnRenamed("cid", "code")
-    val cb0 = broadcast(subs.filter(col("vec_id") < PQ_K)
-      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub")))
-    // One Lloyd refinement: rounded per-(block, code, dim) integer means
-    // of the seed assignment; localCheckpoint'ed so downstream plans
-    // read PQ_M × PQ_K rows, not the training lineage.
-    val cb = broadcast(encode(cb0).join(subs, Seq("vec_id", "m"))
-      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("dim0", "q")))
-      .groupBy("m", "code", "dim0")
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      .withColumn("comp", round(col("s").cast("double") / col("n")).cast("long"))
-      .groupBy("m", "code")
-      .agg(expr("transform(array_sort(collect_list(struct(dim0, comp))), x -> x.comp)").as("csub"))
-      .withColumnRenamed("code", "cid")
-      .localCheckpoint())
-    val codes = encode(cb)
-    val qdist = broadcast(subs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
-      .select(col("vec_id").as("query_id"), col("m"), col("cid"),
-        d2(col("sub"), col("csub")).as("pd")))
+    def subCol(m: Int) = expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")
+    def sliceL(a: Array[Long], m: Int) = a.slice(m * PQ_SUB, m * PQ_SUB + PQ_SUB)
+    // Seeds + the query set: the table's bounded head, collected once.
+    val head = collectHead(spark, dir, math.max(NQ, PQ_K).toLong)
+    val cb0: Map[Int, Seq[(Long, Array[Long])]] = (0 until PQ_M).map { m =>
+      m -> (0L until PQ_K.toLong).flatMap(k => head.get(k).map(a => k -> sliceL(a, m)))
+    }.toMap
+    // Per-row (block, code[, sub]) triples with the code assigned INLINE
+    // against the driver-side codebook — encode is expression-only.
+    def blocks(cb: Map[Int, Seq[(Long, Array[Long])]], withSub: Boolean) =
+      posexplode(array((0 until PQ_M).map { m =>
+        val fields = Seq(lit(m).as("m"), nearestId(subCol(m), cb(m)).as("code")) ++
+          (if (withSub) Seq(subCol(m).as("sub")) else Nil)
+        struct(fields: _*)
+      }: _*))
+    // One Lloyd refinement: ONE pass over the data — inline seed encode
+    // (4 rows per vector) into a map-side-combinable (block, code)
+    // aggregate of PQ_SUB element-wise sums — then the rounded mean
+    // update on the driver.
+    val subAggs = (0 until PQ_SUB).map(i =>
+      sum(element_at(col("blk.sub"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+    val sums = vecs
+      .select(blocks(cb0, withSub = true).as(Seq("i", "blk")))
+      .groupBy(col("blk.m").as("m"), col("blk.code").as("code"))
+      .agg(subAggs.head, subAggs.tail: _*)
+      .collect()
+    val cb: Map[Int, Seq[(Long, Array[Long])]] = sums
+      .map { r =>
+        val n = r.getLong(PQ_SUB + 2)
+        (r.getInt(0), r.getLong(1),
+          Array.tabulate(PQ_SUB)(i => roundHalfUp(r.getLong(i + 2).toDouble / n)))
+      }
+      .groupBy(_._1)
+      .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
+    // Per-query ADC lookup table: NQ × M × K rows, computed on the
+    // driver in the same Long arithmetic and broadcast.
+    val qdistRows = for {
+      q <- (0L until NQ.toLong).toSeq if head.contains(q)
+      m <- 0 until PQ_M
+      (code, csub) <- cb(m)
+    } yield (q, m, code, d2L(sliceL(head(q), m), csub))
+    val qdist = broadcast(qdistRows.toDF("query_id", "m", "code", "pd"))
+    val codes = vecs.select(col("vec_id"), blocks(cb, withSub = false).as(Seq("i", "blk")))
+      .select(col("vec_id"), col("blk.m").as("m"), col("blk.code").as("code"))
     val scored = codes.as("x").join(qdist.as("d"),
-        col("d.m") === col("x.m") && col("d.cid") === col("x.code")
+        col("d.m") === col("x.m") && col("d.code") === col("x.code")
           && col("x.vec_id") =!= col("d.query_id"))
       .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"))
       .agg(sum(col("d.pd")).as("adc_d2"))
@@ -511,38 +570,58 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
+    import spark.implicits._
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
-    val coarse = broadcast(vecs.filter(col("vec_id") < PQ_K)
-      .select(col("vec_id").as("cid"), col("qv").as("cv")))
-    val cells = argminBy(
-      vecs.crossJoin(coarse)
-        .withColumn("cd2",
-          col("nrm") + VectorFns.norm2(col("cv")) - lit(2) * VectorFns.dot(col("qv"), col("cv"))),
-      Seq("vec_id"), col("cd2"), col("cid"), Seq("qv", "cid", "cv"))
-    val rsubs = cells
-      .withColumn("rv", VectorFns.subtract(col("qv"), col("cv")))
-      .select(col("vec_id"), col("cid"),
+    def sliceL(a: Array[Long], m: Int) = a.slice(m * PQ_SUB, m * PQ_SUB + PQ_SUB)
+    def subL(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+      out
+    }
+    val head = collectHead(spark, dir, math.max(NQ, 2 * PQ_K).toLong)
+    val coarse: Seq[(Long, Array[Long])] =
+      (0L until PQ_K.toLong).flatMap(k => head.get(k).map(k -> _))
+    val coarseMap = coarse.toMap
+    // Residual codebook (driver): vectors PQ_K..2·PQ_K−1, each a residual
+    // against its own nearest coarse centroid. NEVER the centroids
+    // themselves — a centroid's residual is the zero vector, which would
+    // collapse every codebook entry to zeros and every ADC distance to a
+    // per-query constant (no ranking signal).
+    val cbEntries: Map[Int, Seq[(Long, Array[Long])]] = (0 until PQ_M).map { m =>
+      m -> (PQ_K.toLong until 2L * PQ_K).flatMap { k =>
+        head.get(k).map { a =>
+          val rv = subL(a, coarseMap(nearestIdL(a, coarse)))
+          (k - PQ_K) -> sliceL(rv, m)
+        }
+      }
+    }.toMap
+    // Inline cell assignment; the centroid vector is attached by a tiny
+    // literal when-chain so assignment + residual + encode all stay in
+    // ONE codegen stage — no join, no shuffle until the final agg.
+    val cvCol = coarse.foldLeft(lit(null).cast("array<bigint>")) {
+      case (acc, (cid, cv)) => when(col("cid") === cid, typedLit(cv)).otherwise(acc)
+    }
+    val cells = vecs
+      .withColumn("cid", nearestId(col("qv"), coarse))
+      .withColumn("rv", VectorFns.subtract(col("qv"), cvCol))
+    def rsubCol(m: Int) = expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")
+    val codes = cells.select(col("vec_id"), col("cid"),
         posexplode(array((0 until PQ_M).map(m =>
-          expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")): _*)).as(Seq("m", "rsub")))
-    // Codebook seeds must NOT be the coarse centroids: a centroid's own
-    // residual is the zero vector, which would collapse every codebook
-    // entry to zeros and every ADC distance to a per-query constant
-    // (no ranking signal). Seed from the NEXT PQ_K vectors' residuals
-    // instead — varied, non-zero, still deterministic.
-    val cb = broadcast(rsubs
-      .filter(col("vec_id") >= PQ_K && col("vec_id") < 2 * PQ_K)
-      .select(col("m"), (col("vec_id") - PQ_K).as("code"), col("rsub").as("csub")))
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      VectorFns.norm2(a) + VectorFns.norm2(b) - lit(2) * VectorFns.dot(a, b)
-    val codes = argminBy(
-      rsubs.join(cb, Seq("m")).withColumn("pd", d2(col("rsub"), col("csub"))),
-      Seq("vec_id", "m"), col("pd"), col("code"), Seq("cid", "code"))
-      .select(col("vec_id"), col("cid"), col("m"), col("code"))
-    val qdist = broadcast(rsubs.filter(col("vec_id") < NQ).join(cb, Seq("m"))
-      .select(col("vec_id").as("query_id"), col("cid").as("q_cid"), col("m"),
-        col("code"), d2(col("rsub"), col("csub")).as("pd")))
+          struct(lit(m).as("m"), nearestId(rsubCol(m), cbEntries(m)).as("code"))): _*))
+          .as(Seq("i", "blk")))
+      .select(col("vec_id"), col("cid"), col("blk.m").as("m"), col("blk.code").as("code"))
+    // Per-query ADC lookup table (driver, NQ × M × K rows): the query's
+    // own cell + residual, in the identical Long arithmetic.
+    val qdistRows = for {
+      q <- (0L until NQ.toLong).toSeq if head.contains(q)
+      qcid = nearestIdL(head(q), coarse)
+      qrv = subL(head(q), coarseMap(qcid))
+      m <- 0 until PQ_M
+      (code, csub) <- cbEntries(m)
+    } yield (q, qcid, m, code, d2L(sliceL(qrv, m), csub))
+    val qdist = broadcast(qdistRows.toDF("query_id", "q_cid", "m", "code", "pd"))
     val scored = codes.as("x").join(qdist.as("d"),
         col("d.m") === col("x.m") && col("d.code") === col("x.code")
           && col("d.q_cid") === col("x.cid") && col("x.vec_id") =!= col("d.query_id"))

@@ -26,16 +26,24 @@ object GraftFunctions {
   private val subBuilder: Seq[Expression] => Expression =
     exprs => SubtractArraysLong(exprs(0), exprs(1))
 
+  private val quantInfo = new ExpressionInfo(
+    classOf[QuantizeFloatLong].getCanonicalName, "quantize_float_long")
+  private val quantBuilder: Seq[Expression] => Expression =
+    exprs => QuantizeFloatLong(exprs(0))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product_long", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "subtract_arrays_long", subBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_float_long", quantBuilder, "built-in")
   }
 
   private[graft] val injectables = Seq(
     (FunctionIdentifier("dot_product_long"), dotInfo, dotBuilder),
-    (FunctionIdentifier("subtract_arrays_long"), subInfo, subBuilder))
+    (FunctionIdentifier("subtract_arrays_long"), subInfo, subBuilder),
+    (FunctionIdentifier("quantize_float_long"), quantInfo, quantBuilder))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -90,6 +90,23 @@ class FunctionsSpec extends SparkSpecBase {
     assert(native == hof && native == Seq(2L, -10L, -1L))
   }
 
+  test("quantize_float_long equals the HOF round(x*1e6) form incl. negative halves") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    // ±x.5 quantization boundaries hit the half-away-from-zero rule;
+    // tiny and large magnitudes exercise the double path.
+    val df = Seq(Array(0.0000005f, -0.0000005f, 1.25f, -3.75f, 0f, 123.456f, -0.999999f))
+      .toDF("v")
+    val native = df.select(graft.functions.VectorFns.quantize(col("v")))
+      .head().getSeq[Long](0)
+    val hof = df.select(expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      .head().getSeq[Long](0)
+    assert(native == hof, s"native $native != hof $hof")
+    val sql = spark.sql("SELECT quantize_float_long(array(CAST(1.5E-6 AS FLOAT)))")
+      .head().getSeq[Long](0)
+    assert(sql == Seq(2L))
+  }
+
   test("multimodal stub decode is deterministic byte arithmetic") {
     import graft.operators.Multimodal
     val out = Multimodal.decodePartition(Iterator(
