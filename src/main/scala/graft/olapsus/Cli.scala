@@ -30,13 +30,25 @@ object Cli {
 
 /** `runMain graft.olapsus.Seed --warehouse DIR --municipio-csv F
   * --cbo-csv F --cid-csv F` — generates/loads all dimensions + the
-  * bridge seed (scripts/init.sql equivalent). */
+  * bridge seed (scripts/init.sql equivalent). With `--synthetic full`
+  * instead of the three CSV flags, seeds from [[SeedGen]]'s generated
+  * CSVs at the reference's dimension cardinality (5,571 / 2,812 /
+  * 12,477 rows) — a self-contained bootstrap when the real directory
+  * CSVs aren't at hand. */
 object Seed {
   def main(args: Array[String]): Unit = {
     val a = Cli.parseArgs(args)
     val spark = Cli.session()
     val wh = new Warehouse(spark, a("warehouse"))
-    Dims.seedAll(wh, a("municipio-csv"), a("cbo-csv"), a("cid-csv"))
+    if (a.get("synthetic").contains("full")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seed")
+      Dims.seedAll(wh,
+        Fixtures.write(tmp, "municipio.csv", SeedGen.municipio),
+        Fixtures.write(tmp, "cbo.csv", SeedGen.cbo),
+        Fixtures.write(tmp, "cid.csv", SeedGen.cid))
+    } else {
+      Dims.seedAll(wh, a("municipio-csv"), a("cbo-csv"), a("cid-csv"))
+    }
     Warehouse.Dims.foreach(t => println(f"$t%-20s ${wh.table(t).count()}%,d rows"))
     spark.stop()
   }
