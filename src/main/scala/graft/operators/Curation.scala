@@ -56,7 +56,14 @@ object Curation extends OpModule {
       GROUP BY lang, split
       ORDER BY lang, split
     """)
-    })((spark, dir) => {
+    })((spark, dir) =>
+    curate(spark, dir,
+      Dedup.d2MinHashLsh.run(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
+
+  /** The curation DAG with the near-dup drop set injected — shared by
+    * the inline oracle query (c1) and the persisted-pair-table path. */
+  private def curate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("text"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
@@ -65,9 +72,7 @@ object Curation extends OpModule {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val exact = base.join(keepers, Seq("doc_id"), "semi")
-    val nearDups = Dedup.d2MinHashLsh.run(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val nearDrop = exact.join(nearDups, Seq("doc_id"), "anti")
+    val nearDrop = exact.join(nearDupDocs, Seq("doc_id"), "anti")
     val bucket =
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
     nearDrop
@@ -76,7 +81,28 @@ object Curation extends OpModule {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang", "split")
-  })
+  }
+
+  /** Build the near-dup pair table ONCE and persist it. c1 recomputes
+    * d2's banded self-join inside its own DAG — correct, but at 100 TB
+    * the pair table is the expensive nightly artifact: build it here,
+    * write it to the warehouse, and let every curation run (and any
+    * incremental re-curation) anti-join against the stored table via
+    * [[curateAgainstPairs]] instead of re-deriving it per query. */
+  def persistNearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tablePath: String): Long = {
+    Dedup.d2MinHashLsh.run(spark, dir)
+      .write.mode("overwrite").parquet(tablePath)
+    spark.read.parquet(tablePath).count()
+  }
+
+  /** c1's curation census computed against a persisted pair table —
+    * byte-identical output to the inline pipeline (CurationSpec pins
+    * the equivalence). */
+  def curateAgainstPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tablePath: String): org.apache.spark.sql.DataFrame =
+    curate(spark, dir,
+      spark.read.parquet(tablePath).select(col("doc_b").as("doc_id")).distinct())
 
   override def ops: Seq[Op] = Seq(c1Curation)
 }
