@@ -483,21 +483,34 @@ object Similarity extends OpModule {
       }
       .groupBy(_._1)
       .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
-    // Per-query ADC lookup table: NQ × M × K rows, computed on the
-    // driver in the same Long arithmetic and broadcast.
-    val qdistRows = for {
-      q <- (0L until NQ.toLong).toSeq if head.contains(q)
-      m <- 0 until PQ_M
-      (code, csub) <- cb(m)
-    } yield (q, m, code, d2L(sliceL(head(q), m), csub))
-    val qdist = broadcast(qdistRows.toDF("query_id", "m", "code", "pd"))
-    val codes = vecs.select(col("vec_id"), blocks(cb, withSub = false).as(Seq("i", "blk")))
-      .select(col("vec_id"), col("blk.m").as("m"), col("blk.code").as("code"))
-    val scored = codes.as("x").join(qdist.as("d"),
-        col("d.m") === col("x.m") && col("d.code") === col("x.code")
-          && col("x.vec_id") =!= col("d.query_id"))
-      .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"))
-      .agg(sum(col("d.pd")).as("adc_d2"))
+    // ADC scoring FUSED into the scan: per-query lookup tables are
+    // literal arrays (code → partial distance, same Long arithmetic), so
+    // each row computes its M codes once and sums M element_at lookups
+    // per query inline — no join, no aggregation; the only shuffled rows
+    // are the top-k funnel survivors. Every code 0..K−1 is observed in
+    // training (each seed encodes to itself), so the LUT is dense.
+    val lut: Map[Long, Array[Array[Long]]] = (0L until NQ.toLong).toSeq
+      .filter(head.contains).map { q =>
+        q -> Array.tabulate(PQ_M) { m =>
+          val entries = cb(m)
+          require(entries.map(_._1) == (0L until entries.size.toLong),
+            s"PQ codebook for block $m is not dense: ${entries.map(_._1)}")
+          entries.map { case (_, csub) => d2L(sliceL(head(q), m), csub) }.toArray
+        }
+      }.toMap
+    val coded = (0 until PQ_M).foldLeft(vecs) { (df, m) =>
+      df.withColumn(s"code$m", nearestId(subCol(m), cb(m)))
+    }
+    val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
+      val adc = (0 until PQ_M).map(m =>
+        element_at(typedLit(tables(m)), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+      struct(lit(q).as("query_id"), adc.as("adc_d2"))
+    }
+    val scored = coded
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
+      .filter(col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("qs.adc_d2").as("adc_d2"))
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")
@@ -607,27 +620,35 @@ object Similarity extends OpModule {
       .withColumn("cid", nearestId(col("qv"), coarse))
       .withColumn("rv", VectorFns.subtract(col("qv"), cvCol))
     def rsubCol(m: Int) = expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")
-    val codes = cells.select(col("vec_id"), col("cid"),
-        posexplode(array((0 until PQ_M).map(m =>
-          struct(lit(m).as("m"), nearestId(rsubCol(m), cbEntries(m)).as("code"))): _*))
-          .as(Seq("i", "blk")))
-      .select(col("vec_id"), col("cid"), col("blk.m").as("m"), col("blk.code").as("code"))
-    // Per-query ADC lookup table (driver, NQ × M × K rows): the query's
-    // own cell + residual, in the identical Long arithmetic.
-    val qdistRows = for {
-      q <- (0L until NQ.toLong).toSeq if head.contains(q)
-      qcid = nearestIdL(head(q), coarse)
-      qrv = subL(head(q), coarseMap(qcid))
-      m <- 0 until PQ_M
-      (code, csub) <- cbEntries(m)
-    } yield (q, qcid, m, code, d2L(sliceL(qrv, m), csub))
-    val qdist = broadcast(qdistRows.toDF("query_id", "q_cid", "m", "code", "pd"))
-    val scored = codes.as("x").join(qdist.as("d"),
-        col("d.m") === col("x.m") && col("d.code") === col("x.code")
-          && col("d.q_cid") === col("x.cid") && col("x.vec_id") =!= col("d.query_id"))
-      .groupBy(col("d.query_id").as("query_id"), col("x.vec_id").as("neighbor_id"),
-        col("x.cid").as("cell"))
-      .agg(sum(col("d.pd")).as("adc_d2"))
+    // ADC scoring fused into the scan (as s7): per-query LUTs over the
+    // residual codebook as literal arrays, cell-gated per row — no join,
+    // no aggregation; the query's own cell + residual computed on the
+    // driver in the identical Long arithmetic.
+    val lut: Seq[(Long, Long, Array[Array[Long]])] = (0L until NQ.toLong).toSeq
+      .filter(head.contains).map { q =>
+        val qcid = nearestIdL(head(q), coarse)
+        val qrv = subL(head(q), coarseMap(qcid))
+        val tables = Array.tabulate(PQ_M) { m =>
+          val entries = cbEntries(m)
+          require(entries.map(_._1) == (0L until entries.size.toLong),
+            s"residual codebook for block $m is not dense: ${entries.map(_._1)}")
+          entries.map { case (_, csub) => d2L(sliceL(qrv, m), csub) }.toArray
+        }
+        (q, qcid, tables)
+      }
+    val coded = (0 until PQ_M).foldLeft(cells) { (df, m) =>
+      df.withColumn(s"code$m", nearestId(rsubCol(m), cbEntries(m)))
+    }
+    val perQuery = lut.map { case (q, qcid, tables) =>
+      val adc = (0 until PQ_M).map(m =>
+        element_at(typedLit(tables(m)), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+      struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
+    }
+    val scored = coded
+      .select(col("vec_id"), col("cid"), explode(array(perQuery: _*)).as("qs"))
+      .filter(col("cid") === col("qs.q_cid") && col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2"))
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")

@@ -257,7 +257,11 @@ object TextOps extends OpModule {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
+    // df is one row per VOCABULARY word — bounded small at any corpus
+    // size (word lexicons top out in the millions) — so broadcasting it
+    // keeps tf on its existing partitioning instead of reshuffling the
+    // whole (doc, word) aggregate by word.
+    val scored = tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double")
           * ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")))
