@@ -57,11 +57,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Generate"), "expected explode(sequence) generator")
   }
 
-  test("s5: k-means assignment broadcasts the codebook; no cartesian shuffle") {
+  test("s5: k-means assignment is inline — no join, no cartesian, no assignment window") {
     val p = plan("s5_ann_ivf_trained")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      "codebook should broadcast")
     assert(!p.contains("CartesianProduct"), "assignment degraded to a shuffled cartesian")
+    // Every row_number window in the ANN family must be the per-query
+    // top-k funnel (partitioned by query_id), never a per-vector argmin
+    // over the n × K assignment rows.
+    val windows = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(windows.forall(_.contains("query_id")),
+      "found a non-top-k window (argmin-by-window crept back):\n" + windows.mkString("\n"))
+  }
+
+  test("s7: PQ encode + ADC scoring are expression-only — no joins at all") {
+    val p = plan("s7_ann_pq_topk")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "s7 should fuse codes + ADC lookups into the scan:\n" + p.take(1500))
+    val windows = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")))
+  }
+
+  test("s8: cell-gated ADC scoring plans without joins") {
+    val p = plan("s8_ann_ivfpq_topk")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "s8 should fuse assignment + encode + ADC into the scan:\n" + p.take(1500))
+  }
+
+  test("t26: the vocabulary-side join is broadcast") {
+    val p = plan("t26_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
   test("t26: tf aggregation has a partial (map-side) phase") {
