@@ -107,50 +107,68 @@ object Dedup extends OpModule {
       FROM scored WHERE jac >= $JACCARD_T
       ORDER BY doc_a, doc_b
     """))((spark, dir) => {
-    val toks = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
+    val toks = shingled(Tables.spread(Tables.documents(spark, dir)))
       .cache() // reused for exact-Jaccard rescoring of the candidates
-    // Min-hashes via explode + codegen'd md5 + ONE hash aggregate with 8
-    // MIN columns — not 8 interpreted array_min(transform(...)) lambdas
-    // over the shingle array. Identical values, but the md5 loop stays
-    // inside whole-stage codegen and the shuffle is a single partial-agg
-    // pass (the shape that scales: shingle rows, not per-doc arrays).
-    val exploded = toks.select(col("doc_id"), explode(col("sh")).as("s"))
-    // int64 minhash values (15-hex prefix of the salted md5, parsed):
-    // the 8-column agg state and every downstream shuffle row carries
-    // longs, not 32-char strings; fixed-width hex keeps the MIN
-    // order-preserving so the DuckDB mirror lands on identical values.
-    val minAggs = (1 to NH).map(j =>
-      min(conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10)
-        .cast("long")).as(s"h$j"))
-    val hashed = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    // Band key = the raw (h, h) long pair — hashing the pair again would
-    // buy nothing: the join key is already fixed-width.
-    val bands = hashed.select(
-      col("doc_id"),
-      explode(array((1 to BANDS).map(b =>
-        struct(lit(b).as("band"),
-          col(s"h${2 * b - 1}").as("hx"), col(s"h${2 * b}").as("hy"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.hx").as("hx"), col("bb.hy").as("hy"))
+    val bands = minhashBands(toks)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
           && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = toks
-    val scored = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("uni", TextFns.unionSize(col("sha"), col("shb")))
-      .withColumn("jac", (size(col("sha")) + size(col("shb")) - col("uni")).cast("double") / col("uni"))
-    scored.filter(col("jac") >= JACCARD_T)
+    exactJaccard(cand, toks)
+      .filter(col("jac") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
       .orderBy("doc_a", "doc_b")
   })
+
+  /** d2's per-document shingle stage: (doc_id, sh) with distinct word
+    * 3-grams; docs under 3 tokens drop. Shared with [[NearDupIndex]] so
+    * the incremental index is definitionally consistent with d2. */
+  private[operators] def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
+
+  /** d2's signature stage: (doc_id, band, hx, hy) LSH band keys.
+    *
+    * Min-hashes via explode + codegen'd md5 + ONE hash aggregate with 8
+    * MIN columns — not 8 interpreted array_min(transform(...)) lambdas
+    * over the shingle array. Identical values, but the md5 loop stays
+    * inside whole-stage codegen and the shuffle is a single partial-agg
+    * pass (the shape that scales: shingle rows, not per-doc arrays).
+    * Minhash values are int64 (15-hex prefix of the salted md5, parsed):
+    * the agg state and every downstream shuffle row carries longs, not
+    * 32-char strings; fixed-width hex keeps the MIN order-preserving so
+    * the DuckDB mirror lands on identical values. Band key = the raw
+    * (h, h) long pair — the join key is already fixed-width. */
+  private[operators] def minhashBands(sh: DataFrame): DataFrame = {
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minAggs = (1 to NH).map(j =>
+      min(conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10)
+        .cast("long")).as(s"h$j"))
+    val hashed = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    hashed.select(
+      col("doc_id"),
+      explode(array((1 to BANDS).map(b =>
+        struct(lit(b).as("band"),
+          col(s"h${2 * b - 1}").as("hx"), col(s"h${2 * b}").as("hy"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.hx").as("hx"), col("bb.hy").as("hy"))
+  }
+
+  /** d2's rescoring stage: exact Jaccard over candidate (doc_a, doc_b)
+    * pairs, shingle sets attached from `sh`. Returns (doc_a, doc_b, jac). */
+  private[operators] def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("uni", TextFns.unionSize(col("sha"), col("shb")))
+      .withColumn("jac",
+        (size(col("sha")) + size(col("shb")) - col("uni")).cast("double") / col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  private[operators] def jaccardThreshold: Double = JACCARD_T
 
   /** 16-bit SimHash fingerprint per document (occurrence-weighted). */
   val d3SimHash: Op = Op(

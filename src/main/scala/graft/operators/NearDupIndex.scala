@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained MinHash-LSH near-duplicate index.
+  *
+  * [[Curation.persistNearDupPairs]] rebuilds the pair table wholesale;
+  * at corpus scale the nightly reality is "N new documents against an
+  * indexed corpus of billions". This index keeps three append-only
+  * parquet tables under one root — `bands` (doc_id, band, hx, hy),
+  * `shingles` (doc_id, sh), `pairs` (doc_a, doc_b, jaccard) — and
+  * [[addDocuments]] indexes a batch in O(new docs × bucket size):
+  *
+  *  1. new docs' shingles + band keys via d2's OWN stages
+  *     ([[Dedup.shingled]] / [[Dedup.minhashBands]] — definitionally
+  *     consistent with the batch operator);
+  *  2. candidates = (old ∪ new) bands ⋈ NEW bands on the band key —
+  *     the indexed corpus is only ever probed on colliding buckets,
+  *     never rescanned;
+  *  3. exact-Jaccard rescoring of candidates, threshold filter,
+  *     append to `pairs`; new docs' bands/shingles appended.
+  *
+  * Already-indexed doc_ids are skipped (anti-join on the shingle
+  * table), so re-feeding a batch is a no-op — the same idempotency
+  * contract as the warehouse ingest manifest. Like the bridge merge,
+  * appends assume a single writer per index. */
+object NearDupIndex {
+
+  private def path(root: String, t: String) = s"$root/$t"
+
+  private def readOrEmpty(spark: SparkSession, p: String, template: DataFrame): DataFrame =
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else template.limit(0)
+
+  /** Index a batch of documents (doc_id, text, …). Returns the number
+    * of NEW pairs found (new×new and new×old). */
+  def addDocuments(spark: SparkSession, docs: DataFrame, root: String): Long = {
+    val newShAll = Dedup.shingled(docs)
+    val oldSh = readOrEmpty(spark, path(root, "shingles"), newShAll.select("doc_id", "sh"))
+    // Idempotency: drop docs already in the index.
+    val newSh = newShAll
+      .join(oldSh.select("doc_id"), Seq("doc_id"), "anti")
+      .cache()
+    val newBands = Dedup.minhashBands(newSh)
+    val oldBands = readOrEmpty(spark, path(root, "bands"), newBands)
+    // Probe: every candidate has at least one NEW side, so old×old work
+    // is never repeated. least/greatest normalizes the pair (old ids are
+    // not always smaller than new ones) and distinct collapses the
+    // new×new double-match.
+    val cand = oldBands.union(newBands).as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
+          && col("a.hy") === col("b.hy") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val allSh = oldSh.union(newSh.select("doc_id", "sh"))
+    val newPairs = Dedup.exactJaccard(cand, allSh)
+      .filter(col("jac") >= Dedup.jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
+      .cache()
+    val n = newPairs.count()
+    if (n > 0)
+      newPairs.write.mode("append").parquet(path(root, "pairs"))
+    if (!newSh.isEmpty) {
+      newSh.select("doc_id", "sh").write.mode("append").parquet(path(root, "shingles"))
+      newBands.write.mode("append").parquet(path(root, "bands"))
+    }
+    newPairs.unpersist()
+    newSh.unpersist()
+    n
+  }
+
+  /** The accumulated pair table (doc_a, doc_b, jaccard). */
+  def pairs(spark: SparkSession, root: String): DataFrame = {
+    val p = path(root, "pairs")
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else spark.range(0).select(
+      col("id").as("doc_a"), col("id").as("doc_b"),
+      col("id").cast("double").as("jaccard"))
+  }
+}
