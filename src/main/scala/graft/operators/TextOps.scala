@@ -362,7 +362,66 @@ object TextOps extends OpModule {
       .orderBy("lang")
   })
 
+  /** Repetition-based quality signals per document — the filter family
+    * pretraining pipelines use for degenerate/templated text (the
+    * Gopher/MassiveText rules): type-token ratio (distinct words /
+    * words), the most-frequent word's share, and the most-frequent
+    * BIGRAM's share (highly repetitive boilerplate has a dominant
+    * bigram even when unigrams look diverse). All three are exact
+    * integer-count ratios — one (doc, word) aggregate and one
+    * (doc, bigram) aggregate, both map-side combinable; nothing here
+    * ranks or sorts the corpus. */
+  val t29Repetition: Op = Op(
+    "t29_repetition_quality",
+    Some("""
+      WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+      ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+      ), tok AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types, CAST(MAX(c) AS BIGINT) AS top
+        FROM wc GROUP BY doc_id
+      ), toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), bg AS (
+        SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS g
+        FROM toks WHERE len(w) >= 2
+      ), bc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+      ), big AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2, CAST(SUM(c) AS BIGINT) AS n2
+        FROM bc GROUP BY doc_id
+      )
+      SELECT t.doc_id, n_tokens, n_types,
+             CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+             CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+             COALESCE(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE)) AS top_bigram_frac
+      FROM tok t LEFT JOIN big USING (doc_id)
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val wc = docs.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val tok = wc.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("n_types"), max("c").as("top"))
+    val bc = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(TextFns.wordShingles(col("w"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val big = bc.groupBy("doc_id").agg(max("c").as("top2"), sum("c").as("n2"))
+    tok.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"),
+        (col("top").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"),
+        coalesce(col("top2").cast("double") / col("n2").cast("double"), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
-      t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct)
+      t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition)
 }

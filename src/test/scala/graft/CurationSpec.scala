@@ -19,6 +19,21 @@ class CurationSpec extends SparkSpecBase {
     assert(inline.nonEmpty)
   }
 
+  test("curation composes with the incrementally-built index") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-idx-curate").toString
+    val docs = Tables.documents(spark, sf())
+    graft.operators.NearDupIndex.addDocuments(
+      spark, docs.filter(col("doc_id") % 2 === 0), root)
+    graft.operators.NearDupIndex.addDocuments(
+      spark, docs.filter(col("doc_id") % 2 === 1), root)
+    val viaIndex = Curation.curateAgainstPairs(spark, sf(), s"$root/pairs")
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Curation.c1Curation.run(spark, sf())
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == inline)
+  }
+
   test("persisted pairs reload with the d2 schema") {
     val table = Files.createTempDirectory("graft-pairs2").resolve("neardup_pairs").toString
     Curation.persistNearDupPairs(spark, sf(), table)
