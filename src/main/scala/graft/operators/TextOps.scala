@@ -421,7 +421,60 @@ object TextOps extends OpModule {
       .orderBy("doc_id")
   })
 
+  private val PackBudget = 1024 // tokens per training sequence
+
+  /** Greedy sequence packing — the step that turns a curated corpus
+    * into fixed-token-budget training sequences: within each
+    * (lang, shard), documents in doc_id order are assigned to the bin
+    * their cumulative token offset starts in. Sharding is the same
+    * deterministic md5-bucket as t27, which is exactly how production
+    * packing scales: the running-sum window is per (lang, shard), so
+    * no partition ever holds more than one shard's rows — never a
+    * corpus-wide window. Output is the bin census (docs, tokens, fill
+    * ratio against the budget). */
+  val t30SequencePacking: Op = Op(
+    "t30_sequence_packing",
+    Some(s"""
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+      ), b AS (
+        SELECT lang, shard, n_tokens, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin
+        FROM c
+      )
+      SELECT lang, CAST(shard AS BIGINT) AS shard, bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tokens) AS DOUBLE) / $PackBudget AS fill_ratio
+      FROM b
+      GROUP BY lang, shard, bin
+      ORDER BY lang, shard, bin
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 8).as("shard"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PackBudget"))
+    b.groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("fill_ratio", col("total_tokens").cast("double") / PackBudget)
+      .orderBy("lang", "shard", "bin")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
-      t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition)
+      t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
+      t30SequencePacking)
 }
