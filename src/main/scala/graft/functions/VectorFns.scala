@@ -75,11 +75,15 @@ object VectorFns {
     * per row — `size()` is an O(1) array-header read — and overflow
     * fails fast instead of truncating. */
   def lshBit(b: Int, qv: Column): Column =
-    when(size(qv) <= LshMaxDim,
-      dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray)))
-      .otherwise(raise_error(concat(
+    // Guard order matters: a NULL embedding makes size(qv) null, which
+    // must fall through to the null-propagating dot (null bucket, row
+    // drops out of bucket joins) — not into raise_error with a null
+    // message. Only a PRESENT-but-too-wide vector aborts.
+    when(size(qv) > LshMaxDim,
+      raise_error(concat(
         lit("lshBit: embedding has "), size(qv).cast("string"),
         lit(s" dims > LshMaxDim=$LshMaxDim; raise VectorFns.LshMaxDim"))))
+      .otherwise(dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray)))
 
   /** Sign-projection LSH bucket id as a '0'/'1' string, e.g. "01101001".
     *

@@ -99,8 +99,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * partition columns as data columns, so a flat rewrite would drop
     * the directories and leave a mix of `dt=` subdirs (from later
     * appends) and root-level files — unreadable ("conflicting directory
-    * structures"). Detected from the dir listing and rewritten with
-    * `partitionBy`, clustered so each partition compacts to one file.
+    * structures"). Partition columns are discovered from the directory
+    * tree (any nesting depth) and the rewrite restores them with
+    * `partitionBy`, salted so the file-size target holds per partition.
     *
     * Commit order is crash-safe: write tmp → rename live aside (.bak) →
     * rename tmp in → delete .bak. Every crash point leaves either the
@@ -112,12 +113,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path(rel))
-    val entries = fs.listStatus(dir)
-    // Hive-style partition dirs directly under the target (name=value).
-    val partCols = entries.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => n.contains("=") && !n.startsWith(".") && !n.startsWith("_"))
-      .map(_.split("=", 2)(0)).distinct.toSeq
+    // Hive-style partition dirs, walked to ANY nesting depth
+    // (year=/month=/...): compacting with only the top level would
+    // demote deeper partition columns to data columns and flatten
+    // their directories — exactly the mixed-layout corruption this
+    // path exists to prevent.
+    def partColsOf(p: Path, acc: Seq[String]): Seq[String] = {
+      val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(k => k.getName.contains("=")
+          && !k.getName.startsWith(".") && !k.getName.startsWith("_"))
+      if (kids.isEmpty) acc
+      else partColsOf(kids.head, acc :+ kids.head.getName.split("=", 2)(0))
+    }
+    val partCols = partColsOf(dir, Nil)
     def filesUnder(p: Path): Long = {
       val it = fs.listFiles(p, true)
       var total = 0L
@@ -135,11 +143,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     fs.delete(bak, true)
     val df = spark.read.parquet(dir.toString)
     if (partCols.nonEmpty && partition.isEmpty) {
-      // Cluster rows by the partition columns so each partition dir gets
-      // one writer task (one compacted file per partition), then restore
-      // the Hive layout on write.
-      import org.apache.spark.sql.functions.col
-      df.repartition(math.max(nFiles, 1), partCols.map(col): _*)
+      // Cluster by (partition values, bounded hash salt): each partition
+      // dir compacts in parallel into ~ceil(nFiles / #partitions) files,
+      // so targetFileBytes is honored even when one partition holds most
+      // of the table (clustering by partition values ALONE would write
+      // each partition as a single arbitrarily-large file).
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      val nParts = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
+      val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nParts).toInt)
+      val dataCols = df.columns.filterNot(partCols.contains)
+      val salt = pmod(hash(dataCols.map(col): _*), lit(filesPerPart))
+      df.repartition(math.max(nFiles, 1), partCols.map(col) :+ salt: _*)
         .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
     } else {
       // A partition dir read drops the dt column (it lives in the path);

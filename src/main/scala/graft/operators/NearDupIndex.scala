@@ -29,8 +29,17 @@ object NearDupIndex {
 
   private def path(root: String, t: String) = s"$root/$t"
 
+  /** FileSystem-resolved existence (like Landing/compact): the index
+    * root may be hdfs:// or s3a://, where java.io.File would silently
+    * report every table missing and break both probing and replay
+    * idempotency. */
+  private def tableExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def readOrEmpty(spark: SparkSession, p: String, template: DataFrame): DataFrame =
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    if (tableExists(spark, p)) spark.read.parquet(p)
     else template.limit(0)
 
   /** Index a batch of documents (doc_id, text, …). Returns the number
@@ -43,6 +52,7 @@ object NearDupIndex {
       .join(oldSh.select("doc_id"), Seq("doc_id"), "anti")
       .cache()
     val newBands = Dedup.minhashBands(newSh)
+      .cache() // three uses: union side, probe side, final append
     val oldBands = readOrEmpty(spark, path(root, "bands"), newBands)
     // Probe: every candidate has at least one NEW side, so old×old work
     // is never repeated. least/greatest normalizes the pair (old ids are
@@ -69,6 +79,7 @@ object NearDupIndex {
       newBands.write.mode("append").parquet(path(root, "bands"))
     }
     newPairs.unpersist()
+    newBands.unpersist()
     newSh.unpersist()
     n
   }
@@ -76,7 +87,7 @@ object NearDupIndex {
   /** The accumulated pair table (doc_a, doc_b, jaccard). */
   def pairs(spark: SparkSession, root: String): DataFrame = {
     val p = path(root, "pairs")
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    if (tableExists(spark, p)) spark.read.parquet(p)
     else spark.range(0).select(
       col("id").as("doc_a"), col("id").as("doc_b"),
       col("id").cast("double").as("jaccard"))

@@ -257,11 +257,13 @@ object TextOps extends OpModule {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
-    // df is one row per VOCABULARY word — bounded small at any corpus
-    // size (word lexicons top out in the millions) — so broadcasting it
-    // keeps tf on its existing partitioning instead of reshuffling the
-    // whole (doc, word) aggregate by word.
-    val scored = tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(n))
+    // No broadcast HINT on df: a natural-language lexicon is small, but
+    // whitespace tokens over web text (urls, ids, typos) are unbounded —
+    // a forced broadcast would hit the 8 GB limit and fail outright
+    // where a shuffle join just gets slower. AQE's runtime stats convert
+    // this to a broadcast join whenever df is actually small, which is
+    // the graceful version of the same optimization.
+    val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double")
           * ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")))

@@ -31,6 +31,11 @@ case class QuantizeFloatLong(child: Expression)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // ArrayData.getFloat on a null slot silently reads 0.0f — a wrong
+      // vector, not an error — so null elements fail fast instead (the
+      // HOF form propagated element nulls; vector math downstream can't
+      // use them either way, and silence is the worst option).
+      if (x.isNullAt(i)) throw QuantizeFloatLong.nullElement(i)
       out(i) = QuantizeFloatLong.quantize(x.getFloat(i))
       i += 1
     }
@@ -46,6 +51,9 @@ case class QuantizeFloatLong(child: Expression)
          |final int $n = $a.numElements();
          |final long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw org.apache.spark.sql.graft.QuantizeFloatLong.nullElement($i);
+         |  }
          |  $out[$i] = org.apache.spark.sql.graft.QuantizeFloatLong.quantize($a.getFloat($i));
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -62,4 +70,8 @@ object QuantizeFloatLong {
   def quantize(f: Float): Long =
     java.math.BigDecimal.valueOf(f.toDouble * 1.0e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"quantize_float_long: null element at index $i — embedding vectors must be null-free")
 }

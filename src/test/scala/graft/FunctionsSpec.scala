@@ -107,6 +107,25 @@ class FunctionsSpec extends SparkSpecBase {
     assert(sql == Seq(2L))
   }
 
+  test("quantize fails fast on null elements; null vectors propagate null buckets") {
+    import spark.implicits._
+    val withNullElem = Seq(Tuple1(Seq(Some(1.0f), None, Some(2.0f))))
+      .toDF("v")
+    val ex = intercept[Exception] {
+      withNullElem.select(graft.functions.VectorFns.quantize(col("v"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    assert(chain(ex).exists(_.contains("null element")), chain(ex).mkString("\n"))
+    // A wholly-null embedding must keep the pre-guard behavior (null
+    // lshBit → all-zero bucket string), not crash in raise_error with a
+    // null message.
+    val nullVec = Seq(Tuple1(Option.empty[Array[Long]])).toDF("qv")
+    val bucket = nullVec.select(graft.functions.VectorFns.lshBucket(col("qv"), 2))
+      .head().getString(0)
+    assert(bucket == "00", s"got $bucket")
+  }
+
   test("multimodal stub decode is deterministic byte arithmetic") {
     import graft.operators.Multimodal
     val out = Multimodal.decodePartition(Iterator(

@@ -310,4 +310,23 @@ class OlapSusSpec extends SparkSpecBase {
     Pipeline.ingestSinascFiles(wh, Seq(day4), "2020-02-04")
     assert(wh.table("factNascimentos").where("dt = '2020-02-04'").count() == 4L)
   }
+
+  test("compaction preserves MULTI-LEVEL partition layouts") {
+    import spark.implicits._
+    val t = "nested_part"
+    (1 to 40).map(i => (i.toLong, s"g${i % 2}", s"m${i % 3}"))
+      .toDF("v", "a", "b")
+      .write.mode("overwrite").partitionBy("a", "b")
+      .parquet(dir.resolve("wh").resolve(t).toString)
+    val before = wh.table(t).collect().map(_.toString).sorted.toSeq
+    wh.compact(t)
+    val root = new java.io.File(dir.resolve("wh").resolve(t).toString)
+    val level1 = root.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(level1.nonEmpty && level1.forall(_.startsWith("a=")), level1.mkString(","))
+    val level2 = root.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSeq
+    assert(level2.nonEmpty && level2.forall(_.startsWith("b=")),
+      "second partition level was flattened: " + level2.mkString(","))
+    assert(wh.table(t).collect().map(_.toString).sorted.toSeq == before)
+  }
 }
