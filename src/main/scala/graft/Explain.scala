@@ -16,8 +16,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q10_topk_per_group",
-        "d2_dedup_minhash_lsh", "d4_dedup_ngram_jaccard", "s8_ann_ivfpq_topk",
-        "q21_group_signature_ids")
+        "d2_dedup_minhash_lsh", "d4_dedup_ngram_jaccard", "s7_ann_pq_topk",
+        "s8_ann_ivfpq_topk", "q21_group_signature_ids", "t30_sequence_packing")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
