@@ -50,30 +50,10 @@ object Ranks {
       .drop("__pid", "__rk")
   }
 
-  /** Scale-safe grouped top-k when the group count is SMALL (ANN query
-    * sets: ~10 query ids). A plain `Window.partitionBy(group)` funnels
-    * every candidate row into #groups tasks — fine at sf0.1, a
-    * 10-task bottleneck holding the whole candidate set at 100×.
-    *
-    * Two-level funnel with the identical result: first rank within
-    * (group, input partition) — parallelism = #groups × #partitions,
-    * each window sees only one partition's candidates — and keep k;
-    * the global per-group window then ranks at most k × #partitions
-    * survivors per group, which is bounded regardless of data size.
-    * Any row outside a partition-local top-k cannot be in the global
-    * top-k, so the pre-filter is lossless; `order` must be a total
-    * order within each group (tie-break on a unique id) so ranks are
-    * deterministic. */
-  def topK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
-      k: Int, rankCol: String = "rnk"): DataFrame = {
-    val local = Window
-      .partitionBy((groupCols :+ "__lp").map(col): _*).orderBy(order: _*)
-    val survivors = df.withColumn("__lp", spark_partition_id())
-      .withColumn("__lrk", row_number().over(local))
-      .filter(col("__lrk") <= k)
-      .drop("__lp", "__lrk")
-    val global = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    survivors.withColumn(rankCol, row_number().over(global))
-      .filter(col(rankCol) <= k)
-  }
+  // NOTE on grouped top-k with few groups (the ANN per-query pattern):
+  // no helper is needed. Spark's InferWindowGroupLimit turns a
+  // `row_number() ≤ k` filter into WindowGroupLimit(Partial) BELOW the
+  // window's exchange, so each input partition forwards at most k rows
+  // per group — the lossless two-level funnel, built into physical
+  // planning (PlanAuditSpec pins it on the ANN plans).
 }

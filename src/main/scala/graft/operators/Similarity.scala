@@ -24,12 +24,21 @@ object Similarity extends OpModule {
   private val K = 5
   private val NQ = 10 // query set: vec_id < 10
 
-  /** Per-query top-k via [[Ranks.topK]] — the two-level funnel (local
-    * pre-reduce, then the tiny global window) so NQ partitions never
-    * hold the full candidate set. */
+  /** Per-query top-k as a rank-filtered window. The NQ-partition funnel
+    * this APPEARS to create is not one: Spark's InferWindowGroupLimit
+    * rewrites `row_number() ≤ k` into a WindowGroupLimit(Partial) BELOW
+    * the exchange — every input partition forwards at most k rows per
+    * query, so the per-query partitions only ever see k × #partitions
+    * survivors regardless of data size. (An explicit two-level window
+    * funnel computes the same thing with one extra shuffle;
+    * PlanAuditSpec pins the partial group-limit so a conf/regression
+    * that loses it fails loudly.) */
   private def topKPerQuery(pairs: org.apache.spark.sql.DataFrame,
-      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
-    Ranks.topK(pairs, Seq("query_id"), order, K, "rnk")
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(order: _*)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+  }
 
   // ---- driver-side codebook machinery ---------------------------------
   //

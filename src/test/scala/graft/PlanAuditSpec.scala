@@ -74,6 +74,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "s7 should fuse codes + ADC lookups into the scan:\n" + p.take(1500))
     val windows = p.linesIterator.filter(_.contains("row_number()")).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("query_id")))
+    // The per-query top-k must pre-reduce below its exchange: at most k
+    // rows per query leave each input partition.
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k lost its partial group limit:\n" + p.take(1500))
   }
 
   test("s8: cell-gated ADC scoring plans without joins") {

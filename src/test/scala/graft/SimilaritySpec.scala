@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFns
-import graft.operators.{Ranks, Similarity}
+import graft.operators.Similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,20 +34,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(maxDistinct > 1, "every query's ADC distances are constant")
   }
 
-  test("Ranks.topK equals the single-window grouped top-k") {
-    import spark.implicits._
-    // Deliberately many input partitions so the local pre-reduce runs
-    // across several (group, partition) cells.
+  test("rank-filter top-k plans a partial WindowGroupLimit below the exchange") {
+    // The scale guarantee for grouped top-k with FEW groups: every input
+    // partition forwards at most k rows per group before the shuffle.
     val df = spark.range(0, 1000, 1, 16)
       .select((col("id") % 7).as("g"), col("id"),
         (col("id") * 2654435761L % 1013).as("score"))
-    val viaHelper = Ranks.topK(df, Seq("g"), Seq(col("score").desc, col("id")), 5)
-      .select("g", "id", "rnk").as[(Long, Long, Int)].collect().toSet
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    val viaWindow = df.withColumn("rnk", row_number().over(w))
+    val plan = df.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select("g", "id", "rnk").as[(Long, Long, Int)].collect().toSet
-    assert(viaHelper == viaWindow)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "InferWindowGroupLimit did not apply — grouped top-k would funnel " +
+        "the full candidate set into #groups tasks:\n" + plan.take(1500))
   }
 
   test("lshBucket fails fast on vectors wider than LshMaxDim") {
