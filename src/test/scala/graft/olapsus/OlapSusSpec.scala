@@ -328,5 +328,19 @@ class OlapSusSpec extends SparkSpecBase {
     assert(level2.nonEmpty && level2.forall(_.startsWith("b=")),
       "second partition level was flattened: " + level2.mkString(","))
     assert(wh.table(t).collect().map(_.toString).sorted.toSeq == before)
+
+    // The file-size target must hold WITHIN partitions: a tiny target
+    // forces each partition dir to split into multiple files instead of
+    // one arbitrarily-large file per partition.
+    def leafParquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).count(_.getName.endsWith(".parquet"))
+    }
+    val nPartDirs = level2.size
+    wh.compact(t, targetFileBytes = 1L)
+    assert(leafParquetCount() > nPartDirs,
+      s"size target ignored: ${leafParquetCount()} files across $nPartDirs partitions")
+    assert(wh.table(t).collect().map(_.toString).sorted.toSeq == before)
   }
 }
