@@ -475,8 +475,63 @@ object TextOps extends OpModule {
       .orderBy("lang", "shard", "bin")
   })
 
+  /** Dataset-mixture construction: per-SOURCE sampling rates (the
+    * upweight-wikipedia / downweight-crawl step of building a
+    * pretraining mix) applied as a deterministic hash acceptance test —
+    * doc kept iff its 52-bit md5 bucket falls below the source's
+    * rate threshold (rates here: 1, 1/2, 1/4 by source index mod 3;
+    * thresholds are exact powers of two so both engines compare the
+    * same integers). Like t27's split this is a pure per-row
+    * projection + one aggregate: reproducible at any scale, no
+    * sampling state, rerunnable per shard. The census reports
+    * realized rates so mix drift is observable. */
+  val t31SourceMixture: Op = Op(
+    "t31_source_mixture",
+    Some("""
+      WITH d AS (
+        SELECT source, lang,
+               CAST(substring(source, 4) AS INT) % 3 AS e,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS bucket,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents
+      ), k AS (
+        SELECT source, lang, n_tokens,
+               CASE WHEN bucket < (CASE e WHEN 0 THEN 4503599627370496
+                                          WHEN 1 THEN 2251799813685248
+                                          ELSE 1125899906842624 END)
+                    THEN 1 ELSE 0 END AS kept
+        FROM d
+      )
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             CAST(SUM(kept * n_tokens) AS BIGINT) AS kept_tokens,
+             CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
+      FROM k
+      GROUP BY source, lang
+      ORDER BY source, lang
+    """))((spark, dir) => {
+    val e = substring(col("source"), 4, 10).cast("int") % 3
+    val threshold = when(e === 0, lit(4503599627370496L))
+      .when(e === 1, lit(2251799813685248L))
+      .otherwise(lit(1125899906842624L))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+    val k = Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        when(bucket < threshold, 1L).otherwise(0L).as("kept"))
+    k.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("n_tokens")).as("kept_tokens"))
+      .withColumn("realized_rate",
+        col("n_kept").cast("double") / col("n_total"))
+      .select("source", "lang", "n_total", "n_kept", "kept_tokens", "realized_rate")
+      .orderBy("source", "lang")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
-      t30SequencePacking)
+      t30SequencePacking, t31SourceMixture)
 }
