@@ -109,7 +109,7 @@ object VectorFns {
       s"(CASE WHEN (${duckLshBit(b, qv)}) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString("(", " + ", ")")
 
-  /** DuckDB mirror of [[lshBitSql]]. */
+  /** DuckDB mirror of [[lshBit]]. */
   def duckLshBit(b: Int, qv: String): String =
     s"""list_reduce([(CASE WHEN bit_count(CAST($b * 1000003 + i AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END)
        | * $qv[i] FOR i IN generate_series(1, len($qv))], (x, y) -> x + y)""".stripMargin
