@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Curation, NearDupIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Runnable end-to-end training-data pipeline over the `documents`
+  * corpus — the LLM-data counterpart of [[graft.olapsus.Demo]]:
+  *
+  *   1. incremental near-dup indexing (two batches through
+  *      [[NearDupIndex]], as a nightly ingest would);
+  *   2. curation census against the stored pair table (quality gate →
+  *      exact dedup → near-dup drop → train/valid/test split);
+  *   3. sequence packing into fixed-token-budget bins (t30);
+  *   4. source-mixture census with realized sampling rates (t31).
+  *
+  *   sbt "runMain graft.PipelineDemo [sfDir] [workDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    println(s"== corpus: ${docs.count()} documents from $sfDir ==")
+
+    val indexRoot = s"$work/neardup_index"
+    val b1 = NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 0), indexRoot)
+    val b2 = NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 1), indexRoot)
+    println(s"\n== 1. near-dup index: batch1 +$b1 pairs, batch2 +$b2 pairs " +
+      s"(replay adds ${NearDupIndex.addDocuments(spark, docs, indexRoot)}) ==")
+
+    println("\n== 2. curation census (quality -> exact dedup -> near-dup drop -> split) ==")
+    Curation.curateAgainstPairs(spark, sfDir, s"$indexRoot/pairs").show(20, truncate = false)
+
+    println("== 3. sequence packing (1024-token bins per lang x shard; first 10) ==")
+    SparkEntry.queries("t30_sequence_packing")(spark, sfDir).show(10, truncate = false)
+
+    println("== 4. source mixture (per-source hash-acceptance rates; first 10) ==")
+    SparkEntry.queries("t31_source_mixture")(spark, sfDir).show(10, truncate = false)
+
+    spark.stop()
+  }
+}
