@@ -53,8 +53,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     name
   }
 
-  def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  /** FileSystem-resolved existence — java.io.File is silently false on
+    * `hdfs://`/`s3a://` roots, which would make the ingest manifest
+    * report "not ingested" on an object-store warehouse and re-append
+    * the same day (the exact bug `ingestLogged` exists to prevent). */
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Optional JDBC table reader — the reference pulls every dimension
     * over JDBC from Postgres (get_jdbc_df, spark_script_sim.py:27-29)
@@ -142,7 +148,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     fs.delete(tmp, true)
     fs.delete(bak, true)
     val df = spark.read.parquet(dir.toString)
-    if (partCols.nonEmpty && partition.isEmpty) {
+    // Branch on partCols ALONE (discovered relative to the dir being
+    // compacted): compacting a single partition that itself contains
+    // nested `col=value` dirs (e.g. `--partition a=g0` on an a=/b=
+    // table) must restore the DEEPER layout too, or the rewrite demotes
+    // the inner partition column to a data column and flattens its dirs
+    // while sibling partitions keep them — conflicting structures.
+    if (partCols.nonEmpty) {
       // Cluster by (partition values, bounded hash salt): each partition
       // dir compacts in parallel into ~ceil(nFiles / #partitions) files,
       // so targetFileBytes is honored even when one partition holds most

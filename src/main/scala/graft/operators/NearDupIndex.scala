@@ -72,6 +72,13 @@ object NearDupIndex {
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
       .cache()
     val n = newPairs.count()
+    // Commit order: pairs BEFORE shingles/bands. Parquet appends can't be
+    // made atomic across tables, so a crash between the two writes must
+    // leave the index replayable. With this order a failed batch leaves
+    // its docs unindexed (the anti-join re-admits them) and the retry
+    // re-appends the same pair rows — exact duplicates, collapsed by the
+    // distinct() in [[pairs]]. The reverse order would instead lose the
+    // batch's pairs forever (docs indexed, replay a no-op).
     if (n > 0)
       newPairs.write.mode("append").parquet(path(root, "pairs"))
     if (!newSh.isEmpty) {
@@ -84,10 +91,15 @@ object NearDupIndex {
     n
   }
 
-  /** The accumulated pair table (doc_a, doc_b, jaccard). */
+  /** The accumulated pair table (doc_a, doc_b, jaccard). Read through
+    * distinct(): a batch that crashed between its pairs append and its
+    * shingles/bands append re-appends the same rows on retry (see the
+    * commit-order note in [[addDocuments]]), and exact-duplicate
+    * collapse on read is what makes that retry safe for counts and
+    * joins alike. */
   def pairs(spark: SparkSession, root: String): DataFrame = {
     val p = path(root, "pairs")
-    if (tableExists(spark, p)) spark.read.parquet(p)
+    if (tableExists(spark, p)) spark.read.parquet(p).distinct()
     else spark.range(0).select(
       col("id").as("doc_a"), col("id").as("doc_b"),
       col("id").cast("double").as("jaccard"))

@@ -493,18 +493,20 @@ object Similarity extends OpModule {
       .groupBy(_._1)
       .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
     // ADC scoring FUSED into the scan: per-query lookup tables are
-    // literal arrays (code → partial distance, same Long arithmetic), so
-    // each row computes its M codes once and sums M element_at lookups
-    // per query inline — no join, no aggregation; the only shuffled rows
-    // are the top-k funnel survivors. Every code 0..K−1 is observed in
-    // training (each seed encodes to itself), so the LUT is dense.
-    val lut: Map[Long, Array[Array[Long]]] = (0L until NQ.toLong).toSeq
+    // literal MAPS keyed by the observed code values (code → partial
+    // distance, same Long arithmetic), so each row computes its M codes
+    // once and sums M map lookups per query inline — no join, no
+    // aggregation; the only shuffled rows are the top-k funnel
+    // survivors. Keying by observed codes (not a dense 0..K−1 array)
+    // keeps duplicate seed sub-blocks benign: ties encode to the lowest
+    // code, the higher code is simply never observed, and the LUT still
+    // covers exactly the codes `nearestId` can emit.
+    val lut: Map[Long, Array[Map[Long, Long]]] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
         q -> Array.tabulate(PQ_M) { m =>
-          val entries = cb(m)
-          require(entries.map(_._1) == (0L until entries.size.toLong),
-            s"PQ codebook for block $m is not dense: ${entries.map(_._1)}")
-          entries.map { case (_, csub) => d2L(sliceL(head(q), m), csub) }.toArray
+          cb(m).map { case (code, csub) =>
+            code -> d2L(sliceL(head(q), m), csub)
+          }.toMap
         }
       }.toMap
     val coded = (0 until PQ_M).foldLeft(vecs) { (df, m) =>
@@ -512,7 +514,7 @@ object Similarity extends OpModule {
     }
     val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
       val adc = (0 until PQ_M).map(m =>
-        element_at(typedLit(tables(m)), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+        element_at(typedLit(tables(m)), col(s"code$m"))).reduce(_ + _)
       struct(lit(q).as("query_id"), adc.as("adc_d2"))
     }
     val scored = coded
@@ -633,15 +635,16 @@ object Similarity extends OpModule {
     // residual codebook as literal arrays, cell-gated per row — no join,
     // no aggregation; the query's own cell + residual computed on the
     // driver in the identical Long arithmetic.
-    val lut: Seq[(Long, Long, Array[Array[Long]])] = (0L until NQ.toLong).toSeq
+    val lut: Seq[(Long, Long, Array[Map[Long, Long]])] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
         val qcid = nearestIdL(head(q), coarse)
         val qrv = subL(head(q), coarseMap(qcid))
+        // Keyed by observed code values (as s7): duplicate seed residual
+        // sub-blocks leave a code unobserved, never crash the query.
         val tables = Array.tabulate(PQ_M) { m =>
-          val entries = cbEntries(m)
-          require(entries.map(_._1) == (0L until entries.size.toLong),
-            s"residual codebook for block $m is not dense: ${entries.map(_._1)}")
-          entries.map { case (_, csub) => d2L(sliceL(qrv, m), csub) }.toArray
+          cbEntries(m).map { case (code, csub) =>
+            code -> d2L(sliceL(qrv, m), csub)
+          }.toMap
         }
         (q, qcid, tables)
       }
@@ -650,7 +653,7 @@ object Similarity extends OpModule {
     }
     val perQuery = lut.map { case (q, qcid, tables) =>
       val adc = (0 until PQ_M).map(m =>
-        element_at(typedLit(tables(m)), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+        element_at(typedLit(tables(m)), col(s"code$m"))).reduce(_ + _)
       struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
     }
     val scored = coded

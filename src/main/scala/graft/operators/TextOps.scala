@@ -511,7 +511,15 @@ object TextOps extends OpModule {
       GROUP BY source, lang
       ORDER BY source, lang
     """))((spark, dir) => {
-    val e = substring(col("source"), 4, 10).cast("int") % 3
+    // No length cap (mirrors the oracle's `substring(source, 4)`), and a
+    // null parse fails LOUDLY instead of silently taking the 1/4-rate
+    // branch: a source named outside `srcN` is a config error, and a
+    // silently wrong mixture is the worst possible failure mode for a
+    // pretraining mix. try_cast + raise_error gives the same loud error
+    // in ANSI and non-ANSI sessions alike (plain cast would diverge).
+    val idx = expr("try_cast(substring(source, 4) AS int)")
+    val e = coalesce(idx, raise_error(format_string(
+      "t31_source_mixture: source '%s' has no numeric suffix", col("source")))) % 3
     val threshold = when(e === 0, lit(4503599627370496L))
       .when(e === 1, lit(2251799813685248L))
       .otherwise(lit(1125899906842624L))
