@@ -72,18 +72,22 @@ object NearDupIndex {
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
       .cache()
     val n = newPairs.count()
-    // Commit order: pairs BEFORE shingles/bands. Parquet appends can't be
-    // made atomic across tables, so a crash between the two writes must
-    // leave the index replayable. With this order a failed batch leaves
-    // its docs unindexed (the anti-join re-admits them) and the retry
-    // re-appends the same pair rows — exact duplicates, collapsed by the
-    // distinct() in [[pairs]]. The reverse order would instead lose the
-    // batch's pairs forever (docs indexed, replay a no-op).
+    // Commit order: pairs, then bands, then shingles — the SHINGLES
+    // append is the commit point, because the idempotency anti-join keys
+    // on the shingle table. Parquet appends can't be made atomic across
+    // tables, so a crash anywhere before the shingles append must leave
+    // the batch replayable: the anti-join still re-admits its docs, and
+    // the retry re-appends the same pair/band rows as exact duplicates,
+    // collapsed by the distinct() in [[pairs]] and on the candidate set.
+    // Writing shingles before bands would instead mark the docs indexed
+    // while their bands are missing — every future pair involving them
+    // silently lost. Losing the pairs-first order has the same failure
+    // through the pairs table, hence pairs strictly first.
     if (n > 0)
       newPairs.write.mode("append").parquet(path(root, "pairs"))
     if (!newSh.isEmpty) {
-      newSh.select("doc_id", "sh").write.mode("append").parquet(path(root, "shingles"))
       newBands.write.mode("append").parquet(path(root, "bands"))
+      newSh.select("doc_id", "sh").write.mode("append").parquet(path(root, "shingles"))
     }
     newPairs.unpersist()
     newBands.unpersist()

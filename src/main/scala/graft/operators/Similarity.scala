@@ -513,8 +513,16 @@ object Similarity extends OpModule {
       df.withColumn(s"code$m", nearestId(subCol(m), cb(m)))
     }
     val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
+      // A code outside the LUT would make element_at NULL, and a NULL
+      // adc_d2 sorts FIRST under the ascending top-k window — silent
+      // corruption instead of a crash. Unreachable today (nearestId and
+      // the LUT draw from the same codebook entries), so keep the loud
+      // guard explicit (the t31 coalesce+raise_error pattern).
       val adc = (0 until PQ_M).map(m =>
-        element_at(typedLit(tables(m)), col(s"code$m"))).reduce(_ + _)
+        coalesce(
+          element_at(typedLit(tables(m)), col(s"code$m")),
+          raise_error(format_string(
+            s"s7 ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
       struct(lit(q).as("query_id"), adc.as("adc_d2"))
     }
     val scored = coded
@@ -652,8 +660,13 @@ object Similarity extends OpModule {
       df.withColumn(s"code$m", nearestId(rsubCol(m), cbEntries(m)))
     }
     val perQuery = lut.map { case (q, qcid, tables) =>
+      // Same loud-NULL guard as s7: an unmapped code must crash, not
+      // sort-first into the top-k.
       val adc = (0 until PQ_M).map(m =>
-        element_at(typedLit(tables(m)), col(s"code$m"))).reduce(_ + _)
+        coalesce(
+          element_at(typedLit(tables(m)), col(s"code$m")),
+          raise_error(format_string(
+            s"s8 ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
       struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
     }
     val scored = coded

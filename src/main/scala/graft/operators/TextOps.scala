@@ -489,8 +489,13 @@ object TextOps extends OpModule {
     "t31_source_mixture",
     Some("""
       WITH d AS (
+        -- coalesce+error mirrors the Spark side's loud NULL handling: a
+        -- NULL source must abort the mixture build in BOTH engines, not
+        -- silently take the 1/4-rate ELSE branch here while Spark raises.
+        -- (Non-numeric suffixes already align: both CASTs throw.)
         SELECT source, lang,
-               CAST(substring(source, 4) AS INT) % 3 AS e,
+               coalesce(CAST(substring(source, 4) AS INT),
+                        error('t31_source_mixture: null source')) % 3 AS e,
                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS bucket,
                len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
         FROM documents
