@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.TextOps,
     graft.operators.Dedup,
     graft.operators.Similarity,
+    graft.operators.AnnIndex,
     graft.operators.Multimodal,
     graft.operators.Curation,
     graft.operators.Extras)

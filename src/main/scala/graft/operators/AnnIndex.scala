@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.{Op, OpModule}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted ANN index: the build/probe split of the IVF/PQ family.
+  *
+  * [[Similarity]]'s s5/s7/s8 train their codebooks and encode the corpus
+  * inside every query run — correct and self-contained, but at 100 TB
+  * that is three extra full scans per question asked. This object gives
+  * the family the same lifecycle [[NearDupIndex]] gave near-dup
+  * detection: [[build]] trains once and writes codebooks + per-vector
+  * codes as warehouse tables; the probe queries read ONLY those tables
+  * (plus the bounded raw query vectors — the stand-in for a
+  * user-supplied query) — no Lloyd aggregates, no corpus re-encode, no
+  * full raw-vector scan. [[append]] extends the corpus under FROZEN
+  * codebooks (re-training is an explicit [[build]]), the standard
+  * index-maintenance contract (FAISS `add` after `train`).
+  *
+  * Tables under `root` (all parquet):
+  *   - `ivf/centroids` (cid, cv)             — s5's Lloyd-trained codebook
+  *   - `ivf/codes`     (vec_id, qv, nrm) / cid=…  — full vectors,
+  *     PARTITIONED BY the coarse cell: a probe reads only the query
+  *     cells' directories (partition pruning — the IVF "inverted list")
+  *   - `pq/codebook`   (m, code, csub)       — s7's refined codebook
+  *   - `pq/codes`      (vec_id, code0..3)    — 4 longs per vector (the
+  *     compressed corpus; at scale this is the only full-width table)
+  *   - `ivfpq/coarse`  (cid, cv), `ivfpq/codebook` (m, code, csub)
+  *   - `ivfpq/codes`   (vec_id, code0..3) / cid=… — cell-partitioned
+  *
+  * Every training / encode / scoring stage is [[Similarity]]'s own
+  * (trainIvf / trainPq / ivfpqResidualCb / *Encode / *TopK), so probe
+  * results are equal to s5/s7/s8 BY CONSTRUCTION — the CORRECTNESS gate
+  * pins all three against the same DuckDB oracles.
+  *
+  * Like the warehouse ingest and [[NearDupIndex]], appends assume a
+  * single writer per index; each family's append is independently
+  * idempotent (anti-join on its own codes table), so a crash between
+  * family writes is healed by replaying the batch.
+  */
+object AnnIndex extends OpModule {
+
+  /** Bump when the layout or training logic changes: a probe against a
+    * root built by another version refuses loudly instead of silently
+    * serving stale geometry. */
+  private val BuildVersion = 1
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p))
+
+  /** Deterministic per-corpus default root (test/bench convenience;
+    * production callers pass their own warehouse path). */
+  def defaultRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_v${BuildVersion}_$key"
+  }
+
+  // ---- codebook (de)serialization: bounded ≤ 32-row tables ------------
+
+  private val cbSchema = StructType(Seq(
+    StructField("m", IntegerType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("csub", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  private val centSchema = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cv", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  private def writeCentroids(spark: SparkSession,
+      entries: Seq[(Long, Array[Long])], p: String): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(entries.map { case (cid, cv) => Row(cid, cv.toSeq) }: _*),
+      centSchema).coalesce(1).write.mode("overwrite").parquet(p)
+
+  private def readCentroids(spark: SparkSession, p: String): Seq[(Long, Array[Long])] =
+    spark.read.parquet(p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+
+  private def writeCodebook(spark: SparkSession,
+      cb: Map[Int, Seq[(Long, Array[Long])]], p: String): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(cb.toSeq.sortBy(_._1).flatMap { case (m, es) =>
+        es.map { case (code, csub) => Row(m, code, csub.toSeq) }
+      }: _*), cbSchema).coalesce(1).write.mode("overwrite").parquet(p)
+
+  private def readCodebook(spark: SparkSession, p: String): Map[Int, Seq[(Long, Array[Long])]] =
+    spark.read.parquet(p).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1)
+      .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
+
+  // ---- build ----------------------------------------------------------
+
+  /** Train all three sub-indexes on the corpus at `dir` and write them
+    * under `root` (replacing whatever was there). One cached pass
+    * provides every training aggregate and every encode. */
+  def build(spark: SparkSession, dir: String, root: String): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(root), true)
+    val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
+    try {
+      // IVF (s5's geometry): Lloyd-trained centroids, full vectors
+      // partitioned by cell — the inverted-list layout.
+      val cent = Similarity.trainIvf(spark, dir, vecs)
+      writeCentroids(spark, cent, s"$root/ivf/centroids")
+      vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivf/codes")
+      // PQ (s7's geometry): refined codebook + 4-long codes per vector.
+      val headPq = Similarity.collectHead(spark, dir,
+        math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+      val cb = Similarity.trainPq(vecs, headPq)
+      writeCodebook(spark, cb, s"$root/pq/codebook")
+      Similarity.pqEncode(vecs, cb)
+        .select(col("vec_id") +: (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .write.mode("overwrite").parquet(s"$root/pq/codes")
+      // IVF+PQ (s8's geometry): coarse cells + residual codes,
+      // cell-partitioned.
+      val headR = Similarity.collectHead(spark, dir,
+        math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+      val coarse = Similarity.ivfpqCoarse(headR)
+      val rcb = Similarity.ivfpqResidualCb(headR, coarse)
+      writeCentroids(spark, coarse, s"$root/ivfpq/coarse")
+      writeCodebook(spark, rcb, s"$root/ivfpq/codebook")
+      Similarity.ivfpqEncode(vecs, coarse, rcb)
+        .select(col("vec_id") +: col("cid") +:
+          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivfpq/codes")
+      // Commit marker LAST: a root without it is a failed build and will
+      // be rebuilt, never probed. The marker pins the build version AND
+      // the corpus cardinality, so a root left behind by an older build
+      // or a different corpus generation is rebuilt, not silently served.
+      val out = f.create(new Path(s"$root/_built"), true)
+      out.write(s"v$BuildVersion n=${vecs.count()}\n".getBytes("UTF-8"))
+      out.close()
+    } finally vecs.unpersist()
+  }
+
+  /** Build iff the commit marker is absent or doesn't match this build
+    * version + the corpus's current cardinality. */
+  def ensureBuilt(spark: SparkSession, dir: String, root: String): Unit = {
+    val marker = s"$root/_built"
+    val ok = exists(spark, marker) && {
+      val in = fs(spark, marker).open(new Path(marker))
+      val content = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      content == s"v$BuildVersion n=${graft.Tables.embeddings(spark, dir).count()}"
+    }
+    if (!ok) build(spark, dir, root)
+  }
+
+  // ---- append: extend the corpus under frozen codebooks ---------------
+
+  /** Index a batch of new vectors (vec_id, embedding) without
+    * re-training: each family encodes against its persisted codebook and
+    * appends. Families are independently idempotent — the anti-join on
+    * the family's OWN codes table re-admits a batch a crash kept out of
+    * that family while skipping the ones that committed, so replaying a
+    * batch after any partial failure converges with no duplicates. */
+  def append(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
+    val nv = newVecs
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .cache()
+    try {
+      def fresh(codesPath: String, df: DataFrame): DataFrame =
+        df.join(
+          spark.read.parquet(codesPath).select("vec_id"), Seq("vec_id"), "anti")
+      // IVF
+      val cent = readCentroids(spark, s"$root/ivf/centroids")
+      fresh(s"$root/ivf/codes", nv)
+        .withColumn("cid", Similarity.nearestId(col("qv"), cent))
+        .write.partitionBy("cid").mode("append").parquet(s"$root/ivf/codes")
+      // PQ
+      val cb = readCodebook(spark, s"$root/pq/codebook")
+      Similarity.pqEncode(fresh(s"$root/pq/codes", nv), cb)
+        .select(col("vec_id") +: (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .write.mode("append").parquet(s"$root/pq/codes")
+      // IVF+PQ
+      val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
+      val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
+      Similarity.ivfpqEncode(fresh(s"$root/ivfpq/codes", nv), coarse, rcb)
+        .select(col("vec_id") +: col("cid") +:
+          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .write.partitionBy("cid").mode("append").parquet(s"$root/ivfpq/codes")
+    } finally nv.unpersist()
+  }
+
+  // ---- probes: read ONLY the persisted tables -------------------------
+
+  /** IVF probe: cosine top-k within the query vectors' cells, served
+    * entirely from `ivf/codes`. The query rows are corpus members
+    * (vec_id < NQ), so even the query side reads the index — the plan
+    * never touches the raw embeddings table, contains no Lloyd
+    * aggregate, and the candidate scan carries a partition filter on the
+    * ≤ NQ query cells (the inverted-list read; PlanAuditSpec pins all
+    * three properties). */
+  def probeIvf(spark: SparkSession, root: String): DataFrame = {
+    // partitionBy writes cid as a directory key, which reads back as a
+    // down-inferred integer — restore the BIGINT the scoring contract
+    // (and the oracle's CAST(cid AS BIGINT)) expects.
+    val codes = spark.read.parquet(s"$root/ivf/codes")
+      .withColumn("cid", col("cid").cast("long"))
+    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
+  }
+
+  /** PQ probe: ADC top-k over `pq/codes` with the persisted codebook.
+    * The only raw-vector access is the bounded query head (the
+    * user-supplied-query stand-in), collected at plan-build time — the
+    * probe plan itself is a joinless scan of the codes table. */
+  def probePq(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val cb = readCodebook(spark, s"$root/pq/codebook")
+    val head = Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+    Similarity.pqAdcTopK("s10", spark.read.parquet(s"$root/pq/codes"), head, cb)
+  }
+
+  /** IVF+PQ probe: cell-gated ADC over `ivfpq/codes`; the query cells
+    * are computed on the driver against the persisted coarse codebook,
+    * so the scan carries a partition filter on those cells. */
+  def probeIvfPq(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
+    val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
+    val head = Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+    val qcells = head.filter(_._1 < Similarity.NQ).values
+      .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
+    val codes = spark.read.parquet(s"$root/ivfpq/codes")
+      .withColumn("cid", col("cid").cast("long"))
+      .filter(col("cid").isin(qcells: _*))
+    Similarity.ivfpqAdcTopK("s11", codes, head, coarse, rcb)
+  }
+
+  // ---- declared operations -------------------------------------------
+  //
+  // Oracle SQLs are s5/s7/s8's own: an index probe answers the SAME
+  // question — the build/probe split must be invisible in the results.
+  // The build runs once per corpus (ensureBuilt); timed repetitions of
+  // the probes measure the probe path alone, which is the number that
+  // matters at 100 TB (build amortizes over every query ever asked).
+
+  val s9IvfProbe: Op = Op(
+    "s9_ann_ivf_probe", Similarity.s5IvfTrained.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeIvf(spark, root)
+  })
+
+  val s10PqProbe: Op = Op(
+    "s10_ann_pq_probe", Similarity.s7PqTopK.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probePq(spark, dir, root)
+  })
+
+  val s11IvfPqProbe: Op = Op(
+    "s11_ann_ivfpq_probe", Similarity.s8IvfPqTopK.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeIvfPq(spark, dir, root)
+  })
+
+  override def ops: Seq[Op] = Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe)
+}

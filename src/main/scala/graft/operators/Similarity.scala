@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFns
 import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -18,11 +19,17 @@ import org.apache.spark.sql.functions._
   * written once, bucketed/partitioned by (bucket), and probed with
   * partition pruning. Cosines use exact integer arithmetic
   * ([[VectorFns]]) so both engines rank identically.
+  *
+  * The training / encode / scoring stages of the IVF and PQ family are
+  * factored as package-private helpers so the per-query operators
+  * (s3/s5/s7/s8) and the persisted build/probe split ([[AnnIndex]])
+  * share ONE definition of each stage — the probe path is equal to the
+  * inline path by construction, not by re-implementation.
   */
 object Similarity extends OpModule {
 
-  private val K = 5
-  private val NQ = 10 // query set: vec_id < 10
+  private[operators] val K = 5
+  private[operators] val NQ = 10 // query set: vec_id < 10
 
   /** Per-query top-k as a rank-filtered window. The NQ-partition funnel
     * this APPEARS to create is not one: Spark's InferWindowGroupLimit
@@ -33,8 +40,8 @@ object Similarity extends OpModule {
     * funnel computes the same thing with one extra shuffle;
     * PlanAuditSpec pins the partial group-limit so a conf/regression
     * that loses it fails loudly.) */
-  private def topKPerQuery(pairs: org.apache.spark.sql.DataFrame,
-      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+  private[operators] def topKPerQuery(pairs: DataFrame,
+      order: Seq[Column]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(order: _*)
     pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
@@ -52,7 +59,7 @@ object Similarity extends OpModule {
   // All arithmetic stays in Long, so driver and executor (and DuckDB
   // oracle) math are bit-identical.
 
-  private def dotL(a: Array[Long], b: Array[Long]): Long = {
+  private[operators] def dotL(a: Array[Long], b: Array[Long]): Long = {
     val n = math.min(a.length, b.length)
     var s = 0L
     var i = 0
@@ -60,13 +67,13 @@ object Similarity extends OpModule {
     s
   }
 
-  private def d2L(a: Array[Long], b: Array[Long]): Long =
+  private[operators] def d2L(a: Array[Long], b: Array[Long]): Long =
     dotL(a, a) + dotL(b, b) - 2 * dotL(a, b)
 
   /** Half-away-from-zero rounding on the driver, matching Spark's
     * `round()` (BigDecimal.valueOf + HALF_UP) and DuckDB's `round()` for
     * the k-means mean update. */
-  private def roundHalfUp(x: Double): Long =
+  private[operators] def roundHalfUp(x: Double): Long =
     java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
@@ -75,8 +82,8 @@ object Similarity extends OpModule {
     * constant per row and dropped (order-preserving), so each candidate
     * costs one [[VectorFns.dot]] against a literal; ties break to the
     * lowest id, matching the oracles' ORDER BY (d2, id). */
-  private def nearestId(v: org.apache.spark.sql.Column,
-      entries: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+  private[operators] def nearestId(v: Column,
+      entries: Seq[(Long, Array[Long])]): Column = {
     require(entries.nonEmpty, "empty codebook")
     val cands = entries.map { case (id, c) =>
       struct((lit(dotL(c, c)) - lit(2L) * VectorFns.dot(v, typedLit(c))).as("pd"),
@@ -86,20 +93,48 @@ object Similarity extends OpModule {
   }
 
   /** Driver-side mirror of [[nearestId]] (same full-d2 ordering). */
-  private def nearestIdL(v: Array[Long], entries: Seq[(Long, Array[Long])]): Long =
+  private[operators] def nearestIdL(v: Array[Long], entries: Seq[(Long, Array[Long])]): Long =
     entries.map { case (id, c) => (d2L(v, c), id) }.min._2
 
   /** Collect (vec_id, qv) for vec_id < n — the bounded seed/query head
     * of the table. Reads the RAW scan (not the spread/repartitioned
     * branch) so the vec_id predicate pushes down to parquet row groups
     * instead of scanning-and-shuffling the whole table for ≤16 rows. */
-  private def collectHead(spark: org.apache.spark.sql.SparkSession, dir: String,
+  private[operators] def collectHead(spark: SparkSession, dir: String,
       n: Long): Map[Long, Array[Long]] =
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") < n)
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  /** The shared scan front of every ANN operator: (vec_id, qv). */
+  private[operators] def quantizedQv(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+
+  /** (vec_id, qv, nrm) — the front for cosine-scoring operators. */
+  private[operators] def quantizedQvNrm(spark: SparkSession, dir: String): DataFrame =
+    quantizedQv(spark, dir).withColumn("nrm", VectorFns.norm2(col("qv")))
+
+  /** Shared IVF probe: exact cosine top-k within the query's cell, over
+    * any cell-assigned (vec_id, qv, nrm, cid) relation — s3 (seeded
+    * centroids), s5 (trained centroids) and the persisted-index probe
+    * all end in exactly this block, so their semantics can't drift. */
+  private[operators] def ivfCosineTopK(cells: DataFrame): DataFrame = {
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+    val pairs = cells
+      .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
 
   private def duckVecs(extra: String = ""): String =
     s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
@@ -125,9 +160,7 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val vecs = quantizedQvNrm(spark, dir)
     val q = vecs.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val pairs = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -161,9 +194,7 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val vecs = quantizedQvNrm(spark, dir)
       .withColumn("bucket", VectorFns.lshBucket8("qv"))
     val q = vecs.filter(col("vec_id") < NQ)
       .select(
@@ -212,9 +243,7 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val vecs = quantizedQvNrm(spark, dir)
       .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), 8))
     val q = vecs.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
@@ -231,7 +260,7 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
-  private val NC = 16 // IVF cells: first NC vectors act as centroids
+  private[operators] val NC = 16 // IVF cells: first NC vectors act as centroids
 
   /** IVF-style ANN: vectors are assigned to their nearest "centroid"
     * (deterministic stand-in for k-means output: the first NC vectors —
@@ -265,30 +294,17 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
     // The NC-row codebook lives on the driver; assignment is an inline
     // codegen'd argmin — one narrow scan, no join, no shuffle.
     val cent = collectHead(spark, dir, NC).toSeq.sortBy(_._1)
-    val cells = vecs.withColumn("cid", nearestId(col("qv"), cent))
-    val q = cells.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("cid").as("q_cid"))
-    val pairs = cells
-      .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorFns.cosine(
-        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
-        col("rnk"), col("cos").as("cosine"))
-      .orderBy("query_id", "rnk")
+    val cells = quantizedQvNrm(spark, dir)
+      .withColumn("cid", nearestId(col("qv"), cent))
+    ivfCosineTopK(cells)
   })
 
-  private val KC = 8       // trained-codebook cells
-  private val KM_ITERS = 2 // fixed Lloyd iterations (determinism + an
-                           // exactly-unrollable DuckDB mirror)
+  private[operators] val KC = 8       // trained-codebook cells
+  private[operators] val KM_ITERS = 2 // fixed Lloyd iterations (determinism + an
+                                      // exactly-unrollable DuckDB mirror)
 
   /** One k-means assignment round as a DuckDB CTE: nearest centroid by
     * exact integer squared-L2, ties to the lowest cid. */
@@ -315,15 +331,38 @@ object Similarity extends OpModule {
        |    GROUP BY cid, dim) GROUP BY cid
        |)""".stripMargin
 
+  /** Deterministic Lloyd k-means over (vec_id, qv) — MLlib shape: the
+    * KC-row codebook lives on the driver (seeds = the table head), each
+    * round is ONE pass over `vecs` (inline codegen'd assignment into a
+    * map-side-combinable per-(cell, dim) integer-sum aggregate), and the
+    * rounded mean update runs on the driver with arithmetic identical to
+    * the executors' (and DuckDB's). Used by s5 per-query and by
+    * [[AnnIndex.build]] — one trainer, two lifecycles. */
+  private[operators] def trainIvf(spark: SparkSession, dir: String,
+      vecs: DataFrame): Seq[(Long, Array[Long])] = {
+    var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, KC).toSeq.sortBy(_._1)
+    val dims = cent.head._2.length
+    for (_ <- 1 to KM_ITERS) {
+      // n rows stay n rows: `dims` element-wise sums per cell instead of
+      // a dims×n posexplode — map-side combines to KC × (dims + 1) longs.
+      val aggs = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = vecs.withColumn("cid", nearestId(col("qv"), cent))
+        .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      cent = rows.map { r =>
+        val n = r.getLong(dims + 1)
+        r.getLong(0) -> Array.tabulate(dims)(i => roundHalfUp(r.getLong(i + 1).toDouble / n))
+      }.toSeq.sortBy(_._1)
+    }
+    cent
+  }
+
   /** IVF with a TRAINED codebook: deterministic Lloyd k-means (seeds =
-    * the first KC vectors, KM_ITERS fixed rounds) in the MLlib shape —
-    * the KC-row codebook lives on the driver, each round is one pass
-    * over the data (inline codegen'd assignment, no shuffle of the big
-    * side) feeding a map-side-combinable per-(cell, dim) integer-sum
-    * update, and the rounded mean recomputes on the driver. Centroid
-    * components round to integers so every distance stays in exact
-    * integer arithmetic and the DuckDB oracle (same rounds unrolled as
-    * CTEs) lands on bit-identical cells. */
+    * the first KC vectors, KM_ITERS fixed rounds) via [[trainIvf]];
+    * centroid components round to integers so every distance stays in
+    * exact integer arithmetic and the DuckDB oracle (same rounds
+    * unrolled as CTEs) lands on bit-identical cells. */
   val s5IvfTrained: Op = Op(
     "s5_ann_ivf_trained", {
       val ctes = Seq(
@@ -349,63 +388,121 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val vecs = quantizedQvNrm(spark, dir)
       .cache() // scanned once per training round + the final probe
-    // MLlib-style Lloyd: centroids live on the driver (KC rows); each
-    // round is ONE pass over the data — inline codegen'd assignment plus
-    // a map-side-combinable (cell, dim) integer-sum aggregate of
-    // KC × dims groups — and the mean update runs on the driver with
-    // the identical rounding. No per-round lineage growth, so no
-    // localCheckpoint ritual either.
-    var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, KC).toSeq.sortBy(_._1)
-    val dims = cent.head._2.length
-    for (_ <- 1 to KM_ITERS) {
-      // n rows stay n rows: `dims` element-wise sums per cell instead of
-      // a dims×n posexplode — map-side combines to KC × (dims + 1) longs.
-      val aggs = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
-        count(lit(1)).as("n")
-      val rows = vecs.withColumn("cid", nearestId(col("qv"), cent))
-        .groupBy("cid").agg(aggs.head, aggs.tail: _*)
-        .collect()
-      cent = rows.map { r =>
-        val n = r.getLong(dims + 1)
-        r.getLong(0) -> Array.tabulate(dims)(i => roundHalfUp(r.getLong(i + 1).toDouble / n))
-      }.toSeq.sortBy(_._1)
-    }
+    val cent = trainIvf(spark, dir, vecs)
     val cells = vecs.withColumn("cid", nearestId(col("qv"), cent))
-    val q = cells.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("cid").as("q_cid"))
-    val pairs = cells
-      .join(broadcast(q), col("cid") === col("q_cid") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorFns.cosine(
-        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
-    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"), col("cid").as("cell"),
-        col("rnk"), col("cos").as("cosine"))
-      .orderBy("query_id", "rnk")
+    ivfCosineTopK(cells)
   })
 
-  private val PQ_M = 4    // sub-vector blocks
-  private val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)
-  private val PQ_K = 8    // codes per block (seeded: first PQ_K vectors)
+  private[operators] val PQ_M = 4    // sub-vector blocks
+  private[operators] val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)
+  private[operators] val PQ_K = 8    // codes per block (seeded: first PQ_K vectors)
+
+  private[operators] def pqSubCol(m: Int): Column =
+    expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")
+
+  private[operators] def sliceL(a: Array[Long], m: Int): Array[Long] =
+    a.slice(m * PQ_SUB, m * PQ_SUB + PQ_SUB)
+
+  private[operators] def subL(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+    out
+  }
+
+  /** PQ codebook training over (vec_id, qv): per-block seeds from the
+    * table head's sub-blocks, refined with ONE Lloyd round — inline seed
+    * encode (PQ_M rows per vector) into a map-side-combinable
+    * (block, code) aggregate of PQ_SUB element-wise sums, rounded means
+    * on the driver. Shared by s7 and [[AnnIndex.build]]. */
+  private[operators] def trainPq(vecs: DataFrame,
+      head: Map[Long, Array[Long]]): Map[Int, Seq[(Long, Array[Long])]] = {
+    val cb0: Map[Int, Seq[(Long, Array[Long])]] = (0 until PQ_M).map { m =>
+      m -> (0L until PQ_K.toLong).flatMap(k => head.get(k).map(a => k -> sliceL(a, m)))
+    }.toMap
+    // Per-row (block, code, sub) triples with the code assigned INLINE
+    // against the driver-side codebook — encode is expression-only.
+    val blocks = posexplode(array((0 until PQ_M).map { m =>
+      struct(lit(m).as("m"), nearestId(pqSubCol(m), cb0(m)).as("code"),
+        pqSubCol(m).as("sub"))
+    }: _*))
+    val subAggs = (0 until PQ_SUB).map(i =>
+      sum(element_at(col("blk.sub"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+    val sums = vecs
+      .select(blocks.as(Seq("i", "blk")))
+      .groupBy(col("blk.m").as("m"), col("blk.code").as("code"))
+      .agg(subAggs.head, subAggs.tail: _*)
+      .collect()
+    sums
+      .map { r =>
+        val n = r.getLong(PQ_SUB + 2)
+        (r.getInt(0), r.getLong(1),
+          Array.tabulate(PQ_SUB)(i => roundHalfUp(r.getLong(i + 2).toDouble / n)))
+      }
+      .groupBy(_._1)
+      .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
+  }
+
+  /** Adds `code0..code{M−1}` to (…, qv) — the PQ encode, inline codegen'd
+    * argmin per block against the driver-side codebook. */
+  private[operators] def pqEncode(vecs: DataFrame,
+      cb: Map[Int, Seq[(Long, Array[Long])]]): DataFrame =
+    (0 until PQ_M).foldLeft(vecs) { (df, m) =>
+      df.withColumn(s"code$m", nearestId(pqSubCol(m), cb(m)))
+    }
+
+  /** ADC scoring + top-k over PQ-coded rows (vec_id, code0..code{M−1}):
+    * per-query lookup tables are literal MAPS keyed by the observed code
+    * values (code → partial distance, same Long arithmetic), so each row
+    * sums M map lookups per query inline — no join, no aggregation; the
+    * only shuffled rows are the top-k funnel survivors. Keying by
+    * observed codes (not a dense 0..K−1 array) keeps duplicate seed
+    * sub-blocks benign: ties encode to the lowest code, the higher code
+    * is simply never observed, and the LUT still covers exactly the
+    * codes `nearestId` can emit. Shared by s7 and the index probe. */
+  private[operators] def pqAdcTopK(tag: String, coded: DataFrame,
+      head: Map[Long, Array[Long]],
+      cb: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+    val lut: Map[Long, Array[Map[Long, Long]]] = (0L until NQ.toLong).toSeq
+      .filter(head.contains).map { q =>
+        q -> Array.tabulate(PQ_M) { m =>
+          cb(m).map { case (code, csub) =>
+            code -> d2L(sliceL(head(q), m), csub)
+          }.toMap
+        }
+      }.toMap
+    val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
+      // A code outside the LUT would make element_at NULL, and a NULL
+      // adc_d2 sorts FIRST under the ascending top-k window — silent
+      // corruption instead of a crash. Unreachable today (nearestId and
+      // the LUT draw from the same codebook entries), so keep the loud
+      // guard explicit (the t31 coalesce+raise_error pattern).
+      val adc = (0 until PQ_M).map(m =>
+        coalesce(
+          element_at(typedLit(tables(m)), col(s"code$m")),
+          raise_error(format_string(
+            s"$tag ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
+      struct(lit(q).as("query_id"), adc.as("adc_d2"))
+    }
+    val scored = coded
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
+      .filter(col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("qs.adc_d2").as("adc_d2"))
+    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
+      .orderBy("query_id", "rnk")
+  }
 
   /** Product-quantization ANN (s7): the memory-scaling path — each
     * vector is stored as M small codes instead of d floats (here 4
     * bytes vs 64 floats, a 64× compression), and query scoring is
-    * asymmetric distance computation: a per-query lookup table of
-    * (block, code) → partial distance, built against the codebook
-    * (NQ × M × K = 320 rows, broadcast), joined to the candidates'
-    * codes and summed. Every arithmetic step stays in exact integers
-    * (sub-block squared-L2 via the codegen'd dot), so the approximate
-    * distances — and therefore the ranking — are bit-identical in the
-    * DuckDB mirror. Codebooks are seeded from the first PQ_K vectors'
-    * sub-blocks and refined with ONE Lloyd round per block (s5's
-    * training machinery at sub-block granularity: assign, then rounded
-    * per-(block, code, dim) integer means). */
+    * asymmetric distance computation against per-query lookup tables.
+    * Every arithmetic step stays in exact integers (sub-block squared-L2
+    * via the codegen'd dot), so the approximate distances — and
+    * therefore the ranking — are bit-identical in the DuckDB mirror. */
   val s7PqTopK: Op = Op(
     "s7_ann_pq_topk", {
       def nrm(x: String) = VectorFns.duckNorm2(x)
@@ -455,85 +552,100 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
-    import spark.implicits._
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-    def subCol(m: Int) = expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")
-    def sliceL(a: Array[Long], m: Int) = a.slice(m * PQ_SUB, m * PQ_SUB + PQ_SUB)
+    val vecs = quantizedQv(spark, dir)
     // Seeds + the query set: the table's bounded head, collected once.
     val head = collectHead(spark, dir, math.max(NQ, PQ_K).toLong)
-    val cb0: Map[Int, Seq[(Long, Array[Long])]] = (0 until PQ_M).map { m =>
-      m -> (0L until PQ_K.toLong).flatMap(k => head.get(k).map(a => k -> sliceL(a, m)))
-    }.toMap
-    // Per-row (block, code[, sub]) triples with the code assigned INLINE
-    // against the driver-side codebook — encode is expression-only.
-    def blocks(cb: Map[Int, Seq[(Long, Array[Long])]], withSub: Boolean) =
-      posexplode(array((0 until PQ_M).map { m =>
-        val fields = Seq(lit(m).as("m"), nearestId(subCol(m), cb(m)).as("code")) ++
-          (if (withSub) Seq(subCol(m).as("sub")) else Nil)
-        struct(fields: _*)
-      }: _*))
-    // One Lloyd refinement: ONE pass over the data — inline seed encode
-    // (4 rows per vector) into a map-side-combinable (block, code)
-    // aggregate of PQ_SUB element-wise sums — then the rounded mean
-    // update on the driver.
-    val subAggs = (0 until PQ_SUB).map(i =>
-      sum(element_at(col("blk.sub"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
-    val sums = vecs
-      .select(blocks(cb0, withSub = true).as(Seq("i", "blk")))
-      .groupBy(col("blk.m").as("m"), col("blk.code").as("code"))
-      .agg(subAggs.head, subAggs.tail: _*)
-      .collect()
-    val cb: Map[Int, Seq[(Long, Array[Long])]] = sums
-      .map { r =>
-        val n = r.getLong(PQ_SUB + 2)
-        (r.getInt(0), r.getLong(1),
-          Array.tabulate(PQ_SUB)(i => roundHalfUp(r.getLong(i + 2).toDouble / n)))
+    val cb = trainPq(vecs, head)
+    pqAdcTopK("s7", pqEncode(vecs, cb), head, cb)
+  })
+
+  /** The IVF+PQ coarse codebook: the first PQ_K raw vectors. */
+  private[operators] def ivfpqCoarse(head: Map[Long, Array[Long]]): Seq[(Long, Array[Long])] =
+    (0L until PQ_K.toLong).flatMap(k => head.get(k).map(k -> _))
+
+  /** Residual codebook (driver): vectors PQ_K..2·PQ_K−1, each a residual
+    * against its own nearest coarse centroid. NEVER the centroids
+    * themselves — a centroid's residual is the zero vector, which would
+    * collapse every codebook entry to zeros and every ADC distance to a
+    * per-query constant (no ranking signal). */
+  private[operators] def ivfpqResidualCb(head: Map[Long, Array[Long]],
+      coarse: Seq[(Long, Array[Long])]): Map[Int, Seq[(Long, Array[Long])]] = {
+    val coarseMap = coarse.toMap
+    (0 until PQ_M).map { m =>
+      m -> (PQ_K.toLong until 2L * PQ_K).flatMap { k =>
+        head.get(k).map { a =>
+          val rv = subL(a, coarseMap(nearestIdL(a, coarse)))
+          (k - PQ_K) -> sliceL(rv, m)
+        }
       }
-      .groupBy(_._1)
-      .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
-    // ADC scoring FUSED into the scan: per-query lookup tables are
-    // literal MAPS keyed by the observed code values (code → partial
-    // distance, same Long arithmetic), so each row computes its M codes
-    // once and sums M map lookups per query inline — no join, no
-    // aggregation; the only shuffled rows are the top-k funnel
-    // survivors. Keying by observed codes (not a dense 0..K−1 array)
-    // keeps duplicate seed sub-blocks benign: ties encode to the lowest
-    // code, the higher code is simply never observed, and the LUT still
-    // covers exactly the codes `nearestId` can emit.
-    val lut: Map[Long, Array[Map[Long, Long]]] = (0L until NQ.toLong).toSeq
+    }.toMap
+  }
+
+  /** Adds `cid` (coarse cell) and residual codes `code0..code{M−1}` to
+    * (…, qv). Inline cell assignment; the centroid vector is attached by
+    * a tiny literal when-chain so assignment + residual + encode all
+    * stay in ONE codegen stage — no join, no shuffle. The residual
+    * subtraction is the codegen'd [[VectorFns.subtract]] expression — it
+    * runs once per row of the full scan, so like the dot product it
+    * stays inside whole-stage codegen rather than an interpreted
+    * zip_with lambda. */
+  private[operators] def ivfpqEncode(vecs: DataFrame,
+      coarse: Seq[(Long, Array[Long])],
+      cbEntries: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+    val cvCol = coarse.foldLeft(lit(null).cast("array<bigint>")) {
+      case (acc, (cid, cv)) => when(col("cid") === cid, typedLit(cv)).otherwise(acc)
+    }
+    def rsubCol(m: Int) = expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")
+    val cells = vecs
+      .withColumn("cid", nearestId(col("qv"), coarse))
+      .withColumn("rv", VectorFns.subtract(col("qv"), cvCol))
+    (0 until PQ_M).foldLeft(cells) { (df, m) =>
+      df.withColumn(s"code$m", nearestId(rsubCol(m), cbEntries(m)))
+    }
+  }
+
+  /** Cell-gated ADC scoring + top-k over IVF+PQ-coded rows
+    * (vec_id, cid, code0..code{M−1}): per-query LUTs over the residual
+    * codebook as literal maps, the query's own cell + residual computed
+    * on the driver in the identical Long arithmetic — no join, no
+    * aggregation. Shared by s8 and the index probe. */
+  private[operators] def ivfpqAdcTopK(tag: String, coded: DataFrame,
+      head: Map[Long, Array[Long]],
+      coarse: Seq[(Long, Array[Long])],
+      cbEntries: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+    val coarseMap = coarse.toMap
+    val lut: Seq[(Long, Long, Array[Map[Long, Long]])] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
-        q -> Array.tabulate(PQ_M) { m =>
-          cb(m).map { case (code, csub) =>
-            code -> d2L(sliceL(head(q), m), csub)
+        val qcid = nearestIdL(head(q), coarse)
+        val qrv = subL(head(q), coarseMap(qcid))
+        // Keyed by observed code values (as s7): duplicate seed residual
+        // sub-blocks leave a code unobserved, never crash the query.
+        val tables = Array.tabulate(PQ_M) { m =>
+          cbEntries(m).map { case (code, csub) =>
+            code -> d2L(sliceL(qrv, m), csub)
           }.toMap
         }
-      }.toMap
-    val coded = (0 until PQ_M).foldLeft(vecs) { (df, m) =>
-      df.withColumn(s"code$m", nearestId(subCol(m), cb(m)))
-    }
-    val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
-      // A code outside the LUT would make element_at NULL, and a NULL
-      // adc_d2 sorts FIRST under the ascending top-k window — silent
-      // corruption instead of a crash. Unreachable today (nearestId and
-      // the LUT draw from the same codebook entries), so keep the loud
-      // guard explicit (the t31 coalesce+raise_error pattern).
+        (q, qcid, tables)
+      }
+    val perQuery = lut.map { case (q, qcid, tables) =>
+      // Same loud-NULL guard as s7: an unmapped code must crash, not
+      // sort-first into the top-k.
       val adc = (0 until PQ_M).map(m =>
         coalesce(
           element_at(typedLit(tables(m)), col(s"code$m")),
           raise_error(format_string(
-            s"s7 ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
-      struct(lit(q).as("query_id"), adc.as("adc_d2"))
+            s"$tag ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
+      struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
     }
     val scored = coded
-      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
-      .filter(col("vec_id") =!= col("qs.query_id"))
+      .select(col("vec_id"), col("cid"), explode(array(perQuery: _*)).as("qs"))
+      .filter(col("cid") === col("qs.q_cid") && col("vec_id") =!= col("qs.query_id"))
       .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("qs.adc_d2").as("adc_d2"))
+        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2"))
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")
-  })
+  }
 
   /** IVF+PQ composition (s8): the full FAISS-style index shape —
     * vectors are assigned to a coarse cell (broadcast-argmin, as s3),
@@ -544,13 +656,10 @@ object Similarity extends OpModule {
     * norms ≪ vector norms). Residuals are elementwise differences of
     * quantized longs, so every distance remains exact integer
     * arithmetic and the DuckDB mirror ranks identically. The residual
-    * subtraction is the codegen'd [[SubtractArraysLong]] expression —
-    * it runs once per row of the full scan, so like the dot product it
-    * stays inside whole-stage codegen rather than an interpreted
-    * zip_with lambda. The residual codebook is seeded from vectors
-    * PQ_K..2·PQ_K−1 — never the coarse centroids themselves, whose
-    * residuals are all-zero and would collapse ADC to a constant
-    * (SimilaritySpec pins the non-degeneracy). */
+    * codebook is seeded from vectors PQ_K..2·PQ_K−1 — never the coarse
+    * centroids themselves, whose residuals are all-zero and would
+    * collapse ADC to a constant (SimilaritySpec pins the
+    * non-degeneracy). */
   val s8IvfPqTopK: Op = Op(
     "s8_ann_ivfpq_topk", {
       def nrm(x: String) = VectorFns.duckNorm2(x)
@@ -602,81 +711,12 @@ object Similarity extends OpModule {
       ORDER BY query_id, rnk
     """)
     })((spark, dir) => {
-    import spark.implicits._
-    val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
-    def sliceL(a: Array[Long], m: Int) = a.slice(m * PQ_SUB, m * PQ_SUB + PQ_SUB)
-    def subL(a: Array[Long], b: Array[Long]): Array[Long] = {
-      val out = new Array[Long](a.length)
-      var i = 0
-      while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
-      out
-    }
+    val vecs = quantizedQv(spark, dir)
     val head = collectHead(spark, dir, math.max(NQ, 2 * PQ_K).toLong)
-    val coarse: Seq[(Long, Array[Long])] =
-      (0L until PQ_K.toLong).flatMap(k => head.get(k).map(k -> _))
-    val coarseMap = coarse.toMap
-    // Residual codebook (driver): vectors PQ_K..2·PQ_K−1, each a residual
-    // against its own nearest coarse centroid. NEVER the centroids
-    // themselves — a centroid's residual is the zero vector, which would
-    // collapse every codebook entry to zeros and every ADC distance to a
-    // per-query constant (no ranking signal).
-    val cbEntries: Map[Int, Seq[(Long, Array[Long])]] = (0 until PQ_M).map { m =>
-      m -> (PQ_K.toLong until 2L * PQ_K).flatMap { k =>
-        head.get(k).map { a =>
-          val rv = subL(a, coarseMap(nearestIdL(a, coarse)))
-          (k - PQ_K) -> sliceL(rv, m)
-        }
-      }
-    }.toMap
-    // Inline cell assignment; the centroid vector is attached by a tiny
-    // literal when-chain so assignment + residual + encode all stay in
-    // ONE codegen stage — no join, no shuffle until the final agg.
-    val cvCol = coarse.foldLeft(lit(null).cast("array<bigint>")) {
-      case (acc, (cid, cv)) => when(col("cid") === cid, typedLit(cv)).otherwise(acc)
-    }
-    val cells = vecs
-      .withColumn("cid", nearestId(col("qv"), coarse))
-      .withColumn("rv", VectorFns.subtract(col("qv"), cvCol))
-    def rsubCol(m: Int) = expr(s"slice(rv, ${m * PQ_SUB + 1}, $PQ_SUB)")
-    // ADC scoring fused into the scan (as s7): per-query LUTs over the
-    // residual codebook as literal arrays, cell-gated per row — no join,
-    // no aggregation; the query's own cell + residual computed on the
-    // driver in the identical Long arithmetic.
-    val lut: Seq[(Long, Long, Array[Map[Long, Long]])] = (0L until NQ.toLong).toSeq
-      .filter(head.contains).map { q =>
-        val qcid = nearestIdL(head(q), coarse)
-        val qrv = subL(head(q), coarseMap(qcid))
-        // Keyed by observed code values (as s7): duplicate seed residual
-        // sub-blocks leave a code unobserved, never crash the query.
-        val tables = Array.tabulate(PQ_M) { m =>
-          cbEntries(m).map { case (code, csub) =>
-            code -> d2L(sliceL(qrv, m), csub)
-          }.toMap
-        }
-        (q, qcid, tables)
-      }
-    val coded = (0 until PQ_M).foldLeft(cells) { (df, m) =>
-      df.withColumn(s"code$m", nearestId(rsubCol(m), cbEntries(m)))
-    }
-    val perQuery = lut.map { case (q, qcid, tables) =>
-      // Same loud-NULL guard as s7: an unmapped code must crash, not
-      // sort-first into the top-k.
-      val adc = (0 until PQ_M).map(m =>
-        coalesce(
-          element_at(typedLit(tables(m)), col(s"code$m")),
-          raise_error(format_string(
-            s"s8 ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
-      struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
-    }
-    val scored = coded
-      .select(col("vec_id"), col("cid"), explode(array(perQuery: _*)).as("qs"))
-      .filter(col("cid") === col("qs.q_cid") && col("vec_id") =!= col("qs.query_id"))
-      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2"))
-    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
-      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
-      .orderBy("query_id", "rnk")
+    val coarse = ivfpqCoarse(head)
+    val cbEntries = ivfpqResidualCb(head, coarse)
+    val coded = ivfpqEncode(vecs, coarse, cbEntries)
+    ivfpqAdcTopK("s8", coded, head, coarse, cbEntries)
   })
 
   /** Per-label centroid statistics over the quantized embedding space —

@@ -86,6 +86,36 @@ class PlanAuditSpec extends SparkSpecBase {
       "s8 should fuse assignment + encode + ADC into the scan:\n" + p.take(1500))
   }
 
+  test("s9 probe: index-only — no raw-corpus scan, no Lloyd aggregate, cell-pruned") {
+    val p = plan("s9_ann_ivf_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "probe re-scanned the raw corpus:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "probe plan contains an aggregate (Lloyd training crept back in):\n" + p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "inverted-list read lost its cell partition filter:\n" + p.take(1500))
+  }
+
+  test("s10 probe: joinless ADC over the codes table only") {
+    val p = plan("s10_ann_pq_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "probe re-scanned the raw corpus:\n" + p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "PQ probe should stay expression-only:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "probe plan contains an aggregate (training crept back in):\n" + p.take(1500))
+  }
+
+  test("s11 probe: joinless, cell-pruned, index-only") {
+    val p = plan("s11_ann_ivfpq_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "probe re-scanned the raw corpus:\n" + p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "IVF+PQ probe should stay expression-only:\n" + p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "inverted-list read lost its cell partition filter:\n" + p.take(1500))
+  }
+
   test("t26: the vocabulary join is hash-based, never a cartesian") {
     // The df side is NOT hint-broadcast (unbounded token spaces would
     // hit the broadcast limit); the optimizer may still pick broadcast

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The persisted ANN index must serve EXACTLY the inline operators'
+  * answers (build/probe is a lifecycle split, not a semantics change),
+  * and appends under frozen codebooks must equal a full encode with
+  * those same codebooks — the FAISS train-then-add contract. Lives in
+  * graft.operators to drive [[Similarity]]'s package-private stages as
+  * the independent expected side. */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+
+  test("probes serve the inline s5/s7/s8 answers from the persisted tables") {
+    val root = Files.createTempDirectory("ann-idx").toString
+    AnnIndex.build(spark, sf(), root)
+    assert(rows(AnnIndex.probeIvf(spark, root))
+      == rows(Similarity.s5IvfTrained.run(spark, sf())))
+    assert(rows(AnnIndex.probePq(spark, sf(), root))
+      == rows(Similarity.s7PqTopK.run(spark, sf())))
+    assert(rows(AnnIndex.probeIvfPq(spark, sf(), root))
+      == rows(Similarity.s8IvfPqTopK.run(spark, sf())))
+  }
+
+  test("append extends the corpus under frozen codebooks; replay is a no-op") {
+    val all = Tables.embeddings(spark, sf())
+    val split = all.count() / 2 // > the seed/query head (vec_id < 16)
+    assert(split >= 16, s"corpus too small to split at $split")
+    // Build on the first half only…
+    val dirA = Files.createTempDirectory("ann-sub").toString
+    all.filter(col("vec_id") < split).write.parquet(s"$dirA/embeddings.parquet")
+    val root = Files.createTempDirectory("ann-idx-inc").toString
+    AnnIndex.build(spark, dirA, root)
+    // …then append the second half: codebooks stay frozen at the
+    // half-corpus training.
+    AnnIndex.append(spark, root,
+      all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+    // Expected = the SAME half-trained codebooks applied to the full
+    // corpus in one shot, via Similarity's own stages.
+    val vecsA = Similarity.quantizedQvNrm(spark, dirA).cache()
+    val vecsAll = Similarity.quantizedQvNrm(spark, sf())
+    try {
+      val cent = Similarity.trainIvf(spark, dirA, vecsA)
+      val expIvf = Similarity.ivfCosineTopK(
+        vecsAll.withColumn("cid", Similarity.nearestId(col("qv"), cent)))
+      assert(rows(AnnIndex.probeIvf(spark, root)) == rows(expIvf))
+
+      val headPq = Similarity.collectHead(spark, dirA,
+        math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+      val cb = Similarity.trainPq(vecsA, headPq)
+      val expPq = Similarity.pqAdcTopK("exp",
+        Similarity.pqEncode(vecsAll, cb), headPq, cb)
+      assert(rows(AnnIndex.probePq(spark, sf(), root)) == rows(expPq))
+
+      val headR = Similarity.collectHead(spark, dirA,
+        math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+      val coarse = Similarity.ivfpqCoarse(headR)
+      val rcb = Similarity.ivfpqResidualCb(headR, coarse)
+      val expR = Similarity.ivfpqAdcTopK("exp",
+        Similarity.ivfpqEncode(vecsAll, coarse, rcb), headR, coarse, rcb)
+      assert(rows(AnnIndex.probeIvfPq(spark, sf(), root)) == rows(expR))
+
+      // Replaying the same batch appends nothing (per-family anti-join).
+      val tables = Seq("ivf/codes", "pq/codes", "ivfpq/codes")
+      val before = tables.map(t => spark.read.parquet(s"$root/$t").count())
+      AnnIndex.append(spark, root,
+        all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+      val after = tables.map(t => spark.read.parquet(s"$root/$t").count())
+      assert(before == after)
+    } finally vecsA.unpersist()
+  }
+}
