@@ -57,8 +57,9 @@ object Curation extends OpModule {
       ORDER BY lang, split
     """)
     })((spark, dir) =>
+    // d2's pair SET (unsorted): the anti-join needs membership, not order.
     curate(spark, dir,
-      Dedup.d2MinHashLsh.run(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
+      Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
 
   /** The curation DAG with the near-dup drop set injected — shared by
     * the inline oracle query (c1) and the persisted-pair-table path. */
@@ -91,7 +92,10 @@ object Curation extends OpModule {
     * [[curateAgainstPairs]] instead of re-deriving it per query. */
   def persistNearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
       tablePath: String): Long = {
-    Dedup.d2MinHashLsh.run(spark, dir)
+    // Unsorted pair SET: parquet has no meaningful row order and every
+    // reader treats the table as a set — d2's ORDER BY would be a
+    // table-wide sort paid for nothing.
+    Dedup.d2Pairs(spark, dir)
       .write.mode("overwrite").parquet(tablePath)
     spark.read.parquet(tablePath).count()
   }

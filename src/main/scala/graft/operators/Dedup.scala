@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFns, VectorFns}
 import graft.{Op, OpModule, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline:
@@ -98,15 +98,12 @@ object Dedup extends OpModule {
       )"""
   }
 
-  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard. */
-  val d2MinHashLsh: Op = Op(
-    "d2_dedup_minhash_lsh",
-    Some(s"""
-      WITH $duckPairCtes
-      SELECT doc_a, doc_b, jac AS jaccard
-      FROM scored WHERE jac >= $JACCARD_T
-      ORDER BY doc_a, doc_b
-    """))((spark, dir) => {
+  /** d2's full pair pipeline, UNSORTED: shingle → minhash-band →
+    * banded self-join → exact-Jaccard threshold. The d2 operator adds
+    * the presentation ORDER BY; internal consumers (d6's clustering,
+    * c1's anti-join, the persisted pair table) take the pair SET and
+    * must not pay a total sort for it. */
+  private[operators] def d2Pairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = shingled(Tables.spread(Tables.documents(spark, dir)))
       .cache() // reused for exact-Jaccard rescoring of the candidates
     val bands = minhashBands(toks)
@@ -119,8 +116,18 @@ object Dedup extends OpModule {
     exactJaccard(cand, toks)
       .filter(col("jac") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  })
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs + exact Jaccard. */
+  val d2MinHashLsh: Op = Op(
+    "d2_dedup_minhash_lsh",
+    Some(s"""
+      WITH $duckPairCtes
+      SELECT doc_a, doc_b, jac AS jaccard
+      FROM scored WHERE jac >= $JACCARD_T
+      ORDER BY doc_a, doc_b
+    """))((spark, dir) =>
+    d2Pairs(spark, dir).orderBy("doc_a", "doc_b"))
 
   /** d2's per-document shingle stage: (doc_id, sh) with distinct word
     * 3-grams; docs under 3 tokens drop. Shared with [[NearDupIndex]] so
@@ -414,7 +421,9 @@ object Dedup extends OpModule {
         USING (cluster_id)
       ORDER BY c.doc_id
     """))((spark, dir) => {
-    val pairs = d2MinHashLsh.run(spark, dir).select("doc_a", "doc_b")
+    // d2's pair SET, skipping its presentation sort — clustering is
+    // order-insensitive and the total ORDER BY was a wasted shuffle.
+    val pairs = d2Pairs(spark, dir).select("doc_a", "doc_b")
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))
