@@ -27,16 +27,33 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Ranks {
 
-  /** Adds `idCol` = 1-based global row number by `key` (key values must
-    * be unique per row — dedupe first for dense_rank semantics). */
+  /** Adds `idCol` = 1-based global row number by `key`.
+    *
+    * CONTRACT: `key` must be unique per row. Duplicate keys break the
+    * helper twice over — the ids among ties depend on which range
+    * partition each tie lands in (nondeterministic output), and range
+    * partitioning sends EVERY row of a hot key to one partition (a 90%
+    * duplicate key re-creates the single-task sort this helper exists
+    * to avoid). When rows are only unique as a tuple, pass the full
+    * tuple to the composite overload: ties then spread across range
+    * boundaries by the tiebreaker columns and the order is total
+    * again. Dedupe first if dense_rank semantics are wanted. */
   def globalRowNumber(df: DataFrame, key: Column, idCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    globalRowNumber(df, Seq(key), idCol, partitions)
+
+  /** Composite-key variant: global row number by the (totally-ordering)
+    * `keys` tuple. Range partitioning uses the whole tuple, so heavy
+    * duplication in a prefix column is spread by the tiebreakers
+    * instead of hotspotting one range (RanksSpec pins the balance). */
+  def globalRowNumber(df: DataFrame, keys: Seq[Column], idCol: String,
+      partitions: Int): DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df.repartitionByRange(n, key)
+    val parted = df.repartitionByRange(n, keys: _*)
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__rk",
-      row_number().over(Window.partitionBy("__pid").orderBy(key)))
+      row_number().over(Window.partitionBy("__pid").orderBy(keys: _*)))
     // Cumulative offsets over #partitions rows — the only non-parallel
     // window here runs over n rows, not the data.
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
