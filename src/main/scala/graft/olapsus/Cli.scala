@@ -78,15 +78,24 @@ object Ingest {
 }
 
 /** `runMain graft.olapsus.Backfill --dataset sim|sinasc --prefix
-  * LANDING_DIR --warehouse DIR` — ingest every pending `dt=` partition
-  * (manifest-skipped days are no-ops), oldest first. */
+  * LANDING_DIR --warehouse DIR [--engine batch|stream]` — ingest every
+  * pending `dt=` partition, oldest first. The default batch engine
+  * skips manifest-logged days (re-runs are no-ops); `--engine stream`
+  * drives the same days through [[StreamingIngest.backfill]], where the
+  * stream checkpoint gives file-granular exactly-once across crashes
+  * and completed days land in the manifest too. */
 object Backfill {
   def main(args: Array[String]): Unit = {
     val a = Cli.parseArgs(args)
     val spark = Cli.session()
     val wh = new Warehouse(spark, a("warehouse"))
-    Pipeline.backfill(wh, a("prefix"), a("dataset")).foreach { case (dt, n) =>
-      println(s"dt=$dt: ${if (n == 0) "skipped (logged or empty)" else s"$n fact rows"}")
+    if (a.get("engine").contains("stream")) {
+      StreamingIngest.backfill(wh, a("prefix"), a("dataset")).awaitTermination()
+      println(s"stream backfill drained ${a("prefix")}/${a("dataset")}")
+    } else {
+      Pipeline.backfill(wh, a("prefix"), a("dataset")).foreach { case (dt, n) =>
+        println(s"dt=$dt: ${if (n == 0) "skipped (logged or empty)" else s"$n fact rows"}")
+      }
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.olapsus
 
-import org.apache.spark.sql.functions.monotonically_increasing_id
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
@@ -28,6 +28,35 @@ object StreamingIngest {
       .schema(schema)
       .csv(dir)
 
+  /** One SINASC micro-batch through the batch resolvers; `label` is the
+    * fact `dt=` partition value. */
+  private[olapsus] def ingestSinascBatch(wh: Warehouse, batch: DataFrame,
+      label: String): Unit = {
+    val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
+    wh.append("factNascimentos", fact, label)
+  }
+
+  /** One SIM micro-batch: bridge merge + factObitos append
+    * (single-writer, as in the batch path). */
+  private[olapsus] def ingestSimBatch(wh: Warehouse, batch: DataFrame,
+      label: String): Unit = {
+    val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
+    if (!wh.exists(Warehouse.Signatures))
+      wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
+    val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
+      wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
+    // Append only the new groups' rows (files of pre-existing groups are
+    // never rewritten) — O(new groups) per micro-batch.
+    val newRows = bridge.newBridgeRows.cache()
+    if (newRows.count() > 0) {
+      wh.appendRows(Warehouse.Bridge, newRows)
+      wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
+    }
+    wh.append("factObitos", Pipeline.resolveSim(bridge.resolved, wh), label)
+    newRows.unpersist()
+    ()
+  }
+
   /** Drain all available SINASC CSVs from `landingDir` into
     * factNascimentos; one fact append per micro-batch. */
   def sinasc(wh: Warehouse, landingDir: String): StreamingQuery =
@@ -35,10 +64,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${wh.root}/.checkpoints/sinasc")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
-          wh.append("factNascimentos", fact, s"stream-$id")
-        }
+        if (!batch.isEmpty) ingestSinascBatch(wh, batch, s"stream-$id")
       }
       .start()
 
@@ -49,23 +75,45 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${wh.root}/.checkpoints/sim")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
-          if (!wh.exists(Warehouse.Signatures))
-            wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
-          val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
-            wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
-          // Append only the new groups' rows (files of pre-existing
-          // groups are never rewritten) — O(new groups) per micro-batch.
-          val newRows = bridge.newBridgeRows.cache()
-          if (newRows.count() > 0) {
-            wh.appendRows(Warehouse.Bridge, newRows)
-            wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
-          }
-          wh.append("factObitos", Pipeline.resolveSim(bridge.resolved, wh), s"stream-$id")
-          newRows.unpersist()
-          ()
+        if (!batch.isEmpty) ingestSimBatch(wh, batch, s"stream-$id")
+      }
+      .start()
+
+  /** Streaming twin of [[Pipeline.backfill]]: the whole dt-partitioned
+    * landing tree (`prefix/dataset/dt=…/…`) is ONE file stream. `dt` is
+    * recovered as a hive partition column, and each micro-batch splits
+    * by day so facts land in the same per-day `dt=` partitions the
+    * batch driver writes. Exactly-once across crashes comes from the
+    * stream checkpoint (file granularity — finer than the batch
+    * driver's day manifest): an interrupted backfill resumed with the
+    * same checkpoint re-reads nothing it already committed. Completed
+    * days are ALSO logged to the ingest manifest so the two drivers
+    * compose — a day the stream has touched is never re-appended by a
+    * later batch backfill. Single writer per dataset, as everywhere in
+    * this warehouse; don't run both drivers concurrently. */
+  def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
+    val (schema, perDay) = dataset match {
+      case "sinasc" =>
+        (sinascSchema, (b: DataFrame, d: String) => ingestSinascBatch(wh, b, d))
+      case "sim" =>
+        (simSchema, (b: DataFrame, d: String) => ingestSimBatch(wh, b, d))
+      case other => sys.error(s"unknown dataset $other (sim|sinasc)")
+    }
+    val withDt = StructType(schema.fields :+ StructField("dt", StringType))
+    csvStream(wh, s"$prefix/$dataset", withDt).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"${wh.root}/.checkpoints/backfill-$dataset")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // A micro-batch may span days; the day count is bounded by the
+        // backfill window, so the driver-side loop is tiny.
+        val days = batch.select("dt").distinct()
+          .collect().map(_.getString(0)).sorted
+        days.foreach { d =>
+          val sub = batch.filter(col("dt") === d).drop("dt")
+          perDay(sub, d)
+          if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
         }
       }
       .start()
+  }
 }

@@ -142,6 +142,33 @@ class OlapSusSpec extends SparkSpecBase {
     assert(wh.table("factNascimentos").count() == before + 4)
   }
 
+  test("streaming backfill: dt-partitioned tree, crash-resume, batch-driver composition") {
+    val landing = Files.createTempDirectory("backfill-landing")
+    val day1 = landing.resolve("sinasc/dt=2021-04-01")
+    Files.createDirectories(day1)
+    Fixtures.write(day1, "part.csv", Fixtures.sinasc)
+    val before =
+      if (wh.exists("factNascimentos")) wh.table("factNascimentos").count() else 0L
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    // Facts landed in the REAL day partition (not a stream-batch label).
+    assert(wh.table("factNascimentos").where("dt = '2021-04-01'").count() == 4)
+    // The day reached the manifest, so the BATCH driver skips it — the
+    // two backfill engines compose instead of double-appending.
+    assert(Pipeline.backfill(wh, landing.toString, "sinasc") == Seq("2021-04-01" -> 0L))
+    // "Crash" between days: the second day arrives after the first run
+    // ended; restarting with the same checkpoint ingests ONLY the new
+    // day — 2021-04-01's files are never re-read.
+    val day2 = landing.resolve("sinasc/dt=2021-04-02")
+    Files.createDirectories(day2)
+    Fixtures.write(day2, "part.csv", Fixtures.sinasc)
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(wh.table("factNascimentos").where("dt = '2021-04-01'").count() == 4)
+    assert(wh.table("factNascimentos").where("dt = '2021-04-02'").count() == 4)
+    // Replay with nothing new: a checkpointed no-op.
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(wh.table("factNascimentos").count() == before + 8)
+  }
+
   test("bucketed warehouse: fact-dim join and agg on the bucket key plan shuffle-free") {
     Pipeline.ingestSim(wh, simCsv, "2020-01-15") // idempotent setup if run alone
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
