@@ -131,8 +131,9 @@ class FunctionsSpec extends SparkSpecBase {
     val out = Multimodal.decodePartition(Iterator(
       Multimodal.MediaRaw(7L, "video", "hello".getBytes("UTF-8")),
       Multimodal.MediaRaw(8L, "image", Array.emptyByteArray))).toList
-    assert(out.head == Multimodal.MediaMeta(7L, "video", 5, 5, 'h'.toInt, 1 + 5 % 16, 'h'.toInt))
-    assert(out(1) == Multimodal.MediaMeta(8L, "image", 0, 0, 0, 1, 0))
+    assert(out.head ==
+      Multimodal.MediaMeta(7L, "video", 5, 5, 'h'.toInt, 1 + 5 % 16, 'h'.toInt, "raw"))
+    assert(out(1) == Multimodal.MediaMeta(8L, "image", 0, 0, 0, 1, 0, "raw"))
   }
 
   test("Profiler handles any schema: numeric min/max, string nulls, full-table default") {
