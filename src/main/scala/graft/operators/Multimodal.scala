@@ -25,9 +25,9 @@ object Multimodal extends OpModule {
   final case class MediaRaw(doc_id: Long, media_type: String, payload: Array[Byte])
 
   /** One decoded media row. `format` is DETECTED from the payload bytes
-    * ("png"/"bmp"/"gif" via [[MediaHeaders.parse]]); "raw" means no
-    * recognized container, in which case the dimensions fall back to the
-    * stub arithmetic. */
+    * ("png"/"bmp"/"gif"/"jpeg" via [[MediaHeaders.parse]]); "raw" means
+    * no recognized container, in which case the dimensions fall back to
+    * the stub arithmetic. */
   final case class MediaMeta(
       doc_id: Long,
       media_type: String,
@@ -213,7 +213,8 @@ object Multimodal extends OpModule {
     "m5_media_header_decode",
     Some("""
       SELECT doc_id,
-             CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+             CASE (doc_id % 4) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                               WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
              CAST(doc_id % 800 + 1 AS INTEGER) AS width,
              CAST((doc_id * 7) % 600 + 1 AS INTEGER) AS height
       FROM documents
@@ -223,7 +224,9 @@ object Multimodal extends OpModule {
     Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val fmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" }
+        val fmt = (id % 4) match {
+          case 0 => "png"; case 1 => "bmp"; case 2 => "gif"; case _ => "jpeg"
+        }
         val w = (id % 800 + 1).toInt
         val h = ((id * 7) % 600 + 1).toInt
         MediaRaw(id, fmt, MediaHeaders.make(fmt, w, h))
@@ -251,6 +254,7 @@ object MediaHeaders {
 
   private def be32(v: Int) =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
   private def le32(v: Int) =
     Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
   private def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
@@ -258,6 +262,8 @@ object MediaHeaders {
   private def readBe32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
   private def readLe32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
@@ -289,6 +295,19 @@ object MediaHeaders {
       require(width <= 0xffff && height <= 0xffff, "GIF dims are uint16")
       "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
         Array[Byte](0, 0, 0)
+    case "jpeg" =>
+      // SOI, APP0/JFIF (the segment real encoders emit first), then a
+      // minimal single-component SOF0. Dimensions live in SOF0 as
+      // big-endian u16 HEIGHT then WIDTH - the order trips naive
+      // parsers, which is why m5 oracle-checks it.
+      require(width <= 0xffff && height <= 0xffff, "JPEG dims are uint16")
+      val jfif = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(height) ++ be16(width) ++
+        Array[Byte](1, 1, 0x11, 0)
+      Array(0xff, 0xd8).map(_.toByte) ++ jfif ++ sof0
     case other => sys.error(s"unknown media format $other")
   }
 
@@ -309,6 +328,30 @@ object MediaHeaders {
     else if (b.length >= 13 && (new String(b, 0, 6, "US-ASCII") == "GIF89a"
         || new String(b, 0, 6, "US-ASCII") == "GIF87a"))
       Some(("gif", readLe16(b, 6), readLe16(b, 8)))
+    else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte
+        && b(2) == 0xff.toByte)
+      parseJpeg(b)
     else None
+  }
+
+  /** JPEG marker walk: skip segments from SOI until a start-of-frame
+    * (SOF0-SOF15 except DHT/JPG/DAC), whose payload is
+    * [precision u8][HEIGHT u16be][WIDTH u16be] — the real segment
+    * grammar, as a decoder's header pass runs it. Returns None on any
+    * malformed structure instead of reading garbage. */
+  private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    var off = 2 // past SOI
+    while (off + 3 < b.length && b(off) == 0xff.toByte) {
+      val marker = b(off + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf
+          && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (off + 9 > b.length) return None
+        return Some(("jpeg", readBe16(b, off + 7), readBe16(b, off + 5)))
+      }
+      // Standalone markers (RSTn, TEM) carry no length field.
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+      else off += 2 + readBe16(b, off + 2)
+    }
+    None
   }
 }

@@ -543,8 +543,66 @@ object TextOps extends OpModule {
       .orderBy("source", "lang")
   })
 
+  private val DecontamN = 8 // decontamination gram width (words)
+
+  /** Benchmark decontamination: find evaluation documents whose word
+    * 8-grams leak into the training pool — the check every serious
+    * pretraining pipeline runs before trusting its eval numbers
+    * (the GPT-3/Gopher n-gram-overlap method). The eval set here is the
+    * deterministic doc_id % 50 == 0 slice; in production it is the
+    * benchmark corpus.
+    *
+    * Scale shape: per-doc DISTINCT grams (array_distinct before the
+    * explode keeps boilerplate from multiplying rows), int64 gram keys
+    * (15-hex md5 prefix — the repo's standard cross-engine hash), then
+    * ONE gram-keyed equi-join of the small eval side against the train
+    * side — a hash join partitioned on the gram, never an all-pairs
+    * comparison — into a per-eval-doc count-distinct. At 100 TB the
+    * eval side is tiny and broadcastable; ultra-common grams (hot
+    * keys) are the known skew point and would be pre-filtered by
+    * document frequency in production. */
+  val t32Decontamination: Op = Op(
+    "t32_decontamination",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), grams AS (
+        SELECT doc_id,
+               UNNEST(list_distinct([array_to_string(w[i:i+${DecontamN - 1}], ' ')
+                                     FOR i IN generate_series(1, len(w) - ${DecontamN - 1})])) AS g
+        FROM toks WHERE len(w) >= $DecontamN
+      ), hashed AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM grams
+      ), eval_g AS (SELECT doc_id, gh FROM hashed WHERE doc_id % 50 = 0),
+         train_g AS (SELECT doc_id, gh FROM hashed WHERE doc_id % 50 <> 0)
+      SELECT e.doc_id AS eval_doc_id,
+             CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+             CAST(COUNT(DISTINCT e.gh) AS BIGINT) AS n_shared_grams
+      FROM eval_g e JOIN train_g t ON t.gh = e.gh
+      GROUP BY e.doc_id
+      ORDER BY eval_doc_id
+    """))((spark, dir) => {
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= DecontamN)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordShingles(col("w"), DecontamN))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val evalG = grams.filter(col("doc_id") % 50 === 0)
+    val trainG = grams.filter(col("doc_id") % 50 =!= 0)
+    evalG.as("e").join(trainG.as("t"), col("e.gh") === col("t.gh"))
+      .groupBy(col("e.doc_id").as("eval_doc_id"))
+      .agg(
+        countDistinct(col("t.doc_id")).as("n_train_docs"),
+        countDistinct(col("e.gh")).as("n_shared_grams"))
+      .orderBy("eval_doc_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
-      t30SequencePacking, t31SourceMixture)
+      t30SequencePacking, t31SourceMixture, t32Decontamination)
 }

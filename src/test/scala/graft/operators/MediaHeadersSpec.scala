@@ -10,11 +10,17 @@ class MediaHeadersSpec extends AnyFunSuite {
 
   test("make → parse round-trips every format across boundary dimensions") {
     for {
-      fmt <- Seq("png", "bmp", "gif")
+      fmt <- Seq("png", "bmp", "gif", "jpeg")
       (w, h) <- Seq((1, 1), (800, 600), (1024, 1), (65535, 65535))
-      if fmt != "gif" || (w <= 0xffff && h <= 0xffff)
     } assert(MediaHeaders.parse(MediaHeaders.make(fmt, w, h)) == Some((fmt, w, h)),
       s"$fmt ${w}x$h")
+  }
+
+  test("JPEG parse walks markers and reads height-before-width in SOF") {
+    val b = MediaHeaders.make("jpeg", 640, 480)
+    assert(MediaHeaders.parse(b) == Some(("jpeg", 640, 480)))
+    // Truncated right after the APP0 segment: no SOF → None, not garbage.
+    assert(MediaHeaders.parse(b.take(20)).isEmpty)
   }
 
   test("PNG parse requires a correct IHDR CRC") {
