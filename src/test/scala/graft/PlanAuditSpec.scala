@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpecBase {
       "inverted-list read lost its cell partition filter:\n" + p.take(1500))
   }
 
+  test("t32: the gram-overlap join is hash-based with partial aggregation") {
+    val p = plan("t32_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination degraded to an all-pairs comparison:\n" + p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash-based join on the gram key:\n" + p.take(1500))
+    assert(p.contains("partial_"), "count-distinct lost its partial phase")
+  }
+
   test("t26: the vocabulary join is hash-based, never a cartesian") {
     // The df side is NOT hint-broadcast (unbounded token spaces would
     // hit the broadcast limit); the optimizer may still pick broadcast
