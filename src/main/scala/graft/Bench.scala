@@ -46,7 +46,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would turn the gate
+    // line into invalid JSON — the exact parse failure this file exists
+    // to prevent.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // (name, median-of-timed, cold first-run) per query. Cached plans are
     // cleared between reps so every rep pays its own compute (several
     // operators cache intermediates internally).

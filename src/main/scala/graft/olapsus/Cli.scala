@@ -89,13 +89,18 @@ object Backfill {
     val a = Cli.parseArgs(args)
     val spark = Cli.session()
     val wh = new Warehouse(spark, a("warehouse"))
-    if (a.get("engine").contains("stream")) {
-      StreamingIngest.backfill(wh, a("prefix"), a("dataset")).awaitTermination()
-      println(s"stream backfill drained ${a("prefix")}/${a("dataset")}")
-    } else {
-      Pipeline.backfill(wh, a("prefix"), a("dataset")).foreach { case (dt, n) =>
-        println(s"dt=$dt: ${if (n == 0) "skipped (logged or empty)" else s"$n fact rows"}")
-      }
+    a.getOrElse("engine", "batch") match {
+      case "stream" =>
+        StreamingIngest.backfill(wh, a("prefix"), a("dataset")).awaitTermination()
+        println(s"stream backfill drained ${a("prefix")}/${a("dataset")}")
+      case "batch" =>
+        Pipeline.backfill(wh, a("prefix"), a("dataset")).foreach { case (dt, n) =>
+          println(s"dt=$dt: ${if (n == 0) "skipped (logged or empty)" else s"$n fact rows"}")
+        }
+      // Fail loudly (like the --dataset arm): silently falling back to
+      // batch would hand the user day-granular semantics they didn't ask
+      // for.
+      case other => sys.error(s"unknown --engine $other (batch|stream)")
     }
     spark.stop()
   }

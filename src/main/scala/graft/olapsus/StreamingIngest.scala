@@ -79,18 +79,42 @@ object StreamingIngest {
       }
       .start()
 
+  /** Has the STREAM backfill itself ever written to day `d`? (Its
+    * per-(day, micro-batch) manifest keys are `d#sb<id>` — never a
+    * calendar date, so the batch driver's equality lookups ignore
+    * them.) */
+  private def streamTouched(wh: Warehouse, dataset: String, d: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    wh.exists(Warehouse.IngestLog) &&
+      !wh.table(Warehouse.IngestLog)
+        .where(col("dataset") === lit(dataset) && col("dt").startsWith(s"$d#sb"))
+        .isEmpty
+  }
+
   /** Streaming twin of [[Pipeline.backfill]]: the whole dt-partitioned
     * landing tree (`prefix/dataset/dt=…/…`) is ONE file stream. `dt` is
     * recovered as a hive partition column, and each micro-batch splits
     * by day so facts land in the same per-day `dt=` partitions the
-    * batch driver writes. Exactly-once across crashes comes from the
-    * stream checkpoint (file granularity — finer than the batch
-    * driver's day manifest): an interrupted backfill resumed with the
-    * same checkpoint re-reads nothing it already committed. Completed
-    * days are ALSO logged to the ingest manifest so the two drivers
-    * compose — a day the stream has touched is never re-appended by a
-    * later batch backfill. Single writer per dataset, as everywhere in
-    * this warehouse; don't run both drivers concurrently. */
+    * batch driver writes.
+    *
+    * Crash safety: the checkpoint guarantees a replayed micro-batch id
+    * carries exactly the same files, and every applied (day, batch) is
+    * logged to the manifest as `d#sb<id>` BEFORE the day itself — so a
+    * replay after a crash skips the day-batches that committed and
+    * re-applies only the ones that didn't. The remaining window is a
+    * crash between a day's fact append and its `d#sb` log row — the
+    * same append-then-log exposure, at the same single-writer contract,
+    * as the batch driver's `ingest → logIngest` pair, but narrowed to
+    * one day of one micro-batch instead of the whole run.
+    *
+    * Composition with the batch driver, both directions: completed days
+    * are also logged under their plain date, so the BATCH driver skips
+    * days the stream ingested; and a day the manifest knows but this
+    * stream has never touched was the BATCH driver's work, so the
+    * stream skips its files rather than double-appending them (late
+    * files for such a day are dropped — identical to the batch
+    * driver's own day-granular idempotency). Don't run both drivers
+    * concurrently. */
   def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
     val (schema, perDay) = dataset match {
       case "sinasc" =>
@@ -103,15 +127,21 @@ object StreamingIngest {
     csvStream(wh, s"$prefix/$dataset", withDt).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${wh.root}/.checkpoints/backfill-$dataset")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
         // A micro-batch may span days; the day count is bounded by the
         // backfill window, so the driver-side loop is tiny.
         val days = batch.select("dt").distinct()
           .collect().map(_.getString(0)).sorted
         days.foreach { d =>
-          val sub = batch.filter(col("dt") === d).drop("dt")
-          perDay(sub, d)
-          if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
+          val dayBatchKey = s"$d#sb$id"
+          val replayed = wh.ingestLogged(dataset, dayBatchKey)
+          val batchDriverOwns =
+            !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d)
+          if (!replayed && !batchDriverOwns) {
+            perDay(batch.filter(col("dt") === d).drop("dt"), d)
+            wh.logIngest(dataset, dayBatchKey)
+            if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
+          }
         }
       }
       .start()

@@ -56,10 +56,33 @@ object AnnIndex extends OpModule {
     fs(spark, p).exists(new Path(p))
 
   /** Deterministic per-corpus default root (test/bench convenience;
-    * production callers pass their own warehouse path). */
+    * production callers pass their own warehouse path). The md5 suffix
+    * disambiguates dirs the character-squashing would alias
+    * (`/a/b` vs `/a_b`). */
   def defaultRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_v${BuildVersion}_$key"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_v${BuildVersion}_${key}_$h"
+  }
+
+  /** Cheap corpus identity for the build marker: the embeddings table's
+    * file-level metadata (per-file path, length, mtime), hashed. A
+    * FileSystem listing — no Spark job — yet it changes whenever the
+    * corpus files are rewritten, so a regenerated corpus with the SAME
+    * row count still invalidates the index (row count alone would
+    * silently serve stale geometry). */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/embeddings.parquet")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = (if (f.getFileStatus(p).isDirectory) f.listStatus(p).toSeq
+                 else Seq(f.getFileStatus(p)))
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted
+    val h = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(s => h.update(s.getBytes("UTF-8")))
+    h.digest().map("%02x".format(_)).mkString
   }
 
   // ---- codebook (de)serialization: bounded ≤ 32-row tables ------------
@@ -134,25 +157,37 @@ object AnnIndex extends OpModule {
         .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivfpq/codes")
       // Commit marker LAST: a root without it is a failed build and will
       // be rebuilt, never probed. The marker pins the build version AND
-      // the corpus cardinality, so a root left behind by an older build
-      // or a different corpus generation is rebuilt, not silently served.
+      // a file-metadata fingerprint of the corpus, so a root left behind
+      // by an older build or a regenerated corpus (even at identical row
+      // count) is rebuilt, not silently served.
       val out = f.create(new Path(s"$root/_built"), true)
-      out.write(s"v$BuildVersion n=${vecs.count()}\n".getBytes("UTF-8"))
+      out.write(s"v$BuildVersion f=${corpusFingerprint(spark, dir)}\n".getBytes("UTF-8"))
       out.close()
+      validated.add(s"$dir|$root")
     } finally vecs.unpersist()
   }
 
+  /** Roots this JVM has already built or validated — revalidating the
+    * marker (a FileSystem read + corpus listing) on every probe call
+    * would put constant overhead inside the timed probe path for no
+    * information (single-writer contract: nothing else rewrites the
+    * corpus or the index under a live process). */
+  private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Build iff the commit marker is absent or doesn't match this build
-    * version + the corpus's current cardinality. */
+    * version + the corpus's current file fingerprint. Metadata-only:
+    * no Spark job on the validation path. */
   def ensureBuilt(spark: SparkSession, dir: String, root: String): Unit = {
+    if (validated.contains(s"$dir|$root")) return
     val marker = s"$root/_built"
     val ok = exists(spark, marker) && {
       val in = fs(spark, marker).open(new Path(marker))
       val content = scala.io.Source.fromInputStream(in).mkString.trim
       in.close()
-      content == s"v$BuildVersion n=${graft.Tables.embeddings(spark, dir).count()}"
+      content == s"v$BuildVersion f=${corpusFingerprint(spark, dir)}"
     }
     if (!ok) build(spark, dir, root)
+    validated.add(s"$dir|$root")
   }
 
   // ---- append: extend the corpus under frozen codebooks ---------------

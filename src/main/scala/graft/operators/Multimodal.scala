@@ -292,9 +292,13 @@ object MediaHeaders {
         le32(54) ++ le32(40) ++ le32(width) ++ le32(height) ++
         le16(1) ++ le16(24) ++ Array.fill[Byte](24)(0)
     case "gif" =>
+      // Logical screen descriptor + the mandatory 0x3B trailer (every
+      // complete GIF ends with it — parse() uses that as its
+      // whole-payload consistency check, the role the size field plays
+      // for BMP).
       require(width <= 0xffff && height <= 0xffff, "GIF dims are uint16")
       "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
-        Array[Byte](0, 0, 0)
+        Array[Byte](0, 0, 0, 0x3b)
     case "jpeg" =>
       // SOI, APP0/JFIF (the segment real encoders emit first), then a
       // minimal single-component SOF0. Dimensions live in SOF0 as
@@ -316,7 +320,9 @@ object MediaHeaders {
     * text can't false-positive: PNG requires the 8-byte signature, an
     * IHDR type tag AND a matching chunk CRC; BMP requires the size
     * field to equal the actual payload length; GIF requires the exact
-    * 6-byte 87a/89a magic. */
+    * 6-byte 87a/89a magic plus the mandatory 0x3B end-of-file trailer
+    * and nonzero dimensions; JPEG starts 0xFFD8FF (invalid as UTF-8
+    * text) and must contain a well-formed SOF segment. */
   def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
     if (b.length >= 33 && b.take(8).sameElements(PngSig)
         && new String(b, 12, 4, "US-ASCII") == "IHDR"
@@ -325,8 +331,16 @@ object MediaHeaders {
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M'
         && readLe32(b, 2) == b.length)
       Some(("bmp", readLe32(b, 18), readLe32(b, 22)))
-    else if (b.length >= 13 && (new String(b, 0, 6, "US-ASCII") == "GIF89a"
-        || new String(b, 0, 6, "US-ASCII") == "GIF87a"))
+    else if (b.length >= 14 && (new String(b, 0, 6, "US-ASCII") == "GIF89a"
+        || new String(b, 0, 6, "US-ASCII") == "GIF87a")
+        && b(b.length - 1) == 0x3b.toByte
+        && readLe16(b, 6) > 0 && readLe16(b, 8) > 0)
+      // The 13-byte descriptor has no checksum, so the magic alone
+      // would accept text beginning "GIF89a …". Every COMPLETE gif ends
+      // with the 0x3B trailer and has nonzero dimensions — requiring
+      // both makes a text false-positive need a 'GIF8?a' prefix AND a
+      // ';' final byte, which m2's stub fallback depends on not
+      // happening.
       Some(("gif", readLe16(b, 6), readLe16(b, 8)))
     else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte
         && b(2) == 0xff.toByte)

@@ -167,6 +167,36 @@ class OlapSusSpec extends SparkSpecBase {
     // Replay with nothing new: a checkpointed no-op.
     StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
     assert(wh.table("factNascimentos").count() == before + 8)
+    // TRUE crash replay: delete the newest checkpoint commit marker, so
+    // the restart re-delivers that exact micro-batch (same id, same
+    // files — Spark's crash contract). The day#batch manifest key must
+    // make the re-delivery a no-op instead of a double append.
+    val commits = new java.io.File(
+      dir.resolve("wh").resolve(".checkpoints/backfill-sinasc/commits").toString)
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // The local FS keeps a checksum sidecar next to the marker; a real
+    // crash loses both, so the forge must too or the replay's commit
+    // rename trips over the stale .crc.
+    val crc = new java.io.File(commits, s".${newest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(wh.table("factNascimentos").where("dt = '2021-04-02'").count() == 4,
+      "crash-replayed micro-batch was double-appended")
+    assert(wh.table("factNascimentos").count() == before + 8)
+    // Composition, batch-driver-first direction: a day the BATCH driver
+    // ingested must not be re-appended when the stream later drains the
+    // same tree.
+    val day3 = landing.resolve("sinasc/dt=2021-04-03")
+    Files.createDirectories(day3)
+    Fixtures.write(day3, "part.csv", Fixtures.sinasc)
+    Pipeline.ingestSinascFiles(wh,
+      Landing.listDay(spark, landing.toString, "sinasc", "2021-04-03"), "2021-04-03")
+    assert(wh.table("factNascimentos").where("dt = '2021-04-03'").count() == 4)
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(wh.table("factNascimentos").where("dt = '2021-04-03'").count() == 4,
+      "stream re-appended a batch-driver-owned day")
   }
 
   test("bucketed warehouse: fact-dim join and agg on the bucket key plan shuffle-free") {

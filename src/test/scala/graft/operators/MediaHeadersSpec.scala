@@ -33,6 +33,7 @@ class MediaHeadersSpec extends AnyFunSuite {
     val texts = Seq(
       "BM prefix but the size field is text",   // BMP magic, wrong size
       "GIF punchline that is not an image",     // not the 6-byte magic
+      "GIF89a mentioned in prose, no trailer",  // magic but no 0x3B end
       "plain document text with nothing special",
       "")
     texts.foreach { t =>
