@@ -753,7 +753,86 @@ object Similarity extends OpModule {
       .orderBy("label", "dim")
   })
 
+  /** Int8 scalar quantization of the embedding column — the storage-
+    * compression step that shrinks a float corpus 4× before ANN serving
+    * (symmetric per-dimension scaling, the FAISS `SQ8`/ScaNN int8
+    * shape). Each dimension's scale is its corpus max |x|; codes are
+    * round(x·127/mx) ∈ [−127, 127]; the report is the per-label
+    * reconstruction-error census plus the code-range invariant.
+    *
+    * All arithmetic is exact cross-engine: quantized Long inputs,
+    * integer products (≤ 2^27, exact in double), one IEEE double
+    * division + half-up round per element — identical bit patterns in
+    * both engines, so even the summed squared errors hash-match.
+    *
+    * Scale shape: two scans and no joins — a map-side-combinable
+    * (dim, max|x|) aggregate whose dim-count-bounded result is
+    * collected and pushed back as literals (the codebook pattern), then
+    * a pure per-row encode + 10-row label census. At 100 TB the stats
+    * pass is the standard collect-stats-then-broadcast shape; the
+    * encode pass stays inside whole-stage codegen. */
+  val s12Int8Quantize: Op = Op(
+    "s12_int8_quantize",
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
+        FROM embeddings
+      ), e AS (
+        SELECT vec_id, label, generate_subscripts(qv, 1) AS dim, UNNEST(qv) AS x
+        FROM v
+      ), m AS (
+        SELECT dim, MAX(abs(x)) AS mx FROM e GROUP BY dim
+      ), enc AS (
+        SELECT e.vec_id, e.label, e.x, m.mx,
+               CASE WHEN m.mx = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(CAST(e.x * 127 AS DOUBLE) / m.mx) AS BIGINT) END AS code
+        FROM e JOIN m USING (dim)
+      ), err AS (
+        SELECT vec_id, label, code,
+               x - (CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round(CAST(code * mx AS DOUBLE) / 127) AS BIGINT) END) AS r
+        FROM enc
+      ), pv AS (
+        SELECT vec_id, label, SUM(r * r) AS sq, COUNT(*) AS nd, MAX(abs(code)) AS mc
+        FROM err GROUP BY vec_id, label
+      )
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(sq) AS BIGINT) AS total_sq_err,
+             CAST(MAX(mc) AS BIGINT) AS max_abs_code,
+             CAST(SUM(sq) AS DOUBLE) / CAST(SUM(nd) AS DOUBLE) AS mse
+      FROM pv GROUP BY label ORDER BY label
+    """))((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        VectorFns.quantize(col("embedding")).as("qv"))
+    val mx = vecs.select(posexplode(col("qv")).as(Seq("dim0", "x")))
+      .groupBy("dim0").agg(max(abs(col("x"))).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mLit = typedLit(Array.tabulate(mx.size)(i => mx(i)))
+    def codeOf(x: Column, m: Column): Column =
+      when(m === 0L, lit(0L))
+        .otherwise(round((x * lit(127L)).cast("double") / m.cast("double")).cast("long"))
+    def reconOf(c: Column, m: Column): Column =
+      when(m === 0L, lit(0L))
+        .otherwise(round((c * m).cast("double") / lit(127.0)).cast("long"))
+    val per = vecs.select(col("label"),
+      aggregate(
+        zip_with(col("qv"), mLit, (x, m) => x - reconOf(codeOf(x, m), m)),
+        lit(0L), (acc, e) => acc + e * e).as("sq"),
+      size(col("qv")).cast("long").as("nd"),
+      array_max(zip_with(col("qv"), mLit, (x, m) => abs(codeOf(x, m)))).as("mc"))
+    per.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("sq")).as("total_sq_err"),
+        max(col("mc")).as("max_abs_code"),
+        sum(col("nd")).as("nd_total"))
+      .select(col("label"), col("n_vecs"), col("total_sq_err"), col("max_abs_code"),
+        (col("total_sq_err").cast("double") / col("nd_total").cast("double")).as("mse"))
+      .orderBy("label")
+  })
+
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
-      s6MultiProbe, s7PqTopK, s8IvfPqTopK)
+      s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize)
 }

@@ -601,8 +601,129 @@ object TextOps extends OpModule {
       .orderBy("eval_doc_id")
   })
 
+  private val ChunkLen = 32    // tokens per chunk
+  private val ChunkStride = 24 // stride between chunk starts (8-token overlap)
+
+  /** Sliding-window document chunking — the RAG/context-window prep step
+    * that cuts each document into fixed-token windows with overlap.
+    * Chunk starts are 1, 1+stride, 1+2·stride, … ≤ len; the final chunk
+    * may be short. Output is one row per chunk with an int64 content
+    * hash (15-hex md5 prefix, the repo's standard cross-engine key)
+    * instead of the chunk text, so the result stays narrow.
+    *
+    * Scale shape: a pure per-row projection + explode — no shuffle
+    * except the presentation ORDER BY. The chunk count per row is
+    * ⌈len/stride⌉, so output size is linear in corpus tokens; nothing
+    * is corpus-global. */
+  val t33DocChunking: Op = Op(
+    "t33_doc_chunking",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, w, UNNEST(generate_series(1, len(w), $ChunkStride)) AS s
+        FROM toks WHERE len(w) >= 1
+      ), chunks AS (
+        SELECT doc_id, CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+               CAST(s AS BIGINT) AS start_token,
+               w[s : s + ${ChunkLen - 1}] AS c
+        FROM starts
+      )
+      SELECT doc_id, chunk_idx, start_token,
+             CAST(len(c) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(array_to_string(c, ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """))((spark, dir) => {
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(ChunkStride))).as("s"))
+      .select(col("doc_id"),
+        expr(s"CAST((s - 1) div $ChunkStride AS BIGINT)").as("chunk_idx"),
+        col("s").cast("long").as("start_token"),
+        slice(col("w"), col("s"), lit(ChunkLen)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        size(col("c")).cast("long").as("n_tokens"),
+        conv(substring(md5(array_join(col("c"), " ")), 1, 15), 16, 10)
+          .cast("long").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  })
+
+  private val BlockSize = 512 // tokens per packed block
+
+  /** Concat-and-split block packing — the OTHER standard way to turn a
+    * corpus into fixed-size training sequences (t30 is the greedy
+    * document-preserving bin packer; this is the GPT-style stream
+    * packer that concatenates documents and cuts every `BlockSize`
+    * tokens, splitting documents across block boundaries). Within each
+    * (lang, md5-shard) stream, a document occupies token offsets
+    * [cum − n, cum) of the concatenation and therefore intersects
+    * blocks ⌊(cum−n)/B⌋ … ⌊(cum−1)/B⌋. Output is the per-block census:
+    * document count, token count (= B for every interior block — the
+    * packing invariant), and how many documents carried over from the
+    * previous block.
+    *
+    * Scale shape: the running sum is per (lang, shard) exactly like
+    * t30 — never a corpus-wide window — and each document expands to
+    * its ⌈n/B⌉+1 block spans, so work is linear in corpus tokens. */
+  val t34BlockPacking: Op = Op(
+    "t34_block_packing",
+    Some(s"""
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d WHERE n_tokens >= 1
+      ), spans AS (
+        SELECT lang, shard, cum, cum - n_tokens AS st,
+               UNNEST(generate_series(CAST((cum - n_tokens) // $BlockSize AS BIGINT),
+                                      CAST((cum - 1) // $BlockSize AS BIGINT))) AS block
+        FROM c
+      )
+      SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(block AS BIGINT) AS block,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEAST(cum, (block + 1) * $BlockSize)
+                      - GREATEST(st, block * $BlockSize)) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN st < block * $BlockSize THEN 1 ELSE 0 END) AS BIGINT) AS n_carryover
+      FROM spans
+      GROUP BY lang, shard, block
+      ORDER BY lang, shard, block
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 8).as("shard"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("st", col("cum") - col("n_tokens"))
+      .select(col("lang"), col("shard"), col("cum"), col("st"),
+        explode(sequence(
+          expr(s"st div $BlockSize"), expr(s"(cum - 1) div $BlockSize"))).as("block"))
+    spans.groupBy("lang", "shard", "block")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("block") + 1) * BlockSize)
+          - greatest(col("st"), col("block") * BlockSize)).as("n_tokens"),
+        sum(when(col("st") < col("block") * BlockSize, 1L).otherwise(0L))
+          .as("n_carryover"))
+      .orderBy("lang", "shard", "block")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
-      t30SequencePacking, t31SourceMixture, t32Decontamination)
+      t30SequencePacking, t31SourceMixture, t32Decontamination,
+      t33DocChunking, t34BlockPacking)
 }
