@@ -604,7 +604,66 @@ object Dedup extends OpModule {
       .orderBy("doc_a", "doc_b")
   })
 
+  /** Canonical-document selection: the "which copy survives" step that
+    * turns d6's clusters into an actionable dedup decision. Within each
+    * near-dup cluster the longest document wins (ties to the lowest
+    * doc_id) — the standard keep-the-most-complete-copy policy of
+    * corpus dedup pipelines. One row per cluster: the canonical doc and
+    * how many near-copies it absorbs. Both the rank and the size are
+    * windows over cluster_id, so the whole decision is one shuffle of
+    * the (tiny, by LSH design) clustered subset — the corpus itself is
+    * never re-scanned beyond the n_chars dim lookup, and at 100 TB the
+    * documents join stays a broadcast of the clustered ids against the
+    * doc-length column only (pruned scan). */
+  val d9CanonicalDocs: Op = Op(
+    "d9_canonical_docs",
+    Some(s"""
+      WITH RECURSIVE $duckPairCtes,
+      pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= $JACCARD_T),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      ), j AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)
+      ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+        FROM j
+      )
+      SELECT cluster_id, doc_id AS canonical_doc_id,
+             CAST(n_chars AS BIGINT) AS canonical_chars,
+             CAST(csize AS BIGINT) AS cluster_size,
+             CAST(csize - 1 AS BIGINT) AS n_dropped
+      FROM r WHERE rnk = 1
+      ORDER BY cluster_id
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(d2Pairs(spark, dir).select("doc_a", "doc_b"))
+    val lens = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val j = comp.join(lens, Seq("doc_id"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val r = j
+      .withColumn("rnk", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("csize", count(lit(1)).over(byCluster))
+    r.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc_id"),
+        col("n_chars").as("canonical_chars"), col("csize").as("cluster_size"),
+        (col("csize") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
-      d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe)
+      d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs)
 }

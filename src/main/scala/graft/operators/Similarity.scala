@@ -832,7 +832,92 @@ object Similarity extends OpModule {
       .orderBy("label")
   })
 
+  /** Recall@K census: how much of the EXACT brute-force top-k (s1) each
+    * approximate method recovers — single-bucket LSH (s2) vs Hamming-1
+    * multi-probe (s6). This is the eval primitive every ANN deployment
+    * runs before trusting an index: recall is measured against the
+    * operators' own outputs (the Spark side literally joins s2/s6's
+    * result to s1's), so the census can never drift from what the
+    * engine actually serves. Driven from the query spine (every
+    * (method, query) pair appears, hits=0 when a bucket was empty);
+    * recall = hits/K is a single exactly-rounded IEEE division of two
+    * small ints, identical across engines. At scale the ground-truth
+    * side is the expensive leg — it runs once over a fixed query SAMPLE
+    * (NQ rows, broadcast) while the approximate sides reuse the served
+    * index, so the census costs one extra scan, not a quadratic join. */
+  val s13RecallCensus: Op = Op(
+    "s13_ann_recall", {
+      val bInt = VectorFns.duckLshBucketInt("qv", 8)
+      Some(s"""
+      WITH ${duckVecs()},
+      b AS (SELECT vec_id, qv, nrm, $bInt AS bucket FROM n),
+      bruteranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+                 c.vec_id) AS rnk
+        FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), brute AS (SELECT query_id, neighbor_id FROM bruteranked WHERE rnk <= $K),
+      lshranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+                 c.vec_id) AS rnk
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      ), lsh AS (SELECT query_id, neighbor_id FROM lshranked WHERE rnk <= $K),
+      qp AS (
+        SELECT vec_id AS query_id, qv, nrm,
+               UNNEST([bucket] || [CAST(xor(bucket, CAST(1 << j AS BIGINT)) AS BIGINT)
+                                   FOR j IN generate_series(0, 7)]) AS probe
+        FROM b WHERE vec_id < $NQ
+      ), mpranked AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+                 c.vec_id) AS rnk
+        FROM qp q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id
+      ), mp AS (SELECT query_id, neighbor_id FROM mpranked WHERE rnk <= $K),
+      m AS (
+        SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+        UNION ALL
+        SELECT 'multiprobe' AS method, query_id, neighbor_id FROM mp
+      ), hits AS (
+        SELECT m.method, m.query_id, COUNT(*) AS hits
+        FROM m JOIN brute USING (query_id, neighbor_id)
+        GROUP BY m.method, m.query_id
+      ), spine AS (
+        SELECT mt.method, e.vec_id AS query_id
+        FROM embeddings e, (SELECT UNNEST(['lsh', 'multiprobe']) AS method) mt
+        WHERE e.vec_id < $NQ
+      )
+      SELECT s.method, s.query_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             CAST(COALESCE(h.hits, 0) AS DOUBLE) / $K AS recall
+      FROM spine s LEFT JOIN hits h ON h.method = s.method AND h.query_id = s.query_id
+      ORDER BY s.method, s.query_id
+    """)
+    })((spark, dir) => {
+    def ids(op: Op) = op.run(spark, dir).select("query_id", "neighbor_id")
+    val brute = ids(s1BruteTopK)
+    val m = ids(s2LshTopK).withColumn("method", lit("lsh"))
+      .unionByName(ids(s6MultiProbe).withColumn("method", lit("multiprobe")))
+    val hits = m.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("hits"))
+    val spine = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"),
+        explode(array(lit("lsh"), lit("multiprobe"))).as("method"))
+    spine.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(K)).as("recall"))
+      .orderBy("method", "query_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
-      s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize)
+      s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize, s13RecallCensus)
 }

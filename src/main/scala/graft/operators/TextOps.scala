@@ -721,9 +721,53 @@ object TextOps extends OpModule {
       .orderBy("lang", "shard", "block")
   })
 
+  /** Stratified deterministic sampling: keep exactly ⌈20%⌉ of each
+    * language's documents, chosen by ranking on a salted md5-derived
+    * int64 of the doc id — a uniform, reproducible draw that is a pure
+    * function of the data (re-runs and both engines agree bit-for-bit),
+    * the sampling primitive mixture building runs per stratum. The salt
+    * ('samp:') decorrelates the draw from t27's split hash, so sampling
+    * within a split stays uniform. The quota is integer math
+    * ((n+4) div 5 = ⌈n/5⌉) — no float threshold to disagree on. At
+    * scale: one window per stratum (lang cardinality is small; a
+    * high-cardinality stratum key partitions the same way), and the
+    * full-table count per stratum comes from the same window pass, not
+    * a second scan. */
+  val t35StratifiedSample: Op = Op(
+    "t35_stratified_sample",
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM documents
+      ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM h
+      )
+      SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, source,
+             CAST(n_lang AS BIGINT) AS n_lang
+      FROM r WHERE rnk <= (n_lang + 4) // 5
+      ORDER BY lang, rnk
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    val byLang = Window.partitionBy("lang")
+    h.withColumn("rnk", row_number().over(byLang.orderBy(col("hv"), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("rnk") <= expr("(n_lang + 4) div 5"))
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("source"), col("n_lang"))
+      .orderBy("lang", "rnk")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
       t30SequencePacking, t31SourceMixture, t32Decontamination,
-      t33DocChunking, t34BlockPacking)
+      t33DocChunking, t34BlockPacking, t35StratifiedSample)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, EventOps, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-8 additions (s13 recall census, d9 canonical
+  * docs, t35 stratified sample, q30 latest snapshot) beyond the DuckDB
+  * oracle gate — properties the oracle mirror shares by construction and
+  * therefore can't catch if both sides drift together.
+  */
+class CompactionOpsSpec extends SparkSpecBase {
+
+  test("s13: spine is complete, hits bounded by K, multi-probe never loses to single-bucket LSH") {
+    val r = Similarity.s13RecallCensus.run(spark, sf()).cache()
+    // Every (method, query) pair exists exactly once, even when a probe
+    // bucket was empty (hits=0 row, not a missing row).
+    assert(r.count() == 2 * 10, "spine must be methods × NQ")
+    assert(r.groupBy("method", "query_id").count().filter(col("count") > 1).isEmpty)
+    assert(r.filter(col("hits") < 0 || col("hits") > 5).isEmpty)
+    // Multi-probe candidates are a superset of the query's own bucket,
+    // and top-k over a superset can only match more of the exact top-k
+    // or tie — per-query recall must be monotone in the probe set.
+    val wide = r.groupBy("query_id")
+      .pivot("method", Seq("lsh", "multiprobe"))
+      .agg(first("hits"))
+    assert(wide.filter(col("multiprobe") < col("lsh")).isEmpty,
+      "multi-probe recall fell below single-bucket LSH for some query")
+    r.unpersist()
+  }
+
+  test("d9: one canonical per cluster, the longest member wins, sizes reconcile with d6") {
+    val d6 = Dedup.d6Clusters.run(spark, sf()).cache()
+    val d9 = Dedup.d9CanonicalDocs.run(spark, sf()).cache()
+    // Exactly one decision row per d6 cluster.
+    assert(d9.select("cluster_id").distinct().count() == d9.count())
+    assert(d9.count() == d6.select("cluster_id").distinct().count())
+    // The canonical doc is a member of its cluster and no member is
+    // longer (ties broken to the lowest doc_id).
+    val members = d6.join(
+      Tables.documents(spark, sf()).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val best = members
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_doc"))).as("b"),
+        count(lit(1)).as("sz"))
+      .select(col("cluster_id"), col("b.n_chars").as("exp_chars"),
+        (-col("b.neg_doc")).as("exp_doc"), col("sz"))
+    val joined = d9.join(best, Seq("cluster_id"))
+    assert(joined.filter(col("canonical_doc_id") =!= col("exp_doc")
+      || col("canonical_chars") =!= col("exp_chars")
+      || col("cluster_size") =!= col("sz")
+      || col("n_dropped") =!= col("sz") - 1).isEmpty)
+    d6.unpersist(); d9.unpersist()
+  }
+
+  test("t35: per-stratum quota is exactly ceil(n/5) and the draw is reproducible") {
+    val docs = Tables.documents(spark, sf())
+    val expected = docs.groupBy("lang")
+      .agg(expr("(count(1) + 4) div 5").as("quota"))
+    val got = TextOps.t35StratifiedSample.run(spark, sf())
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    assert(got.join(expected, Seq("lang"), "full")
+      .filter(col("kept").isNull || col("quota").isNull || col("kept") =!= col("quota"))
+      .isEmpty, "kept count != ceil(n_lang/5) for some stratum")
+    // Pure function of the data: two runs agree row-for-row.
+    val a = TextOps.t35StratifiedSample.run(spark, sf()).collect().toSeq
+    val b = TextOps.t35StratifiedSample.run(spark, sf()).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q30: one row per user, newest change wins, lifetime counts reconcile") {
+    val events = Tables.events(spark, sf()).cache()
+    val snap = EventOps.q30LatestSnapshot.run(spark, sf()).cache()
+    assert(snap.count() == events.select("user_id").distinct().count())
+    // n_events partitions the log exactly.
+    assert(snap.agg(sum("n_events")).head().getLong(0) == events.count())
+    // The snapshot row really is the (ts, event_id)-max change per key.
+    val latest = events
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+          col("event_type"), col("value")).as("s"))
+      .groupBy("user_id").agg(max("s").as("s"))
+      .select(col("user_id"), col("s.ts_us").as("exp_ts"),
+        col("s.event_type").as("exp_type"), col("s.value").as("exp_value"))
+    assert(snap.join(latest, Seq("user_id"))
+      .filter(col("last_ts_us") =!= col("exp_ts")
+        || col("last_type") =!= col("exp_type")
+        || col("last_value") =!= col("exp_value")).isEmpty)
+    events.unpersist(); snap.unpersist()
+  }
+}
