@@ -239,8 +239,55 @@ object Multimodal extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** Audio-container metadata extraction: synthesize REAL canonical WAV
+    * payloads (RIFF/WAVE with a PCM fmt chunk and a sized data chunk)
+    * from doc attributes, then recover sample rate / channels / bit
+    * depth / sample count by PARSING the bytes back — the audio twin of
+    * m5's image-header round-trip. Everything reported comes from the
+    * parser, so the assertion under oracle check is that the RIFF byte
+    * layout round-trips exactly (the oracle mirrors the generator's
+    * arithmetic, as with m5). duration_ms is integral math (no float
+    * rates). Payloads are built and parsed inside one mapPartitions over
+    * the scan — at 100 TB real audio blobs would stream through the
+    * same per-partition kernel without ever shuffling. */
+  val m6AudioHeader: Op = Op(
+    "m6_audio_header",
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CASE (doc_id % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+               CAST(doc_id % 200 + 1 AS INTEGER) AS n_samples
+        FROM documents
+      )
+      SELECT doc_id, CAST(sample_rate AS INTEGER) AS sample_rate, channels,
+             CAST(16 AS INTEGER) AS bits,
+             n_samples,
+             CAST(44 + n_samples * channels * 2 AS INTEGER) AS byte_len,
+             CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+      FROM g
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val ch = 1 + (id % 2).toInt
+        val n = (id % 200 + 1).toInt
+        val bytes = MediaHeaders.makeWav(rate, ch, 16, n)
+        val (r2, c2, b2, n2) = MediaHeaders.parseWav(bytes)
+          .getOrElse(sys.error(s"generated WAV failed to parse for doc $id"))
+        (id, r2, c2, b2, n2, bytes.length)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples", "byte_len")
+      .withColumn("duration_ms", expr("n_samples * 1000 div sample_rate"))
+      .orderBy("doc_id")
+  })
+
   override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample, m4Resize,
-    m5HeaderDecode)
+    m5HeaderDecode, m6AudioHeader)
 }
 
 /** Pure-JVM image container header codec: writes and parses the REAL
@@ -346,6 +393,56 @@ object MediaHeaders {
         && b(2) == 0xff.toByte)
       parseJpeg(b)
     else None
+  }
+
+  /** A canonical 44-byte PCM WAV header plus a zero-filled data chunk of
+    * `nSamples` frames — the exact RIFF layout every encoder emits:
+    * RIFF[size]WAVE, "fmt " chunk (PCM tag, channels, rate, byte rate,
+    * block align, bits), "data" chunk sized nSamples × blockAlign. */
+  def makeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nSamples * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++
+      le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++
+      Array.fill[Byte](dataLen)(0)
+  }
+
+  /** Parse a WAV payload via the real RIFF chunk walk: validate the
+    * RIFF size field against the actual byte length (the same
+    * whole-payload consistency check BMP parsing uses), find the PCM
+    * "fmt " chunk and the "data" chunk wherever they sit, and return
+    * (sampleRate, channels, bitsPerSample, nSamples). None on any
+    * structural inconsistency — truncation, a non-PCM format tag, a
+    * data chunk that isn't a whole number of frames. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF"
+        || readLe32(b, 4) != b.length - 8
+        || new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = readLe32(b, off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (readLe16(b, off + 8) != 1) return None // PCM only
+        fmt = Some((readLe16(b, off + 10), readLe32(b, off + 12),
+          readLe16(b, off + 20), readLe16(b, off + 22)))
+      } else if (id == "data") dataLen = len
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    fmt match {
+      case Some((ch, rate, blockAlign, bits))
+          if dataLen >= 0 && blockAlign > 0 && dataLen % blockAlign == 0 =>
+        Some((rate, ch, bits, dataLen / blockAlign))
+      case _ => None
+    }
   }
 
   /** JPEG marker walk: skip segments from SOI until a start-of-frame

@@ -92,6 +92,42 @@ object EventStream {
       }
   }
 
+  final case class UpEv(
+      user_id: Long, event_id: Long, tsMicros: Long, event_type: String, value: Double)
+  final case class SnapState(
+      tsMicros: Long, eventId: Long, eventType: String, value: Double, n: Long)
+  final case class SnapOut(
+      user_id: Long, last_ts_us: Long, last_type: String, last_value: Double, n_events: Long)
+
+  /** Latest-wins snapshot state machine — the streaming twin of batch
+    * q30 (CDC compaction): per user, keep the (ts, event_id)-max change
+    * and a lifetime count, emitting the refreshed snapshot row each
+    * micro-batch (Update mode). The fold is ORDER-INSENSITIVE — newest =
+    * max of a total order, count = additive — so arrival order across
+    * and within micro-batches cannot change the converged state, which
+    * is what makes the batch and streaming forms provably equal. State
+    * is one small struct per user (no timeout: a snapshot table's keys
+    * are live forever; a TTL'd variant would set event-time timeout). */
+  def latestSnapshot(events: Dataset[UpEv]): Dataset[SnapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SnapState, SnapOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UpEv], state: GroupState[SnapState]) =>
+          var st = state.getOption.getOrElse(
+            SnapState(Long.MinValue, Long.MinValue, null, 0.0, 0L))
+          evs.foreach { e =>
+            st =
+              if (e.tsMicros > st.tsMicros ||
+                (e.tsMicros == st.tsMicros && e.event_id > st.eventId))
+                SnapState(e.tsMicros, e.event_id, e.event_type, e.value, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          SnapOut(user, st.tsMicros, st.eventType, st.value, st.n)
+      }
+  }
+
   /** Sliding 1-hour windows every 15 minutes — the streaming twin of
     * batch q24 (which materializes the 4 covering windows per event via
     * explode); streaming uses the native sliding `window()` so state is

@@ -76,6 +76,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming latest-wins snapshot matches batch q30 across micro-batches") {
+    import spark.implicits._
+    // Split the log into 4 files and feed ONE file per trigger, so the
+    // per-user state genuinely merges across micro-batches (a single
+    // batch would never exercise the stored-state path).
+    val d = Files.createTempDirectory("graft-ev-split")
+    val proj = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"), col("value"))
+    proj.repartition(4).write.mode("overwrite").parquet(s"$d/events")
+    val stream = spark.readStream
+      .schema(proj.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$d/events")
+      .as[EventStream.UpEv]
+    val updates = EventStream.runToMemory(
+      spark, EventStream.latestSnapshot(stream).toDF(), "snap_test",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // Update mode emits one refreshed row per touched key per batch; the
+    // converged snapshot is the max-count update per user.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val got = updates
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "last_ts_us", "last_type", "last_value", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val want = SparkEntry.queries("q30_latest_snapshot")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionizer matches batch q18 session structure") {
     import spark.implicits._
     val evs = Tables.events(spark, sf())

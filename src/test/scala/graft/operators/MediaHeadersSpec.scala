@@ -46,4 +46,36 @@ class MediaHeadersSpec extends AnyFunSuite {
     "GIF87a".getBytes("US-ASCII").copyToArray(b)
     assert(MediaHeaders.parse(b) == Some(("gif", 320, 200)))
   }
+
+  test("WAV make → parse round-trips across rates/channels/frame counts") {
+    for {
+      rate <- Seq(8000, 22050, 44100, 48000)
+      ch <- Seq(1, 2)
+      n <- Seq(0, 1, 199, 4096)
+    } assert(MediaHeaders.parseWav(MediaHeaders.makeWav(rate, ch, 16, n))
+      == Some((rate, ch, 16, n)), s"$rate Hz ${ch}ch n=$n")
+  }
+
+  test("WAV parse walks chunks: an extra LIST chunk before fmt/data still parses") {
+    val base = MediaHeaders.makeWav(16000, 2, 16, 8)
+    // Splice an 8-byte-payload LIST chunk between WAVE and fmt, fixing
+    // the RIFF size field — real encoders emit metadata chunks there.
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 0, 0) ++ "INFOjunk".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    val size = spliced.length - 8
+    spliced(4) = size.toByte; spliced(5) = (size >>> 8).toByte
+    spliced(6) = (size >>> 16).toByte; spliced(7) = (size >>> 24).toByte
+    assert(MediaHeaders.parseWav(spliced) == Some((16000, 2, 16, 8)))
+  }
+
+  test("WAV parse rejects inconsistent payloads") {
+    val good = MediaHeaders.makeWav(44100, 1, 16, 10)
+    assert(MediaHeaders.parseWav(good.dropRight(1)).isEmpty, "truncated data")
+    val nonPcm = good.clone
+    nonPcm(20) = 3 // format tag = IEEE float
+    assert(MediaHeaders.parseWav(nonPcm).isEmpty, "non-PCM accepted")
+    assert(MediaHeaders.parseWav("RIFF text that is not audio".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeaders.parseWav(Array.emptyByteArray).isEmpty)
+  }
 }
