@@ -108,5 +108,125 @@ object Curation extends OpModule {
     curate(spark, dir,
       spark.read.parquet(tablePath).select(col("doc_b").as("doc_id")).distinct())
 
-  override def ops: Seq[Op] = Seq(c1Curation)
+  /** Funnel census: how many documents each curation stage keeps, per
+    * language — raw → quality gate → exact dedup → near-dup drop, the
+    * same stages (and the same oracle-checked building blocks) as c1,
+    * but reported as per-stage attrition instead of only the final
+    * survivors. This is the accounting view every pipeline run ships
+    * with: a stage suddenly dropping 40% of one language is the
+    * regression signal, and it's invisible in c1's end-state census.
+    * n_dropped is a lag window over the stage axis (4 rows per lang —
+    * the window is over a BOUNDED key, not the corpus). Stage
+    * memberships are computed once each and reused down the funnel, so
+    * the cost is the same one quality scan + two hash aggregates + one
+    * banded self-join c1 pays. */
+  val c2CurationFunnel: Op = Op(
+    "c2_curation_funnel",
+    Some(s"""
+      WITH ${Dedup.duckPairCtes},
+      raw AS (SELECT doc_id, lang FROM documents),
+      base AS (
+        SELECT doc_id, lang
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 20
+      ), exact AS (
+        SELECT doc_id, lang FROM base
+        WHERE doc_id IN (
+          SELECT MIN(doc_id) FROM documents
+          WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 20
+          GROUP BY md5(text))
+      ), neardrop AS (
+        SELECT doc_id, lang FROM exact
+        WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jac >= ${Dedup.jaccardThreshold})
+      ), staged AS (
+        SELECT 1 AS stage_idx, 'raw' AS stage, lang FROM raw
+        UNION ALL SELECT 2, 'quality', lang FROM base
+        UNION ALL SELECT 3, 'exact_dedup', lang FROM exact
+        UNION ALL SELECT 4, 'near_dedup', lang FROM neardrop
+      ), census AS (
+        SELECT lang, stage_idx, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM staged GROUP BY lang, stage_idx, stage
+      )
+      SELECT lang, CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_docs,
+             CAST(COALESCE(LAG(n_docs) OVER (PARTITION BY lang ORDER BY stage_idx)
+                           - n_docs, 0) AS BIGINT) AS n_dropped
+      FROM census
+      ORDER BY lang, stage_idx
+    """))((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(TextFns.tokens(col("text"))).as("n_tokens"))
+    val raw = docs.select("doc_id", "lang")
+    val base = docs.filter(col("n_tokens") >= 20).select("doc_id", "lang", "text")
+    val keepers = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exact = base.join(keepers, Seq("doc_id"), "semi").select("doc_id", "lang")
+    val nearDrop = exact.join(
+      Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "anti")
+    def tag(df: org.apache.spark.sql.DataFrame, idx: Int, name: String) =
+      df.select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("lang"))
+    val census = tag(raw, 1, "raw")
+      .unionByName(tag(base.select("doc_id", "lang"), 2, "quality"))
+      .unionByName(tag(exact, 3, "exact_dedup"))
+      .unionByName(tag(nearDrop, 4, "near_dedup"))
+      .groupBy("lang", "stage_idx", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+    census
+      .withColumn("n_dropped", coalesce(
+        lag(col("n_docs"), 1).over(
+          Window.partitionBy("lang").orderBy("stage_idx")) - col("n_docs"),
+        lit(0L)))
+      .orderBy("lang", "stage_idx")
+  })
+
+  /** Split-leakage audit: MinHash-LSH near-dup pairs that STRADDLE the
+    * t27 train/valid/test boundary — each such pair is evaluation data
+    * the model effectively trained on. This is the decontamination
+    * check run WITHIN a corpus (t32 checks against an external
+    * benchmark): hash-splitting by doc_id guarantees uniformity but
+    * not independence of near-duplicates, so the leakage table is the
+    * artifact that tells you whether to move to group-aware splitting
+    * (split by cluster/domain, not document). Split labels derive from
+    * doc_id arithmetic directly — auditing the pair table needs NO join
+    * back to the corpus, so at 100 TB it costs one pass over the
+    * (LSH-small) pair set. Pairs are reported under (split_a, split_b)
+    * ordered lexically so (train,test) and (test,train) collapse. */
+  val c3SplitLeakage: Op = Op(
+    "c3_split_leakage",
+    Some(s"""
+      WITH ${Dedup.duckPairCtes},
+      pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= ${Dedup.jaccardThreshold}),
+      lab AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'valid' ELSE 'test' END AS sa,
+               CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'valid' ELSE 'test' END AS sb
+        FROM (SELECT doc_a, doc_b,
+                CAST(('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ba,
+                CAST(('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bb
+              FROM pairs)
+      )
+      SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(MIN(doc_a) AS BIGINT) AS min_doc_a
+      FROM lab WHERE sa <> sb
+      GROUP BY 1, 2
+      ORDER BY split_a, split_b
+    """))((spark, dir) => {
+    def split(c: org.apache.spark.sql.Column) = {
+      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    }
+    Dedup.d2Pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
+      .orderBy("split_a", "split_b")
+  })
+
+  override def ops: Seq[Op] = Seq(c1Curation, c2CurationFunnel, c3SplitLeakage)
 }

@@ -61,7 +61,7 @@ object Dedup extends OpModule {
     * agree, and the signature/band shuffle carries 8 longs per doc
     * instead of 8 32-char strings. Band keys are the raw (h,h) long
     * pairs — no extra hash at all. */
-  private lazy val duckPairCtes: String = {
+  private[operators] lazy val duckPairCtes: String = {
     val mins = (1 to NH).map(j =>
       s"list_aggregate(list_transform(sh, s -> " +
         s"CAST(('0x' || substring(md5('$j:' || s), 1, 15)) AS BIGINT)), 'min') AS h$j")

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Curation
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 
 /** The persisted-pair-table curation path must agree byte-for-byte with
   * the inline c1 pipeline (whose values the DuckDB oracle gate pins). */
@@ -39,5 +40,43 @@ class CurationSpec extends SparkSpecBase {
     Curation.persistNearDupPairs(spark, sf(), table)
     val cols = spark.read.parquet(table).columns.toSet
     assert(Set("doc_a", "doc_b").subsetOf(cols), cols.mkString(","))
+  }
+
+  test("c2 funnel is monotone per language, starts at the corpus, and reconciles drops") {
+    val f = Curation.c2CurationFunnel.run(spark, sf()).cache()
+    // Stage 1 counts the raw corpus exactly.
+    val rawTotal = f.filter(col("stage_idx") === 1).agg(sum("n_docs")).head().getLong(0)
+    assert(rawTotal == Tables.documents(spark, sf()).count())
+    // Each stage can only shrink its stratum, and n_dropped must equal
+    // the step difference (rows are per-lang so a window re-derivation
+    // must agree with the operator's own column).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("stage_idx")
+    val bad = f
+      .withColumn("prev", lag(col("n_docs"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        (col("n_docs") > col("prev") || col("n_dropped") =!= col("prev") - col("n_docs")))
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    // The funnel's terminal stage totals must match c1's census total.
+    val c1Total = Curation.c1Curation.run(spark, sf()).agg(sum("n_docs")).head().getLong(0)
+    val funnelFinal = f.filter(col("stage_idx") === 4).agg(sum("n_docs")).head().getLong(0)
+    assert(funnelFinal == c1Total)
+    f.unpersist()
+  }
+
+  test("c3 leakage counts reconcile with a direct recount of straddling pairs") {
+    def split(c: org.apache.spark.sql.Column) = {
+      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    }
+    val direct = graft.operators.Dedup.d2MinHashLsh.run(spark, sf())
+      .select(split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+      .filter(col("sa") =!= col("sb")).count()
+    val c3 = Curation.c3SplitLeakage.run(spark, sf()).cache()
+    val reported = c3.agg(coalesce(sum("n_pairs"), lit(0L))).head().getLong(0)
+    assert(reported == direct)
+    // Pair labels are canonicalized: split_a ≤ split_b and never equal.
+    assert(c3.filter(col("split_a") >= col("split_b")).isEmpty)
+    c3.unpersist()
   }
 }
