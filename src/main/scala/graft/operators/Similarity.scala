@@ -904,13 +904,15 @@ object Similarity extends OpModule {
     val brute = ids(s1BruteTopK)
     val m = ids(s2LshTopK).withColumn("method", lit("lsh"))
       .unionByName(ids(s6MultiProbe).withColumn("method", lit("multiprobe")))
-    val hits = m.join(brute, Seq("query_id", "neighbor_id"))
+    // Every relation here is bounded (NQ queries × K ranks) — broadcast
+    // them so the census never sorts-and-shuffles for a ≤100-row join.
+    val hits = m.join(broadcast(brute), Seq("query_id", "neighbor_id"))
       .groupBy("method", "query_id").agg(count(lit(1)).as("hits"))
     val spine = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"),
         explode(array(lit("lsh"), lit("multiprobe"))).as("method"))
-    spine.join(hits, Seq("method", "query_id"), "left")
+    spine.join(broadcast(hits), Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") / lit(K)).as("recall"))

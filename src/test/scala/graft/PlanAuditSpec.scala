@@ -142,6 +142,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan("t26_tfidf_top_terms").contains("partial_"))
   }
 
+  test("q30/t35: both windows share ONE hash exchange; t35 never reads text") {
+    // The latest-wins snapshot and the stratified sample each stack a
+    // row_number and a count window over the same key — the scale
+    // contract is that they plan onto a SINGLE hash partitioning (plus
+    // only the presentation sort's range exchange), not one shuffle per
+    // window.
+    for ((name, key) <- Seq(("q30_latest_snapshot", "user_id"),
+        ("t35_stratified_sample", "lang"))) {
+      val p = plan(name)
+      val hashEx = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning")).toSeq
+      assert(hashEx.size == 1, s"$name: expected one hash exchange:\n${hashEx.mkString("\n")}")
+      assert(hashEx.head.contains(key), s"$name shuffles on the wrong key: ${hashEx.head}")
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.size == 2 && windows.forall(_.contains(key)),
+        s"$name: both windows must partition by $key:\n${windows.mkString("\n")}")
+    }
+    assert(!plan("t35_stratified_sample").contains("text"),
+      "t35 must prune the text column from the documents scan")
+  }
+
+  test("s13: approximate-vs-exact comparison joins stay broadcast, never shuffled") {
+    // Every join in the recall census carries a bounded side (the NQ-row
+    // query head, the 50-row top-k sets) — a SortMergeJoin here means a
+    // full shuffle of the candidate table sneaked in.
+    val p = plan("s13_ann_recall")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole suite: no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       plan(name).contains("CartesianProduct")
