@@ -663,7 +663,67 @@ object Dedup extends OpModule {
       .orderBy("cluster_id")
   })
 
+  private val DupGramN = 8
+
+  /** Cross-document duplicated-gram fraction: for each document, the
+    * share of its word-8-gram OCCURRENCES whose gram also appears in at
+    * least one other document — the corpus-level repetition signal
+    * quality-filtering pipelines threshold on (t29 measures repetition
+    * WITHIN a doc; this measures how much of a doc is boilerplate shared
+    * ACROSS docs, which pair-level dedup like d2 only catches when
+    * whole documents align). Two hash aggregates and one equi-join, all
+    * keyed by the int64 gram hash: per-(doc, gram) occurrence counts,
+    * then gram document-frequency, then a per-doc rollup — every stage
+    * map-side combinable, nothing corpus-global. The fraction is one
+    * IEEE division of two exact counts. */
+  val d10DupGramFraction: Op = Op(
+    "d10_dup_gram_fraction",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), grams AS (
+        SELECT doc_id,
+               UNNEST([array_to_string(w[i:i+${DupGramN - 1}], ' ')
+                       FOR i IN generate_series(1, len(w) - ${DupGramN - 1})]) AS g
+        FROM toks WHERE len(w) >= $DupGramN
+      ), occ AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gh,
+               COUNT(*) AS c
+        FROM grams GROUP BY 1, 2
+      ), df AS (
+        SELECT gh, COUNT(*) AS ndocs FROM occ GROUP BY gh
+      )
+      SELECT o.doc_id,
+             CAST(SUM(o.c) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN d.ndocs >= 2 THEN o.c ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(SUM(CASE WHEN d.ndocs >= 2 THEN o.c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(o.c) AS DOUBLE) AS dup_fraction
+      FROM occ o JOIN df d USING (gh)
+      GROUP BY o.doc_id
+      ORDER BY o.doc_id
+    """))((spark, dir) => {
+    val occ = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= DupGramN)
+      .select(col("doc_id"),
+        explode(TextFns.wordShingles(col("w"), DupGramN)).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+    val df = occ.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+    occ.join(df, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+      .orderBy("doc_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
-      d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs)
+      d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
+      d10DupGramFraction)
 }

@@ -67,6 +67,28 @@ class CompactionOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("d10: fractions are consistent, and exact-duplicate docs score 1.0") {
+    val d10 = Dedup.d10DupGramFraction.run(spark, sf()).cache()
+    assert(d10.filter(col("n_dup") > col("n_grams") || col("n_grams") <= 0).isEmpty)
+    assert(d10.filter(
+      col("dup_fraction") =!= col("n_dup").cast("double") / col("n_grams").cast("double"))
+      .isEmpty)
+    d10.unpersist()
+    // Testdata has no byte-identical texts, so pin the boundary cases on
+    // a forged corpus: clones share EVERY gram occurrence cross-doc
+    // (fraction exactly 1.0) and a gram-disjoint doc scores exactly 0.0.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d10").toString
+    val clone = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"omega$i").mkString(" ")
+    Seq((0L, clone), (1L, clone), (2L, unique))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val forged = Dedup.d10DupGramFraction.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(forged == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0), forged.toString)
+  }
+
   test("q30: one row per user, newest change wins, lifetime counts reconcile") {
     val events = Tables.events(spark, sf()).cache()
     val snap = EventOps.q30LatestSnapshot.run(spark, sf()).cache()
