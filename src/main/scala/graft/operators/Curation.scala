@@ -228,5 +228,80 @@ object Curation extends OpModule {
       .orderBy("split_a", "split_b")
   })
 
-  override def ops: Seq[Op] = Seq(c1Curation, c2CurationFunnel, c3SplitLeakage)
+  /** Group-aware splitting — the remedy c3's leakage audit motivates:
+    * every member of a near-dup cluster (d6's connected components)
+    * inherits the split of its cluster MINIMUM doc_id, so near-duplicate
+    * pairs can never straddle train/valid/test; singletons keep their
+    * own hash split. Output is the per-split census plus how many
+    * documents were REASSIGNED relative to naive per-doc hashing — the
+    * cost of leakage-freedom, which is the number a pipeline owner
+    * reviews before adopting group splits. At scale: split labels are
+    * doc_id arithmetic, the only join is corpus ⟕ (tiny) cluster map,
+    * broadcast-able by LSH design. CurationSpec pins the zero-leakage
+    * property c3 can then verify. */
+  val c4GroupSplit: Op = Op(
+    "c4_group_split",
+    Some(s"""
+      WITH RECURSIVE ${Dedup.duckPairCtes},
+      pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= ${Dedup.jaccardThreshold}),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      ), lab AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+      ), split AS (
+        SELECT doc_id,
+               CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'valid' ELSE 'test' END AS split,
+               CASE WHEN ob < 80 THEN 'train' WHEN ob < 90 THEN 'valid' ELSE 'test' END AS own_split
+        FROM (SELECT doc_id,
+                CAST(('0x' || substring(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS gb,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ob
+              FROM lab)
+      )
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN split <> own_split THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned
+      FROM split
+      GROUP BY split
+      ORDER BY split
+    """))((spark, dir) =>
+    groupSplitLabels(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") =!= col("own_split"), 1L).otherwise(0L)).as("n_reassigned"))
+      .orderBy("split"))
+
+  /** Per-document group-aware split labels (split = the cluster-min
+    * doc's hash split, own_split = the doc's naive hash split) — the
+    * assignment c4 censuses and the spec audits for zero leakage. */
+  private[operators] def groupSplitLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    }
+    val comp = Dedup.connectedComponents(
+      Dedup.d2Pairs(spark, dir).select("doc_a", "doc_b"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
+        splitOf(col("doc_id")).as("own_split"))
+  }
+
+  /** Test-only accessor for the per-doc label assignment. */
+  def c4GroupSplitLabelsForTest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = groupSplitLabels(spark, dir)
+
+  override def ops: Seq[Op] =
+    Seq(c1Curation, c2CurationFunnel, c3SplitLeakage, c4GroupSplit)
 }

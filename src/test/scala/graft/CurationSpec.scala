@@ -64,6 +64,28 @@ class CurationSpec extends SparkSpecBase {
     f.unpersist()
   }
 
+  test("c4 group-aware splits leak ZERO near-dup pairs and only move clustered docs") {
+    val labels = Curation.c4GroupSplitLabelsForTest(spark, sf()).cache()
+    // The property c4 exists for: no near-dup pair straddles splits.
+    val pairs = graft.operators.Dedup.d2MinHashLsh.run(spark, sf())
+      .select("doc_a", "doc_b")
+    val la = labels.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+    val straddling = pairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.isEmpty, straddling.collect().mkString("; "))
+    // Reassignment only ever touches clustered documents.
+    val clustered = graft.operators.Dedup.d6Clusters.run(spark, sf()).select("doc_id")
+    val movedOutside = labels.filter(col("split") =!= col("own_split"))
+      .join(clustered, Seq("doc_id"), "anti")
+    assert(movedOutside.isEmpty, "a singleton doc was reassigned")
+    // Census totals cover the whole corpus exactly once.
+    val census = Curation.c4GroupSplit.run(spark, sf())
+    assert(census.agg(sum("n_docs")).head().getLong(0)
+      == Tables.documents(spark, sf()).count())
+    labels.unpersist()
+  }
+
   test("c3 leakage counts reconcile with a direct recount of straddling pairs") {
     def split(c: org.apache.spark.sql.Column) = {
       val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
