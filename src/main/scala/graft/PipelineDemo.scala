@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions.col
   *      [[NearDupIndex]], as a nightly ingest would);
   *   2. curation census against the stored pair table (quality gate →
   *      exact dedup → near-dup drop → train/valid/test split);
-  *   3. sequence packing into fixed-token-budget bins (t30);
-  *   4. source-mixture census with realized sampling rates (t31).
+  *   3. the stage-attrition funnel (c2) and the split-leakage audit
+  *      (c3) with its group-aware remedy (c4);
+  *   4. canonical-doc selection for the near-dup clusters (d9);
+  *   5. sequence packing into fixed-token-budget bins (t30);
+  *   6. source-mixture census with realized sampling rates (t31);
+  *   7. ANN recall census of the similarity index family (s13).
   *
   *   sbt "runMain graft.PipelineDemo [sfDir] [workDir]"
   */
@@ -42,11 +46,22 @@ object PipelineDemo {
     println("\n== 2. curation census (quality -> exact dedup -> near-dup drop -> split) ==")
     Curation.curateAgainstPairs(spark, sfDir, s"$indexRoot/pairs").show(20, truncate = false)
 
-    println("== 3. sequence packing (1024-token bins per lang x shard; first 10) ==")
+    println("== 3. funnel attrition per stage (c2), split leakage (c3) and its remedy (c4) ==")
+    SparkEntry.queries("c2_curation_funnel")(spark, sfDir).show(8, truncate = false)
+    SparkEntry.queries("c3_split_leakage")(spark, sfDir).show(5, truncate = false)
+    SparkEntry.queries("c4_group_split")(spark, sfDir).show(5, truncate = false)
+
+    println("== 4. canonical docs per near-dup cluster (d9; first 10) ==")
+    SparkEntry.queries("d9_canonical_docs")(spark, sfDir).show(10, truncate = false)
+
+    println("== 5. sequence packing (1024-token bins per lang x shard; first 10) ==")
     SparkEntry.queries("t30_sequence_packing")(spark, sfDir).show(10, truncate = false)
 
-    println("== 4. source mixture (per-source hash-acceptance rates; first 10) ==")
+    println("== 6. source mixture (per-source hash-acceptance rates; first 10) ==")
     SparkEntry.queries("t31_source_mixture")(spark, sfDir).show(10, truncate = false)
+
+    println("== 7. ANN recall census: LSH vs multi-probe against exact top-k (s13) ==")
+    SparkEntry.queries("s13_ann_recall")(spark, sfDir).show(20, truncate = false)
 
     spark.stop()
   }
