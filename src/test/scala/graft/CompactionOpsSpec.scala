@@ -89,6 +89,35 @@ class CompactionOpsSpec extends SparkSpecBase {
     assert(forged == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0), forged.toString)
   }
 
+  test("q31: funnel counts shrink monotonically and step 1 counts exactly the viewers") {
+    val f = EventOps.q31Funnel.run(spark, sf()).collect().sortBy(_.getInt(0))
+    assert(f.length == 3)
+    val counts = f.map(_.getLong(2))
+    assert(counts.sliding(2).forall(w => w(1) <= w(0)),
+      s"funnel grew between steps: ${counts.mkString(",")}")
+    val viewers = Tables.events(spark, sf())
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(counts(0) == viewers)
+    assert(f.forall(r => r.getDouble(3) == r.getLong(2).toDouble / counts(0)))
+  }
+
+  test("q32: offset-0 equals the cohort size and no week exceeds it") {
+    val r = EventOps.q32Retention.run(spark, sf()).cache()
+    assert(r.filter(col("week_offset") < 0).isEmpty)
+    val zero = r.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("size0"))
+    // Every cohort has its offset-0 row (everyone is active in their own
+    // first week) and later weeks never exceed it.
+    assert(zero.count() == r.select("cohort_week").distinct().count())
+    assert(r.join(zero, Seq("cohort_week"))
+      .filter(col("n_users") > col("size0")).isEmpty)
+    // Cohort sizes partition the user base.
+    val users = Tables.events(spark, sf()).select("user_id").distinct().count()
+    assert(zero.agg(sum("size0")).head().getLong(0) == users)
+    r.unpersist()
+  }
+
   test("q30: one row per user, newest change wins, lifetime counts reconcile") {
     val events = Tables.events(spark, sf()).cache()
     val snap = EventOps.q30LatestSnapshot.run(spark, sf()).cache()
