@@ -54,18 +54,30 @@ object Dedup extends OpModule {
   private val BANDS = 4   // bands of 2 hashes each
   private val JACCARD_T = 0.5
 
+  // Universal-hash family over ONE md5 per shingle: h_j = (a_j·h + b_j)
+  // mod p with p = 2³¹−1 and h = md5-int64 masked to 31 bits. The
+  // previous family salted md5 NH times per shingle — md5 dominated the
+  // minhash stage's cost, and it feeds SEVEN queries (d2/d6/d9/c1-c4)
+  // plus the incremental index. a_j·h < 2⁶² so the arithmetic can't
+  // overflow under ANSI mode on either engine.
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val MinhashMask = 2147483647L
+  private val MinhashAB: Seq[(Long, Long)] = Seq(
+    (1000003L, 7L), (1000033L, 11L), (1000037L, 13L), (1000039L, 17L),
+    (1000081L, 19L), (1000099L, 23L), (1000117L, 29L), (1000121L, 31L))
+
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
     * (used by d2's oracle and d6's clustering oracle). MinHash values
-    * are int64 (first 15 hex chars of the salted md5, parsed as a
-    * number) — fixed-width hex is order-preserving, so both engines
-    * agree, and the signature/band shuffle carries 8 longs per doc
-    * instead of 8 32-char strings. Band keys are the raw (h,h) long
-    * pairs — no extra hash at all. */
+    * are int64: ONE md5 per shingle (first 15 hex chars parsed as a
+    * number, masked to 31 bits — fixed-width hex is order-preserving so
+    * both engines agree) re-mixed through the NH universal hashes above,
+    * and the signature/band shuffle carries 8 longs per doc instead of
+    * 8 32-char strings. Band keys are the raw (h,h) long pairs — no
+    * extra hash at all. */
   private[operators] lazy val duckPairCtes: String = {
-    val mins = (1 to NH).map(j =>
-      s"list_aggregate(list_transform(sh, s -> " +
-        s"CAST(('0x' || substring(md5('$j:' || s), 1, 15)) AS BIGINT)), 'min') AS h$j")
-      .mkString(",\n               ")
+    val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_aggregate(list_transform(hb, h -> ($a * h + $b) % $MinhashP), 'min') AS h${i + 1}"
+    }.mkString(",\n               ")
     val bandRows = (1 to BANDS).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b - 1} AS hx, h${2 * b} AS hy FROM hashed")
       .mkString("\n        UNION ALL ")
@@ -77,10 +89,15 @@ object Dedup extends OpModule {
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               FOR i IN generate_series(1, len(w) - 2)]) AS sh
         FROM toks WHERE len(w) >= 3
+      ), shb AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s ->
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & $MinhashMask) AS hb
+        FROM sh
       ), hashed AS (
         SELECT doc_id, sh,
                $mins
-        FROM sh
+        FROM shb
       ), bands AS (
         $bandRows
       ), cand AS (
@@ -150,10 +167,16 @@ object Dedup extends OpModule {
     * the DuckDB mirror lands on identical values. Band key = the raw
     * (h, h) long pair — the join key is already fixed-width. */
   private[operators] def minhashBands(sh: DataFrame): DataFrame = {
+    // ONE md5 per shingle, projected before the aggregate so codegen
+    // can't re-evaluate it per hash function; the NH universal-hash
+    // mixes are two integer ops each inside the min() aggregates.
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minAggs = (1 to NH).map(j =>
-      min(conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 15), 16, 10)
-        .cast("long")).as(s"h$j"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          .bitwiseAND(lit(MinhashMask)).as("hb"))
+    val minAggs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"h${i + 1}")
+    }
     val hashed = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     hashed.select(
       col("doc_id"),
