@@ -32,4 +32,28 @@ object DocStream {
         }
       }
       .start()
+
+  /** Streaming maintenance of the persisted ANN index: new embedding
+    * files stream in and every micro-batch runs
+    * [[graft.operators.AnnIndex.append]] — encode under the FROZEN
+    * codebooks, per-family anti-join dedup, so replays (checkpointed or
+    * not) converge exactly like the batch path. Retraining stays an
+    * explicit offline rebuild, matching the FAISS train-then-add
+    * contract. */
+  def indexEmbeddings(spark: SparkSession, landingDir: String, indexRoot: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$indexRoot/.vec_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.append(
+            batch.sparkSession, indexRoot, batch.select("vec_id", "embedding"))
+        }
+      }
+      .start()
 }

@@ -73,4 +73,33 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(before == after)
     } finally vecsA.unpersist()
   }
+
+  test("streaming appends converge to the batch-append index") {
+    val all = Tables.embeddings(spark, sf())
+    val split = all.count() / 2
+    val dirA = Files.createTempDirectory("ann-sub-s").toString
+    all.filter(col("vec_id") < split).write.parquet(s"$dirA/embeddings.parquet")
+    // Batch reference: build on the first half, append the rest one-shot.
+    val rootBatch = Files.createTempDirectory("ann-idx-b").toString
+    AnnIndex.build(spark, dirA, rootBatch)
+    AnnIndex.append(spark, rootBatch,
+      all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+    // Streaming path: same build, then the second half arrives as a
+    // 3-file landing directory drained one file per micro-batch.
+    val rootStream = Files.createTempDirectory("ann-idx-s").toString
+    AnnIndex.build(spark, dirA, rootStream)
+    val landing = Files.createTempDirectory("ann-landing").toString
+    val rest = all.filter(col("vec_id") >= split).select("vec_id", "embedding")
+    rest.repartition(3).write.mode("overwrite").parquet(s"$landing/vecs")
+    val q = graft.streaming.DocStream.indexEmbeddings(
+      spark, s"$landing/vecs", rootStream, rest.schema)
+    q.awaitTermination()
+    // Every probe family must serve identical answers from both roots.
+    assert(rows(AnnIndex.probeIvf(spark, rootStream))
+      == rows(AnnIndex.probeIvf(spark, rootBatch)))
+    assert(rows(AnnIndex.probePq(spark, sf(), rootStream))
+      == rows(AnnIndex.probePq(spark, sf(), rootBatch)))
+    assert(rows(AnnIndex.probeIvfPq(spark, sf(), rootStream))
+      == rows(AnnIndex.probeIvfPq(spark, sf(), rootBatch)))
+  }
 }
