@@ -361,11 +361,11 @@ object Dedup extends OpModule {
     * bucket) equi-join — candidates grow ~9×, not quadratically, and
     * the big side still carries a single bucket column. Pairs found
     * through two different probes dedupe on DISTINCT. */
-  val d8EmbeddingMultiProbe: Op = Op(
-    "d8_dedup_embedding_multiprobe", {
-      val bInt = graft.functions.VectorFns.duckLshBucketInt("qv", 8)
-      Some(s"""
-      WITH v AS (
+  /** d8's pair CTE chain, shared with d11's clustering oracle: `epairs`
+    * holds the threshold-filtered multi-probe embedding near-dup pairs. */
+  private[operators] lazy val duckEmbPairCtes: String = {
+    val bInt = graft.functions.VectorFns.duckLshBucketInt("qv", 8)
+    s"""v AS (
         SELECT vec_id, label, ${graft.functions.VectorFns.duckQuantize("embedding")} AS qv
         FROM embeddings
       ), n AS (
@@ -383,12 +383,14 @@ object Dedup extends OpModule {
                  / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
         FROM probes a JOIN n b
           ON a.label = b.label AND a.probe = b.bucket AND a.vec_id < b.vec_id
-      )
-      SELECT vec_a, vec_b, label, cos AS cosine
-      FROM p WHERE cos >= 0.3
-      ORDER BY vec_a, vec_b
-    """)
-    })((spark, dir) => {
+      ), epairs AS (
+        SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= 0.3
+      )"""
+  }
+
+  /** d8's full pair pipeline, UNSORTED (see [[d2Pairs]] for the
+    * pattern): internal consumers take the pair SET. */
+  private[operators] def d8Pairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
     val n = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
@@ -408,8 +410,52 @@ object Dedup extends OpModule {
           VectorFns.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cos"))
       .distinct()
     p.filter(col("cos") >= 0.3)
+  }
+
+  val d8EmbeddingMultiProbe: Op = Op(
+    "d8_dedup_embedding_multiprobe",
+    Some(s"""
+      WITH $duckEmbPairCtes
+      SELECT vec_a, vec_b, label, cos AS cosine
+      FROM epairs
+      ORDER BY vec_a, vec_b
+    """))((spark, dir) =>
+    d8Pairs(spark, dir)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos").as("cosine"))
-      .orderBy("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b"))
+
+  /** Embedding-space near-dup clusters: connected components over d8's
+    * multi-probe cosine pair graph — the vector-side twin of d6 (text
+    * clusters), sharing [[connectedComponents]] so both scale paths are
+    * one implementation. Labels are component minima; the census output
+    * matches d6's shape with vec_id keys. */
+  val d11EmbeddingClusters: Op = Op(
+    "d11_embedding_clusters",
+    Some(s"""
+      WITH RECURSIVE $duckEmbPairCtes,
+      e AS (SELECT vec_a AS a, vec_b AS b FROM epairs
+            UNION SELECT vec_b, vec_a FROM epairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      )
+      SELECT c.vec_id, c.cluster_id, CAST(n.cnt AS BIGINT) AS cluster_size
+      FROM comp c
+      JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM comp GROUP BY cluster_id) n
+        USING (cluster_id)
+      ORDER BY c.vec_id
+    """))((spark, dir) => {
+    val comp = connectedComponents(d8Pairs(spark, dir).select("vec_a", "vec_b"))
+      .withColumnRenamed("doc_id", "vec_id")
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select("vec_id", "cluster_id", "cluster_size")
+      .orderBy("vec_id")
   })
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
@@ -748,5 +794,5 @@ object Dedup extends OpModule {
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
-      d10DupGramFraction)
+      d10DupGramFraction, d11EmbeddingClusters)
 }

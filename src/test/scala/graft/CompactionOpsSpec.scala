@@ -52,6 +52,22 @@ class CompactionOpsSpec extends SparkSpecBase {
     d6.unpersist(); d9.unpersist()
   }
 
+  test("d11: embedding clusters cover exactly the paired vectors and join every pair") {
+    val pairs = Dedup.d8EmbeddingMultiProbe.run(spark, sf()).select("vec_a", "vec_b").cache()
+    val d11 = Dedup.d11EmbeddingClusters.run(spark, sf()).cache()
+    val members = pairs.select(col("vec_a").as("v"))
+      .unionByName(pairs.select(col("vec_b").as("v"))).distinct()
+    assert(d11.count() == members.count())
+    assert(d11.select("vec_id").distinct().count() == d11.count())
+    assert(d11.filter(col("cluster_size") < 2).isEmpty)
+    // Both endpoints of every near-dup pair land in the same cluster.
+    val ca = d11.select(col("vec_id").as("vec_a"), col("cluster_id").as("cl_a"))
+    val cb = d11.select(col("vec_id").as("vec_b"), col("cluster_id").as("cl_b"))
+    assert(pairs.join(ca, Seq("vec_a")).join(cb, Seq("vec_b"))
+      .filter(col("cl_a") =!= col("cl_b")).isEmpty)
+    pairs.unpersist(); d11.unpersist()
+  }
+
   test("t35: per-stratum quota is exactly ceil(n/5) and the draw is reproducible") {
     val docs = Tables.documents(spark, sf())
     val expected = docs.groupBy("lang")
