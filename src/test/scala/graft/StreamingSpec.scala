@@ -62,14 +62,8 @@ class StreamingSpec extends SparkSpecBase {
     val got = EventStream.runToMemory(spark, stream, "attrib_test")
       .select("purchase_id", "signup_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Batch twin: identical join over the static table.
-    val ev = Tables.events(spark, sf())
-    val s = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-    val want = p.join(s, expr(
-      "p_user = s_user AND purchase_ts >= signup_ts AND purchase_ts <= signup_ts + INTERVAL 7 DAYS"))
+    // Batch twin: the oracle-checked q33 operator.
+    val want = SparkEntry.queries("q33_purchase_attribution")(spark, sf())
       .select("purchase_id", "signup_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
