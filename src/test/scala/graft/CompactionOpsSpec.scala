@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 class CompactionOpsSpec extends SparkSpecBase {
 
+  test("results are invariant to the shuffle-partition count") {
+    // The oracle gate pins values at ONE partitioning; this pins that a
+    // different shuffle width cannot reorder or renumber anything — the
+    // classic leak for rank/sample/fraction outputs on a real cluster
+    // whose partition count nobody controls.
+    val names = Seq("t35_stratified_sample", "q30_latest_snapshot",
+      "d10_dup_gram_fraction", "q31_event_funnel")
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    def runAll() = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf()).collect().map(_.toString).toSeq).toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val at7 = runAll()
+      conf.set("spark.sql.shuffle.partitions", "13")
+      val at13 = runAll()
+      names.foreach(n => assert(at7(n) == at13(n), s"$n varies with partitioning"))
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("s13: spine is complete, hits bounded by K, multi-probe never loses to single-bucket LSH") {
     val r = Similarity.s13RecallCensus.run(spark, sf()).cache()
     // Every (method, query) pair exists exactly once, even when a probe
