@@ -259,6 +259,76 @@ object Extras extends OpModule {
       Seq("l_orderkey", "l_quantity", "l_returnflag"))
   })
 
+  /** Referential-integrity audit across the star schema: for each
+    * fact→dim relationship, total fact rows, rows with a NULL foreign
+    * key, and rows whose key resolves to no dim row (dangling) — the
+    * cross-table conformance census q29's single-table profile can't
+    * see, and the check every warehouse load gates on before exposing a
+    * partition. Each relationship is one LEFT ANTI join on the key
+    * (dims broadcast at dim scale; shuffle-join beyond) plus one scan
+    * count — no row ever carries more than the key column. */
+  val q34FkAudit: Op = Op(
+    "q34_fk_audit",
+    Some("""
+      WITH rel AS (
+        SELECT 'lineitem.l_orderkey->orders' AS relationship,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_key,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_dangling
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_partkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_suppkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      )
+      SELECT relationship, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_null_key AS BIGINT) AS n_null_key,
+             CAST(n_dangling AS BIGINT) AS n_dangling
+      FROM rel
+      ORDER BY relationship
+    """))((spark, dir) => {
+    def audit(name: String, fact: org.apache.spark.sql.DataFrame, key: String,
+        dim: org.apache.spark.sql.DataFrame, dimKey: String) = {
+      val keyed = fact.select(col(key))
+      val dangling = keyed.filter(col(key).isNotNull)
+        .join(broadcast(dim.select(col(dimKey).as(key))), Seq(key), "anti")
+      keyed.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_null_key"))
+        .crossJoin(broadcast(dangling.agg(count(lit(1)).as("n_dangling"))))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_null_key"),
+          col("n_dangling"))
+    }
+    audit("lineitem.l_orderkey->orders",
+      Tables.lineitem(spark, dir), "l_orderkey", Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey->part",
+        Tables.lineitem(spark, dir), "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey->supplier",
+        Tables.lineitem(spark, dir), "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer",
+        Tables.orders(spark, dir), "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("relationship")
+  })
+
   override def ops: Seq[Op] =
-    Seq(q19Json, q20TimeSpine, q21GroupIds, q22AsOf, q23Salted, q28Percentiles, q29Profile)
+    Seq(q19Json, q20TimeSpine, q21GroupIds, q22AsOf, q23Salted, q28Percentiles,
+      q29Profile, q34FkAudit)
 }
