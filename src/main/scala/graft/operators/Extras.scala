@@ -312,7 +312,9 @@ object Extras extends OpModule {
         .join(broadcast(dim.select(col(dimKey).as(key))), Seq(key), "anti")
       keyed.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_null_key"))
+        // coalesce: SUM over an empty table is NULL, the oracle's
+        // subquery COUNT is 0 — keep both engines at 0.
+        coalesce(sum(when(col(key).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null_key"))
         .crossJoin(broadcast(dangling.agg(count(lit(1)).as("n_dangling"))))
         .select(lit(name).as("relationship"), col("n_rows"), col("n_null_key"),
           col("n_dangling"))
