@@ -281,16 +281,10 @@ object TextOps extends OpModule {
     * needs no shuffle or state. Output is the per-(lang, split) census. */
   val t27HashSplit: Op = Op(
     "t27_hash_split_census",
-    Some("""
-      WITH b AS (
-        SELECT doc_id, lang,
-               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, lang, ${HashSplit.duckSplit("doc_id")} AS split
         FROM documents
-      ), s AS (
-        SELECT doc_id, lang,
-               CASE WHEN bucket < 80 THEN 'train'
-                    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
-        FROM b
       )
       SELECT lang, split,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -299,11 +293,8 @@ object TextOps extends OpModule {
       GROUP BY lang, split
       ORDER BY lang, split
     """))((spark, dir) => {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))
+      .select(col("doc_id"), col("lang"), HashSplit.splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .orderBy("lang", "split")

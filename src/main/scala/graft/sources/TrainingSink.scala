@@ -29,19 +29,27 @@ object TrainingSink {
       lit(nShards.toLong)).cast("int")
 
   /** Write `df` as gzip JSONL under `path/shard=K/`, sharded by
-    * md5(keyCol) % nShards. Returns the number of rows written. */
+    * md5(keyCol) % nShards. Returns the number of rows written.
+    *
+    * The row count is observed on the write pass itself (no second scan,
+    * and no schema-inference failure when the input is empty), and a
+    * caller-supplied `shard` column is rejected rather than silently
+    * overwritten and dropped from the export. */
   def writeJsonlShards(df: DataFrame, path: String, keyCol: String,
       nShards: Int): Long = {
     require(nShards > 0, "nShards must be positive")
-    val sharded = df.withColumn("shard", shardOf(col(keyCol), nShards))
-    sharded
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it — the sink owns that name")
+    val obs = org.apache.spark.sql.Observation()
+    df.withColumn("shard", shardOf(col(keyCol), nShards))
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(nShards, col("shard"))
       .write
       .mode("overwrite")
       .partitionBy("shard")
       .option("compression", "gzip")
       .json(path)
-    df.sparkSession.read.json(path).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Read an exported shard tree back (shard recovered as a partition

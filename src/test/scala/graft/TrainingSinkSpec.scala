@@ -32,6 +32,20 @@ class TrainingSinkSpec extends SparkSpecBase {
     assert(shardMap(s"$out/docs") == shardMap(s"$out2/docs"))
   }
 
+  test("rejects an input that already carries a 'shard' column, and counts an empty input as 0") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("lang"))
+    val out = Files.createTempDirectory("graft-sink4").toString
+    // A caller-side 'shard' column would be silently overwritten and its
+    // data dropped from the export — refuse instead.
+    intercept[IllegalArgumentException] {
+      TrainingSink.writeJsonlShards(
+        docs.withColumn("shard", lit(99)), s"$out/bad", "doc_id", 4)
+    }
+    // Empty input: zero rows written, no schema-inference crash from
+    // re-reading a fileless output tree.
+    assert(TrainingSink.writeJsonlShards(docs.limit(0), s"$out/empty", "doc_id", 4) == 0L)
+  }
+
   test("each shard directory holds exactly one gzip part file") {
     val out = Files.createTempDirectory("graft-sink3").toString
     TrainingSink.writeJsonlShards(
