@@ -66,6 +66,17 @@ object Dedup extends OpModule {
     (1000003L, 7L), (1000033L, 11L), (1000037L, 13L), (1000039L, 17L),
     (1000081L, 19L), (1000099L, 23L), (1000117L, 29L), (1000121L, 31L))
 
+  /** Identity of the minhash/LSH hash family, derived from every constant
+    * that shapes a band key. Persisted indexes and pair tables stamp this
+    * id at build time and refuse appends/reads under a different family:
+    * the round-7 rework (salted md5 per hash → one md5 + universal hashes)
+    * changed every band key, and an unstamped index would have silently
+    * dropped all new-vs-old candidate pairs — the exact nightly-ingest
+    * case the index exists for. */
+  private[graft] val hashFamilyId: String =
+    s"minhash/2;shingle=word3;p=$MinhashP;mask=$MinhashMask;nh=$NH;bands=$BANDS;" +
+      s"ab=${MinhashAB.map { case (a, b) => s"$a*h+$b" }.mkString(",")};t=$JACCARD_T"
+
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
     * (used by d2's oracle and d6's clustering oracle). MinHash values
     * are int64: ONE md5 per shingle (first 15 hex chars parsed as a
@@ -732,6 +743,66 @@ object Dedup extends OpModule {
       .orderBy("cluster_id")
   })
 
+  /** Embedding-side canonical selection — d9's keep-this-copy decision
+    * over d11's vector clusters, completing the vector half of the dedup
+    * pipeline (d11 says "these are duplicates", d12 says which one the
+    * corpus keeps). Policy: the highest-norm member wins (ties to the
+    * lowest vec_id) — the quantized ‖v‖² is an exact int64 on both
+    * engines, so the rank is bit-stable where a float cosine-to-centroid
+    * rule would not be. Same scale shape as d9: the windows run over the
+    * (LSH-small) clustered subset only; the corpus-wide table is touched
+    * once for the norm column. */
+  val d12CanonicalVectors: Op = Op(
+    "d12_canonical_vectors",
+    Some(s"""
+      WITH RECURSIVE $duckEmbPairCtes,
+      e AS (SELECT vec_a AS a, vec_b AS b FROM epairs
+            UNION SELECT vec_b, vec_a FROM epairs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      ), j AS (
+        SELECT c.vec_id, c.cluster_id, n.nrm
+        FROM comp c JOIN n USING (vec_id)
+      ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY nrm DESC, vec_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+        FROM j
+      )
+      SELECT cluster_id, vec_id AS canonical_vec_id,
+             CAST(nrm AS BIGINT) AS canonical_nrm,
+             CAST(csize AS BIGINT) AS cluster_size,
+             CAST(csize - 1 AS BIGINT) AS n_dropped
+      FROM r WHERE rnk = 1
+      ORDER BY cluster_id
+    """))((spark, dir) => {
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(d8Pairs(spark, dir).select("vec_a", "vec_b"))
+      .withColumnRenamed("doc_id", "vec_id")
+    val norms = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorFns.norm2(VectorFns.quantize(col("embedding"))).as("nrm"))
+    val j = comp.join(norms, Seq("vec_id"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val r = j
+      .withColumn("rnk", row_number().over(
+        byCluster.orderBy(col("nrm").desc, col("vec_id"))))
+      .withColumn("csize", count(lit(1)).over(byCluster))
+    r.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("vec_id").as("canonical_vec_id"),
+        col("nrm").as("canonical_nrm"), col("csize").as("cluster_size"),
+        (col("csize") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  })
+
   private val DupGramN = 8
 
   /** Cross-document duplicated-gram fraction: for each document, the
@@ -794,5 +865,5 @@ object Dedup extends OpModule {
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
-      d10DupGramFraction, d11EmbeddingClusters)
+      d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors)
 }

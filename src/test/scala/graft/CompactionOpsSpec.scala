@@ -72,6 +72,33 @@ class CompactionOpsSpec extends SparkSpecBase {
     d6.unpersist(); d9.unpersist()
   }
 
+  test("d12: one canonical per d11 cluster, the highest-norm member wins") {
+    import graft.functions.VectorFns
+    val d11 = Dedup.d11EmbeddingClusters.run(spark, sf()).cache()
+    val d12 = Dedup.d12CanonicalVectors.run(spark, sf()).cache()
+    // Exactly one decision row per d11 cluster, sizes agree.
+    assert(d12.select("cluster_id").distinct().count() == d12.count())
+    assert(d12.count() == d11.select("cluster_id").distinct().count())
+    // Direct recomputation: the canonical vector is the cluster member
+    // with the maximum quantized norm (ties to the lowest vec_id).
+    val members = d11.join(
+      Tables.embeddings(spark, sf()).select(col("vec_id"),
+        VectorFns.norm2(VectorFns.quantize(col("embedding"))).as("nrm")),
+      Seq("vec_id"))
+    val best = members
+      .groupBy("cluster_id")
+      .agg(max(struct(col("nrm"), (-col("vec_id")).as("neg_vec"))).as("b"),
+        count(lit(1)).as("sz"))
+      .select(col("cluster_id"), col("b.nrm").as("exp_nrm"),
+        (-col("b.neg_vec")).as("exp_vec"), col("sz"))
+    val joined = d12.join(best, Seq("cluster_id"))
+    assert(joined.filter(col("canonical_vec_id") =!= col("exp_vec")
+      || col("canonical_nrm") =!= col("exp_nrm")
+      || col("cluster_size") =!= col("sz")
+      || col("n_dropped") =!= col("sz") - 1).isEmpty)
+    d11.unpersist(); d12.unpersist()
+  }
+
   test("d11: embedding clusters cover exactly the paired vectors and join every pair") {
     val pairs = Dedup.d8EmbeddingMultiProbe.run(spark, sf()).select("vec_a", "vec_b").cache()
     val d11 = Dedup.d11EmbeddingClusters.run(spark, sf()).cache()
