@@ -115,10 +115,42 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * delete happens only after the new files are live. */
   def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partition: Option[String] = None): Int = {
-    import org.apache.hadoop.fs.Path
     val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(path(rel))
+    Warehouse.compactPath(spark, path(rel), targetFileBytes)
+  }
+
+  /** Register every existing table as a lowercase temp view (the serving
+    * queries use the reference's lowercase Postgres spellings). */
+  def registerViews(): Unit =
+    Warehouse.AllTables.filter(exists).foreach { t =>
+      table(t).createOrReplaceTempView(t.toLowerCase)
+    }
+}
+
+object Warehouse {
+  val Dims: Seq[String] = Seq(
+    "dimData", "dimHorario", "dimMunicipio", "dimOcupacao", "dimCausa",
+    "dimDemografia", "dimInfoNascimento")
+  val Bridge = "ponteGrupoCausas"
+  val Signatures = "ponteAssinaturas"
+  val IngestLog = "_ingest_log"
+  val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
+  val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
+
+  /** Path-level compaction core — shared by warehouse tables and the
+    * persisted index roots ([[graft.operators.NearDupIndex]] /
+    * [[graft.operators.AnnIndex]] append one file per batch per family;
+    * a long streaming-maintenance run degrades probe latency until the
+    * small files are merged). Semantics as documented on
+    * [[Warehouse.compact]]; additionally, top-level metadata files
+    * (`_family`, custom markers — any `_`-prefixed FILE) survive the
+    * rewrite: Spark ignores them as data but the index contracts depend
+    * on them. */
+  def compactPath(spark: SparkSession, dirPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dirPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(dirPath)
     // Hive-style partition dirs, walked to ANY nesting depth
     // (year=/month=/...): compacting with only the top level would
     // demote deeper partition columns to data columns and flatten
@@ -143,8 +175,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val bytes = filesUnder(dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new Path(path(s".${tableName}_compact_tmp"))
-    val bak = new Path(path(s".${tableName}_compact_bak"))
+    // Siblings of the live dir: same filesystem, same parent — renames
+    // stay atomic directory moves.
+    val tmp = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
+    val bak = new Path(dir.getParent, s".${dir.getName}_compact_bak")
     fs.delete(tmp, true)
     fs.delete(bak, true)
     val df = spark.read.parquet(dir.toString)
@@ -179,25 +213,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       fs.rename(bak, dir) // roll back: old data intact
       throw new java.io.IOException(s"compact: could not publish $tmp; rolled back")
     }
+    // Carry index metadata markers (top-level `_`-prefixed FILES, e.g.
+    // `_family`) from the old data into the new dir before the old copy
+    // is destroyed; the fresh write's own markers (e.g. `_SUCCESS`) win
+    // on name collision.
+    fs.listStatus(bak).filter(s => s.isFile && s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        val target = new Path(dir, s.getPath.getName)
+        if (!fs.exists(target)) fs.rename(s.getPath, target)
+      }
     fs.delete(bak, true)
     nFiles
   }
-
-  /** Register every existing table as a lowercase temp view (the serving
-    * queries use the reference's lowercase Postgres spellings). */
-  def registerViews(): Unit =
-    Warehouse.AllTables.filter(exists).foreach { t =>
-      table(t).createOrReplaceTempView(t.toLowerCase)
-    }
-}
-
-object Warehouse {
-  val Dims: Seq[String] = Seq(
-    "dimData", "dimHorario", "dimMunicipio", "dimOcupacao", "dimCausa",
-    "dimDemografia", "dimInfoNascimento")
-  val Bridge = "ponteGrupoCausas"
-  val Signatures = "ponteAssinaturas"
-  val IngestLog = "_ingest_log"
-  val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
-  val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
 }
