@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Advisory single-writer lease for on-disk artifacts with
+  * read-before-write merge contracts — the warehouse ingest (bridge
+  * max+1 merge, manifest append; reference semantics
+  * spark_script_sim.py:197-255) and the persisted indexes
+  * ([[operators.NearDupIndex]], [[operators.AnnIndex]]), all of which a
+  * second concurrent writer corrupts SILENTLY (duplicate bridge ids,
+  * double-appended facts, lost index pairs).
+  *
+  * Acquisition is a create-exclusive file (`_writer_lease`) carrying the
+  * owner id and an epoch stamp. A live lease makes the second writer
+  * fail fast and loud; a lease older than `ttlMs` is presumed crashed
+  * and is broken — safe because every guarded write path is
+  * independently replay-idempotent (manifest day keys, per-family
+  * anti-joins), so the recovering writer converges.
+  *
+  * Scope and honesty notes: this is a correctness net for the DECLARED
+  * single-writer deployments, not a distributed lock service — on
+  * filesystems without atomic create-exclusive (S3 without conditional
+  * writes) two writers racing the same millisecond can both pass; HDFS
+  * and local FS creates are atomic. Long-running holders should call
+  * [[WriterLease.renew]] before `ttlMs` elapses or pass a TTL sized to
+  * the job. */
+final class WriterLease private[graft] (fs: FileSystem, val path: Path,
+    owner: String) {
+
+  /** Re-stamp the epoch so a healthy long-running job isn't presumed
+    * crashed and broken mid-write. */
+  def renew(): Unit = WriterLease.stamp(fs, path, owner, overwrite = true)
+
+  def release(): Unit = { fs.delete(path, false); () }
+}
+
+object WriterLease {
+
+  val LeaseFile = "_writer_lease"
+  val DefaultTtlMs: Long = 15 * 60 * 1000L
+
+  /** hostname@pid — diagnostic identity for the conflict message. */
+  def processOwner(tag: String): String =
+    s"$tag:${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+
+  private def stamp(fs: FileSystem, p: Path, owner: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s"owner=$owner epoch=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Acquire the lease under `dir` (created if absent). Throws
+    * IllegalStateException if a non-expired lease is held by anyone —
+    * including another process of the same job: the contract is one
+    * writer, not one job name. */
+  def acquire(spark: SparkSession, dir: String, owner: String,
+      ttlMs: Long = DefaultTtlMs): WriterLease = {
+    val p = new Path(s"$dir/$LeaseFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    def tryCreate(): Boolean =
+      try { stamp(fs, p, owner, overwrite = false); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      // Held: read the stamp. Unreadable/unparseable (holder crashed
+      // mid-create, or released between our create and this read) is
+      // treated as expired — the replay-idempotent write paths make
+      // breaking a dead lease safe, while breaking a LIVE one is the
+      // only dangerous direction and requires a fresh epoch to prevent.
+      val info =
+        try {
+          val in = fs.open(p)
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val epoch = "epoch=(\\d+)".r.findFirstMatchIn(info).map(_.group(1).toLong)
+      val expired = epoch.forall(e => System.currentTimeMillis() - e > ttlMs)
+      if (expired) fs.delete(p, false)
+      if (!expired || !tryCreate())
+        throw new IllegalStateException(
+          s"single-writer lease at $p is held ($info) — a concurrent " +
+            s"ingest/build/append against the same root would corrupt its " +
+            s"merge contracts; wait for the holder or, if it crashed, " +
+            s"retry after the ${ttlMs / 1000}s TTL expires")
+    }
+    new WriterLease(fs, p, owner)
+  }
+
+  /** acquire → body → release (release also on failure: a thrown body
+    * must not turn into a TTL-long outage for the next writer). */
+  def withLease[T](spark: SparkSession, dir: String, owner: String,
+      ttlMs: Long = DefaultTtlMs)(body: => T): T = {
+    val lease = acquire(spark, dir, owner, ttlMs)
+    try body finally lease.release()
+  }
+}

@@ -152,13 +152,25 @@ object Pipeline {
     ingestSinascFiles(wh, Seq(csvGlob), dt)
 
   def ingestSinascFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
-    if (paths.isEmpty || wh.ingestLogged("sinasc", dt)) return 0L
-    val raw = readRaw(wh, paths)
-    if (raw.isEmpty) return 0L
-    val fact = resolveSinasc(Transforms.sinasc(raw), wh)
-    wh.append("factNascimentos", fact, dt)
-    wh.logIngest("sinasc", dt)
-    fact.count()
+    if (paths.isEmpty) return 0L
+    // Lease first, manifest check inside it: the manifest-then-append
+    // sequence is the exact read-before-write window a second concurrent
+    // ingest corrupts (double-appended day). A crashed run's lease
+    // expires and the replay converges through the manifest.
+    graft.WriterLease.withLease(wh.spark, wh.root,
+      graft.WriterLease.processOwner("ingest-sinasc")) {
+      if (wh.ingestLogged("sinasc", dt)) 0L
+      else {
+        val raw = readRaw(wh, paths)
+        if (raw.isEmpty) 0L
+        else {
+          val fact = resolveSinasc(Transforms.sinasc(raw), wh)
+          wh.append("factNascimentos", fact, dt)
+          wh.logIngest("sinasc", dt)
+          fact.count()
+        }
+      }
+    }
   }
 
   /** Backfill every pending `dt=` day partition under the landing
@@ -189,7 +201,18 @@ object Pipeline {
     ingestSimFiles(wh, Seq(csvGlob), dt)
 
   def ingestSimFiles(wh: Warehouse, paths: Seq[String], dt: String): Long = {
-    if (paths.isEmpty || wh.ingestLogged("sim", dt)) return 0L
+    if (paths.isEmpty) return 0L
+    // The bridge max+1 merge is the warehouse's most corruption-prone
+    // single-writer contract (duplicate group ids are silent and
+    // permanent) — lease before the manifest check, like the SINASC path.
+    graft.WriterLease.withLease(wh.spark, wh.root,
+      graft.WriterLease.processOwner("ingest-sim")) {
+      ingestSimLeased(wh, paths, dt)
+    }
+  }
+
+  private def ingestSimLeased(wh: Warehouse, paths: Seq[String], dt: String): Long = {
+    if (wh.ingestLogged("sim", dt)) return 0L
     val raw = readRaw(wh, paths)
     if (raw.isEmpty) return 0L
     val clean = Transforms.sim(raw.withColumn("row_id", monotonically_increasing_id()))

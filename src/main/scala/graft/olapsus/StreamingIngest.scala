@@ -31,14 +31,25 @@ object StreamingIngest {
   /** One SINASC micro-batch through the batch resolvers; `label` is the
     * fact `dt=` partition value. */
   private[olapsus] def ingestSinascBatch(wh: Warehouse, batch: DataFrame,
-      label: String): Unit = {
-    val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
-    wh.append("factNascimentos", fact, label)
-  }
+      label: String): Unit =
+    // Per-micro-batch lease: a batch driver run concurrently against the
+    // same warehouse fails fast instead of interleaving appends.
+    graft.WriterLease.withLease(wh.spark, wh.root,
+      graft.WriterLease.processOwner("stream-sinasc")) {
+      val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
+      wh.append("factNascimentos", fact, label)
+    }
 
   /** One SIM micro-batch: bridge merge + factObitos append
     * (single-writer, as in the batch path). */
   private[olapsus] def ingestSimBatch(wh: Warehouse, batch: DataFrame,
+      label: String): Unit =
+    graft.WriterLease.withLease(wh.spark, wh.root,
+      graft.WriterLease.processOwner("stream-sim")) {
+      ingestSimBatchLeased(wh, batch, label)
+    }
+
+  private def ingestSimBatchLeased(wh: Warehouse, batch: DataFrame,
       label: String): Unit = {
     val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
     if (!wh.exists(Warehouse.Signatures))
