@@ -43,11 +43,8 @@ object Curation extends OpModule {
         SELECT * FROM exact
         WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jac >= 0.5)
       ), split AS (
-        SELECT lang, n_tokens,
-               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
-        FROM (SELECT *,
-                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
-              FROM neardrop)
+        SELECT lang, n_tokens, ${HashSplit.duckSplit("doc_id")} AS split
+        FROM neardrop
       )
       SELECT lang, split,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -74,11 +71,8 @@ object Curation extends OpModule {
       .select("doc_id")
     val exact = base.join(keepers, Seq("doc_id"), "semi")
     val nearDrop = exact.join(nearDupDocs, Seq("doc_id"), "anti")
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
     nearDrop
-      .select(col("lang"), col("n_tokens"),
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))
+      .select(col("lang"), col("n_tokens"), HashSplit.splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang", "split")
@@ -97,16 +91,24 @@ object Curation extends OpModule {
     // table-wide sort paid for nothing.
     Dedup.d2Pairs(spark, dir)
       .write.mode("overwrite").parquet(tablePath)
+    // Stamp the hash family AFTER the overwrite (which clears the dir):
+    // a pair table persisted under an older minhash family would
+    // otherwise be consumed silently by curateAgainstPairs.
+    NearDupIndex.writeFamilyStamp(spark, tablePath)
     spark.read.parquet(tablePath).count()
   }
 
   /** c1's curation census computed against a persisted pair table —
     * byte-identical output to the inline pipeline (CurationSpec pins
-    * the equivalence). */
+    * the equivalence). Refuses a table stamped with a different minhash
+    * family (or none) — re-run [[persistNearDupPairs]] instead of
+    * curating against stale pairs. */
   def curateAgainstPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
-      tablePath: String): org.apache.spark.sql.DataFrame =
+      tablePath: String): org.apache.spark.sql.DataFrame = {
+    NearDupIndex.requireFamily(spark, tablePath, "near-dup pair table")
     curate(spark, dir,
       spark.read.parquet(tablePath).select(col("doc_b").as("doc_id")).distinct())
+  }
 
   /** Funnel census: how many documents each curation stage keeps, per
     * language — raw → quality gate → exact dedup → near-dup drop, the
@@ -200,12 +202,9 @@ object Curation extends OpModule {
       pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= ${Dedup.jaccardThreshold}),
       lab AS (
         SELECT doc_a, doc_b,
-               CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'valid' ELSE 'test' END AS sa,
-               CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'valid' ELSE 'test' END AS sb
-        FROM (SELECT doc_a, doc_b,
-                CAST(('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ba,
-                CAST(('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bb
-              FROM pairs)
+               ${HashSplit.duckSplit("doc_a")} AS sa,
+               ${HashSplit.duckSplit("doc_b")} AS sb
+        FROM pairs
       )
       SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
              CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -214,13 +213,9 @@ object Curation extends OpModule {
       GROUP BY 1, 2
       ORDER BY split_a, split_b
     """))((spark, dir) => {
-    def split(c: org.apache.spark.sql.Column) = {
-      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
-      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-    }
     Dedup.d2Pairs(spark, dir)
       .select(col("doc_a"), col("doc_b"),
-        split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+        HashSplit.splitOf(col("doc_a")).as("sa"), HashSplit.splitOf(col("doc_b")).as("sb"))
       .filter(col("sa") =!= col("sb"))
       .groupBy(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))
@@ -260,12 +255,9 @@ object Curation extends OpModule {
         FROM documents d LEFT JOIN comp c USING (doc_id)
       ), split AS (
         SELECT doc_id,
-               CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'valid' ELSE 'test' END AS split,
-               CASE WHEN ob < 80 THEN 'train' WHEN ob < 90 THEN 'valid' ELSE 'test' END AS own_split
-        FROM (SELECT doc_id,
-                CAST(('0x' || substring(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS gb,
-                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ob
-              FROM lab)
+               ${HashSplit.duckSplit("group_key")} AS split,
+               ${HashSplit.duckSplit("doc_id")} AS own_split
+        FROM lab
       )
       SELECT split,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -285,17 +277,13 @@ object Curation extends OpModule {
     * assignment c4 censuses and the spec audits for zero leakage. */
   private[operators] def groupSplitLabels(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    def splitOf(c: org.apache.spark.sql.Column) = {
-      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
-      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-    }
     val comp = Dedup.connectedComponents(
       Dedup.d2Pairs(spark, dir).select("doc_a", "doc_b"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(broadcast(comp), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
-        splitOf(col("doc_id")).as("own_split"))
+        HashSplit.splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
+        HashSplit.splitOf(col("doc_id")).as("own_split"))
   }
 
   /** Test-only accessor for the per-doc label assignment. */

@@ -38,13 +38,70 @@ object NearDupIndex {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Hash-family stamp (`<root>/_family`): band keys from two different
+    * minhash families never collide, so mixing them in one index silently
+    * loses every new-vs-old pair. The stamp is written when the index is
+    * first populated and checked on every subsequent append. Shared with
+    * [[Curation.persistNearDupPairs]]'s pair tables. */
+  private[graft] def writeFamilyStamp(spark: SparkSession, dir: String,
+      id: String = Dedup.hashFamilyId): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/_family")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(id.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[operators] def readFamilyStamp(spark: SparkSession, dir: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/_family")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Fails fast when `dir` holds data stamped with a different (or no)
+    * hash family than the running code's [[Dedup.hashFamilyId]]. */
+  private[operators] def requireFamily(spark: SparkSession, dir: String, what: String): Unit = {
+    val stamp = readFamilyStamp(spark, dir)
+    if (!stamp.contains(Dedup.hashFamilyId))
+      throw new IllegalStateException(
+        s"$what at $dir was built with hash family " +
+          s"${stamp.getOrElse("<unstamped — predates family stamping>")} but the " +
+          s"running code uses ${Dedup.hashFamilyId}; band keys are incompatible " +
+          "(appends would silently lose all new-vs-old pairs) — rebuild it.")
+  }
+
   private def readOrEmpty(spark: SparkSession, p: String, template: DataFrame): DataFrame =
     if (tableExists(spark, p)) spark.read.parquet(p)
     else template.limit(0)
 
   /** Index a batch of documents (doc_id, text, …). Returns the number
     * of NEW pairs found (new×new and new×old). */
-  def addDocuments(spark: SparkSession, docs: DataFrame, root: String): Long = {
+  def addDocuments(spark: SparkSession, docs: DataFrame, root: String): Long =
+    // The three-table commit order only replays safely under ONE writer;
+    // a second concurrent appender interleaving between the pairs and
+    // shingles appends corrupts silently — fail it fast instead. A
+    // crashed writer's lease expires and the replay converges (the
+    // commit-order contract below).
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("neardup-add")) {
+      addDocumentsLeased(spark, docs, root)
+    }
+
+  private def addDocumentsLeased(spark: SparkSession, docs: DataFrame,
+      root: String): Long = {
+    // Family gate: an index with data must match the running hash family;
+    // an empty root gets stamped (re-stamping an empty root is safe — no
+    // band keys exist yet to be incompatible with). The pairs subtable is
+    // stamped too: it is consumed standalone by Curation.curateAgainstPairs.
+    if (tableExists(spark, path(root, "shingles"))) requireFamily(spark, root, "near-dup index")
+    else {
+      writeFamilyStamp(spark, root)
+      writeFamilyStamp(spark, path(root, "pairs"))
+    }
     val newShAll = Dedup.shingled(docs)
     val oldSh = readOrEmpty(spark, path(root, "shingles"), newShAll.select("doc_id", "sh"))
     // Idempotency: drop docs already in the index.
@@ -94,6 +151,23 @@ object NearDupIndex {
     newSh.unpersist()
     n
   }
+
+  /** Merge each subtable's accumulated per-batch append files (one
+    * parquet file per batch — a nightly streaming-maintenance run
+    * degrades probe latency until they're merged). Metadata markers
+    * (`_family`) survive the rewrite; same crash-safe rename protocol as
+    * warehouse compaction. Returns the per-table new file counts. */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Int] =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("neardup-compact")) {
+      requireFamily(spark, root, "near-dup index")
+      Seq("pairs", "bands", "shingles")
+        .filter(t => tableExists(spark, path(root, t)))
+        .map(t => t -> graft.olapsus.Warehouse.compactPath(
+          spark, path(root, t), targetFileBytes))
+        .toMap
+    }
 
   /** The accumulated pair table (doc_a, doc_b, jaccard). Read through
     * distinct(): a batch that crashed between its pairs append and its

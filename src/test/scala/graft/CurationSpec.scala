@@ -87,12 +87,11 @@ class CurationSpec extends SparkSpecBase {
   }
 
   test("c3 leakage counts reconcile with a direct recount of straddling pairs") {
-    def split(c: org.apache.spark.sql.Column) = {
-      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
-      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-    }
+    // The shipped split definition, not a local copy: the audit must
+    // audit the split t27 actually ships.
     val direct = graft.operators.Dedup.d2MinHashLsh.run(spark, sf())
-      .select(split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+      .select(graft.operators.HashSplit.splitOf(col("doc_a")).as("sa"),
+        graft.operators.HashSplit.splitOf(col("doc_b")).as("sb"))
       .filter(col("sa") =!= col("sb")).count()
     val c3 = Curation.c3SplitLeakage.run(spark, sf()).cache()
     val reported = c3.agg(coalesce(sum("n_pairs"), lit(0L))).head().getLong(0)

@@ -30,6 +30,62 @@ class NearDupIndexSpec extends SparkSpecBase {
     assert(indexPairs(root) == fullPairs)
   }
 
+  test("appends refuse an index stamped with a different hash family") {
+    val root = Files.createTempDirectory("neardup-idx-family").toString
+    val docs = Tables.documents(spark, sf())
+    NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 0), root)
+    // Forge an index built by an older minhash family: band keys from
+    // different families never collide, so appending would silently lose
+    // every new-vs-old pair — the gate must fail fast instead. (Forged
+    // through the Hadoop FS so the local checksum sidecar stays valid.)
+    NearDupIndex.writeFamilyStamp(spark, root, "minhash/1;salted-md5-per-hash")
+    val ex = intercept[IllegalStateException] {
+      NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 1), root)
+    }
+    assert(ex.getMessage.contains("hash family"))
+    // An UNSTAMPED index (predates stamping) must also refuse.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_family"))
+    intercept[IllegalStateException] {
+      NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 1), root)
+    }
+    // Restoring the current stamp lets the append proceed to convergence.
+    NearDupIndex.writeFamilyStamp(spark, root)
+    NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 1), root)
+    assert(indexPairs(root) == fullPairs)
+  }
+
+  test("curateAgainstPairs refuses a stale-family pair table") {
+    val table = Files.createTempDirectory("neardup-pairs-family").resolve("pairs").toString
+    operators.Curation.persistNearDupPairs(spark, sf(), table)
+    // Freshly persisted table carries the current stamp and is accepted.
+    assert(operators.Curation.curateAgainstPairs(spark, sf(), table).count() > 0)
+    NearDupIndex.writeFamilyStamp(spark, table, "minhash/1;salted-md5-per-hash")
+    intercept[IllegalStateException] {
+      operators.Curation.curateAgainstPairs(spark, sf(), table)
+    }
+  }
+
+  test("compaction merges append files, keeps the pair set, and preserves the family stamp") {
+    val root = Files.createTempDirectory("neardup-idx-compact").toString
+    val docs = Tables.documents(spark, sf())
+    (0 until 4).foreach(i =>
+      NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 4 === i), root))
+    assert(indexPairs(root) == fullPairs)
+    def parquetFiles(p: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/shingles") >= 4) // one per batch
+    val counts = NearDupIndex.compact(spark, root)
+    assert(counts.keySet == Set("pairs", "bands", "shingles"))
+    Seq("pairs", "bands", "shingles").foreach(t =>
+      assert(parquetFiles(s"$root/$t") == 1, s"$t not merged"))
+    assert(indexPairs(root) == fullPairs)
+    // The family stamp survived the rewrite: appends still pass the gate
+    // and replay stays a no-op against the compacted tables.
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_family")))
+    assert(NearDupIndex.addDocuments(spark, docs, root) == 0L)
+  }
+
   test("streaming file-batches maintain the same index") {
     val landing = Files.createTempDirectory("neardup-landing")
     val root = Files.createTempDirectory("neardup-idx-stream").toString

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.NearDupIndex
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** Single-writer lease contract: a live lease makes the second writer
+  * fail fast and loud; a crashed writer's (expired) lease is broken and
+  * the replay-idempotent write paths converge. */
+class WriterLeaseSpec extends SparkSpecBase {
+
+  test("second acquire fails while held, succeeds after release, breaks an expired lease") {
+    val dir = Files.createTempDirectory("lease").toString
+    val l1 = WriterLease.acquire(spark, dir, "writer-1")
+    val ex = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, dir, "writer-2")
+    }
+    assert(ex.getMessage.contains("writer-1"))
+    l1.release()
+    WriterLease.acquire(spark, dir, "writer-2").release()
+    // A crashed writer never releases: its stale epoch is past the TTL,
+    // so the next writer breaks the lease instead of waiting forever.
+    WriterLease.acquire(spark, dir, "crashed")
+    WriterLease.acquire(spark, dir, "recoverer", ttlMs = 0L).release()
+  }
+
+  test("withLease releases on body failure; renew keeps a long job alive") {
+    val dir = Files.createTempDirectory("lease2").toString
+    intercept[RuntimeException] {
+      WriterLease.withLease(spark, dir, "thrower") { sys.error("boom") }
+    }
+    // The failed body's lease is gone — no TTL-long outage.
+    val l = WriterLease.acquire(spark, dir, "next")
+    l.renew()
+    intercept[IllegalStateException] { WriterLease.acquire(spark, dir, "other") }
+    l.release()
+  }
+
+  test("a concurrent writer against a held warehouse fails fast; ingest replays after expiry") {
+    val dir = Files.createTempDirectory("lease-wh")
+    val wh = new olapsus.Warehouse(spark, dir.resolve("wh").toString)
+    olapsus.Dims.seedAll(wh,
+      olapsus.Fixtures.write(dir, "municipio.csv", olapsus.Fixtures.municipio),
+      olapsus.Fixtures.write(dir, "cbo.csv", olapsus.Fixtures.cbo),
+      olapsus.Fixtures.write(dir, "cid.csv", olapsus.Fixtures.cid))
+    val csvGlob = olapsus.Fixtures.write(dir, "sinasc.csv", olapsus.Fixtures.sinasc)
+    val held = WriterLease.acquire(spark, wh.root, "other-driver")
+    intercept[IllegalStateException] {
+      olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01")
+    }
+    held.release()
+    assert(olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01") > 0L)
+    // Crash-replay: a leftover expired lease (epoch forged into the past)
+    // does not block the idempotent re-run.
+    val stale = WriterLease.acquire(spark, wh.root, "crashed-driver")
+    val leaseFile = java.nio.file.Paths.get(wh.root, WriterLease.LeaseFile)
+    assert(java.nio.file.Files.exists(leaseFile))
+    // Forge expiry by backdating the stamp through the same FS API.
+    val fs = new org.apache.hadoop.fs.Path(wh.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"${wh.root}/${WriterLease.LeaseFile}"), true)
+    out.write("owner=crashed-driver epoch=1000\n".getBytes("UTF-8")); out.close()
+    // Re-ingest of the logged day: lease broken, manifest makes it a no-op.
+    assert(olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01") == 0L)
+    stale.release() // already broken; harmless
+  }
+
+  test("index writers take the lease: concurrent addDocuments/build fail fast") {
+    val root = Files.createTempDirectory("lease-idx").toString
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 50)
+    val held = WriterLease.acquire(spark, root, "other-indexer")
+    intercept[IllegalStateException] {
+      NearDupIndex.addDocuments(spark, docs, root)
+    }
+    intercept[IllegalStateException] {
+      operators.AnnIndex.build(spark, sf(), root)
+    }
+    held.release()
+    NearDupIndex.addDocuments(spark, docs, root)
+    assert(NearDupIndex.addDocuments(spark, docs, root) == 0L)
+  }
+}
