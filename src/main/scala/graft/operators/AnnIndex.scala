@@ -46,8 +46,8 @@ object AnnIndex extends OpModule {
 
   /** Bump when the layout or training logic changes: a probe against a
     * root built by another version refuses loudly instead of silently
-    * serving stale geometry. */
-  private val BuildVersion = 1
+    * serving stale geometry. v2: added the `ivf_seeded` family (s3). */
+  private val BuildVersion = 2
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,9 +124,20 @@ object AnnIndex extends OpModule {
   /** Train all three sub-indexes on the corpus at `dir` and write them
     * under `root` (replacing whatever was there). One cached pass
     * provides every training aggregate and every encode. */
-  def build(spark: SparkSession, dir: String, root: String): Unit = {
+  def build(spark: SparkSession, dir: String, root: String): Unit =
+    // Single-writer: concurrent build/append against the same root would
+    // interleave family writes and commit a marker over mixed geometry.
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-build")) {
+      buildLeased(spark, dir, root)
+    }
+
+  private def buildLeased(spark: SparkSession, dir: String, root: String): Unit = {
     val f = fs(spark, root)
-    f.delete(new Path(root), true)
+    // Clear the index CONTENTS, not the root: the root also holds the
+    // writer lease just acquired.
+    Seq("ivf", "ivf_seeded", "pq", "ivfpq", "_built")
+      .foreach(t => f.delete(new Path(s"$root/$t"), true))
     val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
     try {
       // IVF (s5's geometry): Lloyd-trained centroids, full vectors
@@ -135,6 +146,14 @@ object AnnIndex extends OpModule {
       writeCentroids(spark, cent, s"$root/ivf/centroids")
       vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
         .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivf/codes")
+      // Seeded IVF (s3's geometry): same inverted-list layout under the
+      // deterministic first-NC codebook — probing replaces the inline
+      // path's per-query full-corpus assignment scan.
+      val seeded = Similarity.collectHead(spark, dir, Similarity.NC.toLong)
+        .toSeq.sortBy(_._1)
+      writeCentroids(spark, seeded, s"$root/ivf_seeded/centroids")
+      vecs.withColumn("cid", Similarity.nearestId(col("qv"), seeded))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivf_seeded/codes")
       // PQ (s7's geometry): refined codebook + 4-long codes per vector.
       val headPq = Similarity.collectHead(spark, dir,
         math.max(Similarity.NQ, Similarity.PQ_K).toLong)
@@ -198,7 +217,13 @@ object AnnIndex extends OpModule {
     * the family's OWN codes table re-admits a batch a crash kept out of
     * that family while skipping the ones that committed, so replaying a
     * batch after any partial failure converges with no duplicates. */
-  def append(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
+  def append(spark: SparkSession, root: String, newVecs: DataFrame): Unit =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-append")) {
+      appendLeased(spark, root, newVecs)
+    }
+
+  private def appendLeased(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
     val nv = newVecs
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
@@ -212,6 +237,11 @@ object AnnIndex extends OpModule {
       fresh(s"$root/ivf/codes", nv)
         .withColumn("cid", Similarity.nearestId(col("qv"), cent))
         .write.partitionBy("cid").mode("append").parquet(s"$root/ivf/codes")
+      // Seeded IVF: frozen first-NC codebook, same append contract.
+      val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
+      fresh(s"$root/ivf_seeded/codes", nv)
+        .withColumn("cid", Similarity.nearestId(col("qv"), seeded))
+        .write.partitionBy("cid").mode("append").parquet(s"$root/ivf_seeded/codes")
       // PQ
       val cb = readCodebook(spark, s"$root/pq/codebook")
       Similarity.pqEncode(fresh(s"$root/pq/codes", nv), cb)
@@ -227,6 +257,25 @@ object AnnIndex extends OpModule {
     } finally nv.unpersist()
   }
 
+  /** Merge the per-batch append files each family's codes table
+    * accumulates ([[append]] writes one file per batch per cell; a long
+    * streaming-maintenance run — [[graft.streaming.DocStream
+    * .indexEmbeddings]] — leaves probe latency degrading until they're
+    * merged). Cell-partitioned layouts (`cid=`) are preserved, the
+    * `_built` marker lives at the root (untouched), and codebooks are
+    * single-file by construction (not rewritten). Probe results are
+    * unchanged by construction — compaction only re-files rows. */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Int] =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-compact")) {
+      Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
+        .filter(t => exists(spark, s"$root/$t"))
+        .map(t => t -> graft.olapsus.Warehouse.compactPath(
+          spark, s"$root/$t", targetFileBytes))
+        .toMap
+    }
+
   // ---- probes: read ONLY the persisted tables -------------------------
 
   /** IVF probe: cosine top-k within the query vectors' cells, served
@@ -241,6 +290,16 @@ object AnnIndex extends OpModule {
     // down-inferred integer — restore the BIGINT the scoring contract
     // (and the oracle's CAST(cid AS BIGINT)) expects.
     val codes = spark.read.parquet(s"$root/ivf/codes")
+      .withColumn("cid", col("cid").cast("long"))
+    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
+  }
+
+  /** Seeded-IVF probe (s3's geometry): identical plan shape to
+    * [[probeIvf]] — partition-pruned cell read, no assignment scan. */
+  def probeIvfSeeded(spark: SparkSession, root: String): DataFrame = {
+    val codes = spark.read.parquet(s"$root/ivf_seeded/codes")
       .withColumn("cid", col("cid").cast("long"))
     val qcells = codes.filter(col("vec_id") < Similarity.NQ)
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted

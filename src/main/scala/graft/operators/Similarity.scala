@@ -294,13 +294,24 @@ object Similarity extends OpModule {
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
     """))((spark, dir) => {
+    // Served from the persisted index (seeded family): the per-query
+    // corpus re-encode the inline path pays is a build-time cost there.
+    val root = AnnIndex.defaultRoot(dir)
+    AnnIndex.ensureBuilt(spark, dir, root)
+    AnnIndex.probeIvfSeeded(spark, root)
+  })
+
+  /** s3's inline one-shot pipeline (scan + codegen'd argmin assignment +
+    * cell top-k) — the definitional form the persisted seeded family is
+    * spec'd equal to, and the path a caller without an index would run. */
+  private[operators] def s3Inline(spark: SparkSession, dir: String): DataFrame = {
     // The NC-row codebook lives on the driver; assignment is an inline
     // codegen'd argmin — one narrow scan, no join, no shuffle.
     val cent = collectHead(spark, dir, NC).toSeq.sortBy(_._1)
     val cells = quantizedQvNrm(spark, dir)
       .withColumn("cid", nearestId(col("qv"), cent))
     ivfCosineTopK(cells)
-  })
+  }
 
   private[operators] val KC = 8       // trained-codebook cells
   private[operators] val KM_ITERS = 2 // fixed Lloyd iterations (determinism + an

@@ -20,6 +20,8 @@ class AnnIndexSpec extends SparkSpecBase {
     AnnIndex.build(spark, sf(), root)
     assert(rows(AnnIndex.probeIvf(spark, root))
       == rows(Similarity.s5IvfTrained.run(spark, sf())))
+    assert(rows(AnnIndex.probeIvfSeeded(spark, root))
+      == rows(Similarity.s3Inline(spark, sf())))
     assert(rows(AnnIndex.probePq(spark, sf(), root))
       == rows(Similarity.s7PqTopK.run(spark, sf())))
     assert(rows(AnnIndex.probeIvfPq(spark, sf(), root))
@@ -49,6 +51,14 @@ class AnnIndexSpec extends SparkSpecBase {
         vecsAll.withColumn("cid", Similarity.nearestId(col("qv"), cent)))
       assert(rows(AnnIndex.probeIvf(spark, root)) == rows(expIvf))
 
+      // Seeded family: the frozen first-NC codebook (from the half the
+      // index was built on) applied to the full corpus in one shot.
+      val seeded = Similarity.collectHead(spark, dirA, Similarity.NC.toLong)
+        .toSeq.sortBy(_._1)
+      val expSeeded = Similarity.ivfCosineTopK(
+        vecsAll.withColumn("cid", Similarity.nearestId(col("qv"), seeded)))
+      assert(rows(AnnIndex.probeIvfSeeded(spark, root)) == rows(expSeeded))
+
       val headPq = Similarity.collectHead(spark, dirA,
         math.max(Similarity.NQ, Similarity.PQ_K).toLong)
       val cb = Similarity.trainPq(vecsA, headPq)
@@ -65,13 +75,63 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(rows(AnnIndex.probeIvfPq(spark, sf(), root)) == rows(expR))
 
       // Replaying the same batch appends nothing (per-family anti-join).
-      val tables = Seq("ivf/codes", "pq/codes", "ivfpq/codes")
+      val tables = Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
       val before = tables.map(t => spark.read.parquet(s"$root/$t").count())
       AnnIndex.append(spark, root,
         all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
       val after = tables.map(t => spark.read.parquet(s"$root/$t").count())
       assert(before == after)
     } finally vecsA.unpersist()
+  }
+
+  test("compaction after N appends bounds file counts and leaves probes unchanged") {
+    val all = Tables.embeddings(spark, sf())
+    val n = all.count()
+    val dirA = Files.createTempDirectory("ann-sub-c").toString
+    all.filter(col("vec_id") < n / 2).write.parquet(s"$dirA/embeddings.parquet")
+    val root = Files.createTempDirectory("ann-idx-c").toString
+    AnnIndex.build(spark, dirA, root)
+    // Four small appends: each writes one parquet file per family (per
+    // cell for the partitioned families) — the small-file accumulation a
+    // nightly streaming run produces.
+    (0 until 4).foreach { i =>
+      AnnIndex.append(spark, root, all
+        .filter(col("vec_id") >= n / 2 && col("vec_id") % 4 === i)
+        .select("vec_id", "embedding"))
+    }
+    val ivf = rows(AnnIndex.probeIvf(spark, root))
+    val pq = rows(AnnIndex.probePq(spark, sf(), root))
+    val ivfpq = rows(AnnIndex.probeIvfPq(spark, sf(), root))
+    def dataFiles(p: String): Seq[java.nio.file.Path] = {
+      val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach { f =>
+        if (f.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(f)) out += f
+      }
+      out.toSeq
+    }
+    val before = dataFiles(s"$root/pq/codes").size
+    assert(before >= 5, s"expected >=5 pre-compact files, got $before") // build + 4 appends
+    AnnIndex.compact(spark, root)
+    // Everything fits one target file => exactly one file per partition
+    // dir (cid cells) and one for the flat pq table.
+    assert(dataFiles(s"$root/pq/codes").size == 1)
+    dataFiles(s"$root/ivf/codes").groupBy(_.getParent).foreach { case (d, fs) =>
+      assert(fs.size == 1, s"$d has ${fs.size} files after compact")
+    }
+    dataFiles(s"$root/ivfpq/codes").groupBy(_.getParent).foreach { case (d, fs) =>
+      assert(fs.size == 1, s"$d has ${fs.size} files after compact")
+    }
+    assert(rows(AnnIndex.probeIvf(spark, root)) == ivf)
+    assert(rows(AnnIndex.probePq(spark, sf(), root)) == pq)
+    assert(rows(AnnIndex.probeIvfPq(spark, sf(), root)) == ivfpq)
+    // And appends still work against the compacted index (anti-join
+    // reads the rewritten codes tables): replay stays a no-op.
+    val counts = Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
+      .map(t => spark.read.parquet(s"$root/$t").count())
+    AnnIndex.append(spark, root,
+      all.filter(col("vec_id") >= n / 2).select("vec_id", "embedding"))
+    assert(Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
+      .map(t => spark.read.parquet(s"$root/$t").count()) == counts)
   }
 
   test("streaming appends converge to the batch-append index") {
