@@ -756,9 +756,78 @@ object TextOps extends OpModule {
       .orderBy("lang", "rnk")
   })
 
+  // PII patterns — ASCII-conservative so Java regex (Spark) and RE2
+  // (DuckDB) agree exactly: both support these classes, quantifiers and
+  // \b identically. Replacement order is fixed (email, IPv4, phone) and
+  // mirrored in the oracle.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact all three PII classes from a text column (fixed order). */
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** PII census + scrub accounting per language — the redaction stage
+    * every public-corpus pipeline runs before training. Counts emails /
+    * IPv4s / phone numbers per doc (pure per-row regex work — no
+    * shuffle until the tiny per-lang rollup) and reports, per language:
+    * docs containing any PII, total matches per class, and the exact
+    * post-scrub character volume (integer lengths, so both engines
+    * agree bit-for-bit). The scrub itself is [[scrubPii]]; this census
+    * is the audit artifact a pipeline owner reviews — a source suddenly
+    * contributing thousands of emails is the regression signal. */
+  val t36PiiScrub: Op = Op(
+    "t36_pii_scrub",
+    Some(s"""
+      WITH c AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '$EmailRe')) AS n_em,
+               len(regexp_extract_all(text, '$Ipv4Re')) AS n_ip,
+               len(regexp_extract_all(text, '$PhoneRe')) AS n_ph,
+               length(regexp_replace(regexp_replace(regexp_replace(
+                 text, '$EmailRe', '<EMAIL>', 'g'),
+                 '$Ipv4Re', '<IP>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_len
+        FROM documents
+      )
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_em + n_ip + n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+             CAST(SUM(n_em) AS BIGINT) AS n_emails,
+             CAST(SUM(n_ip) AS BIGINT) AS n_ipv4,
+             CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+             CAST(SUM(scrubbed_len) AS BIGINT) AS scrubbed_chars
+      FROM c
+      GROUP BY lang
+      ORDER BY lang
+    """))((spark, dir) => {
+    val c = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_em"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_ph"),
+        length(scrubPii(col("text"))).as("scrubbed_len"))
+    c.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_em") + col("n_ip") + col("n_ph") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_em")).cast("long").as("n_emails"),
+        sum(col("n_ip")).cast("long").as("n_ipv4"),
+        sum(col("n_ph")).cast("long").as("n_phones"),
+        sum(col("scrubbed_len")).as("scrubbed_chars"))
+      .orderBy("lang")
+  })
+
   override def ops: Seq[Op] =
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
       t30SequencePacking, t31SourceMixture, t32Decontamination,
-      t33DocChunking, t34BlockPacking, t35StratifiedSample)
+      t33DocChunking, t34BlockPacking, t35StratifiedSample, t36PiiScrub)
 }

@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 class TrainingPrepSpec extends SparkSpecBase {
 
+  test("t36: forged PII corpus counts exactly; scrub leaves no residue and is idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t36").toString
+    Seq(
+      (0L, "contact me at alice@example.com or 10.0.0.1 today", "en"),
+      (1L, "call 555-123-4567 now or 555-123-4567 later", "en"),
+      (2L, "nothing sensitive here", "pt"),
+      (3L, "bob@sub.domain.org and 192.168.1.100 and 123-456-7890", "pt"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val census = TextOps.t36PiiScrub.run(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (n_docs, docs_with_pii, n_emails, n_ipv4, n_phones)
+    assert(census("en") == ((2L, 2L, 1L, 1L, 2L)), census.toString)
+    assert(census("pt") == ((2L, 1L, 1L, 1L, 1L)), census.toString)
+    // Scrub removes every match (no residual PII) and is idempotent.
+    val scrubbed = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(TextOps.scrubPii(col("text")).as("s"))
+    assert(scrubbed.filter(col("s").rlike(TextOps.EmailRe)
+      || col("s").rlike(TextOps.Ipv4Re) || col("s").rlike(TextOps.PhoneRe)).isEmpty)
+    assert(scrubbed.withColumn("s2", TextOps.scrubPii(col("s")))
+      .filter(col("s2") =!= col("s")).isEmpty)
+  }
+
   test("t33 chunks tile every document: contiguous starts, full coverage, bounded width") {
     val chunks = TextOps.t33DocChunking.run(spark, sf()).cache()
     try {
