@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions.col
   *   3. the stage-attrition funnel (c2) and the split-leakage audit
   *      (c3) with its group-aware remedy (c4);
   *   4. canonical-doc selection for the near-dup clusters (d9);
-  *   5. sequence packing into fixed-token-budget bins (t30);
-  *   6. source-mixture census with realized sampling rates (t31);
-  *   7. ANN recall census of the similarity index family (s13).
+  *   5. PII census + scrub accounting (t36);
+  *   6. sequence packing into fixed-token-budget bins (t30);
+  *   7. source-mixture census with realized sampling rates (t31);
+  *   8. ANN recall census of the similarity index family (s13) and
+  *      embedding-side canonical selection (d12).
   *
   *   sbt "runMain graft.PipelineDemo [sfDir] [workDir]"
   */
@@ -54,14 +56,18 @@ object PipelineDemo {
     println("== 4. canonical docs per near-dup cluster (d9; first 10) ==")
     SparkEntry.queries("d9_canonical_docs")(spark, sfDir).show(10, truncate = false)
 
-    println("== 5. sequence packing (1024-token bins per lang x shard; first 10) ==")
+    println("== 5. PII census per language (t36) ==")
+    SparkEntry.queries("t36_pii_scrub")(spark, sfDir).show(10, truncate = false)
+
+    println("== 6. sequence packing (1024-token bins per lang x shard; first 10) ==")
     SparkEntry.queries("t30_sequence_packing")(spark, sfDir).show(10, truncate = false)
 
-    println("== 6. source mixture (per-source hash-acceptance rates; first 10) ==")
+    println("== 7. source mixture (per-source hash-acceptance rates; first 10) ==")
     SparkEntry.queries("t31_source_mixture")(spark, sfDir).show(10, truncate = false)
 
-    println("== 7. ANN recall census: LSH vs multi-probe against exact top-k (s13) ==")
+    println("== 8. ANN recall census (s13) + embedding canonical selection (d12; first 10) ==")
     SparkEntry.queries("s13_ann_recall")(spark, sfDir).show(20, truncate = false)
+    SparkEntry.queries("d12_canonical_vectors")(spark, sfDir).show(10, truncate = false)
 
     spark.stop()
   }

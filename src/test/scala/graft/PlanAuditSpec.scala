@@ -96,6 +96,14 @@ class PlanAuditSpec extends SparkSpecBase {
       "inverted-list read lost its cell partition filter:\n" + p.take(1500))
   }
 
+  test("s3: seeded IVF is served index-only — no per-query corpus re-encode") {
+    val p = plan("s3_ann_ivf_topk")
+    assert(!p.contains("embeddings.parquet"),
+      "s3 re-scanned (and so re-encoded) the raw corpus:\n" + p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "seeded inverted-list read lost its cell partition filter:\n" + p.take(1500))
+  }
+
   test("s10 probe: joinless ADC over the codes table only") {
     val p = plan("s10_ann_pq_probe")
     assert(!p.contains("embeddings.parquet"),
