@@ -116,7 +116,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def compact(tableName: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partition: Option[String] = None): Int = {
     val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
-    Warehouse.compactPath(spark, path(rel), targetFileBytes)
+    // Compaction is a writer too: a Maintain run racing an ingest would
+    // rewrite files the ingest is appending around.
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("wh-compact")) {
+      Warehouse.compactPath(spark, path(rel), targetFileBytes)
+    }
   }
 
   /** Register every existing table as a lowercase temp view (the serving

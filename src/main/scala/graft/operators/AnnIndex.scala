@@ -193,6 +193,9 @@ object AnnIndex extends OpModule {
     * corpus or the index under a live process). */
   private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Test hook: simulate a fresh process (the cache is JVM-local). */
+  private[operators] def resetValidationCacheForTest(): Unit = validated.clear()
+
   /** Build iff the commit marker is absent or doesn't match this build
     * version + the corpus's current file fingerprint. Metadata-only:
     * no Spark job on the validation path. */

@@ -134,6 +134,34 @@ class AnnIndexSpec extends SparkSpecBase {
       .map(t => spark.read.parquet(s"$root/$t").count()) == counts)
   }
 
+  test("ensureBuilt rebuilds on a missing, stale-version, or stale-corpus marker") {
+    val root = Files.createTempDirectory("ann-idx-marker").toString
+    AnnIndex.ensureBuilt(spark, sf(), root)
+    val expected = rows(AnnIndex.probeIvf(spark, root))
+    // Forge through the Hadoop FS (the local checksum FS keeps .crc
+    // sidecars the marker read validates against).
+    val hp = new org.apache.hadoop.fs.Path(s"$root/_built")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash before the commit marker: a half-built root must be rebuilt,
+    // never probed. (The JVM-local validation cache is reset the same
+    // way a fresh process would start.)
+    AnnIndex.resetValidationCacheForTest()
+    hfs.delete(hp, false)
+    AnnIndex.ensureBuilt(spark, sf(), root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_built")))
+    assert(rows(AnnIndex.probeIvf(spark, root)) == expected)
+    // A marker from an older build version (or another corpus) is
+    // equally stale: rebuild, don't serve.
+    AnnIndex.resetValidationCacheForTest()
+    val out = hfs.create(hp, true)
+    out.write("v1 f=deadbeef\n".getBytes("UTF-8")); out.close()
+    AnnIndex.ensureBuilt(spark, sf(), root)
+    assert(rows(AnnIndex.probeIvf(spark, root)) == expected)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_built")), "UTF-8")
+    assert(!marker.contains("deadbeef"), marker)
+  }
+
   test("streaming appends converge to the batch-append index") {
     val all = Tables.embeddings(spark, sf())
     val split = all.count() / 2
