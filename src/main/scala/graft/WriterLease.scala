@@ -22,17 +22,25 @@ import org.apache.spark.sql.SparkSession
   * single-writer deployments, not a distributed lock service — on
   * filesystems without atomic create-exclusive (S3 without conditional
   * writes) two writers racing the same millisecond can both pass; HDFS
-  * and local FS creates are atomic. Long-running holders should call
-  * [[WriterLease.renew]] before `ttlMs` elapses or pass a TTL sized to
-  * the job. */
+  * and local FS creates are atomic.
+  *
+  * A daemon heartbeat re-stamps the epoch every ttl/3 for as long as the
+  * lease is held, so a HEALTHY long-running writer (a multi-hour ingest,
+  * an index build) is never presumed crashed — `ttlMs` is purely the
+  * crash-detection bound. A killed JVM takes its heartbeat with it and
+  * the lease expires on schedule. */
 final class WriterLease private[graft] (fs: FileSystem, val path: Path,
-    owner: String) {
+    owner: String, heartbeat: java.util.concurrent.ScheduledExecutorService) {
 
-  /** Re-stamp the epoch so a healthy long-running job isn't presumed
-    * crashed and broken mid-write. */
+  /** Re-stamp the epoch (the heartbeat calls this automatically; manual
+    * calls remain harmless). */
   def renew(): Unit = WriterLease.stamp(fs, path, owner, overwrite = true)
 
-  def release(): Unit = { fs.delete(path, false); () }
+  def release(): Unit = {
+    heartbeat.shutdownNow()
+    fs.delete(path, false)
+    ()
+  }
 }
 
 object WriterLease {
@@ -86,7 +94,17 @@ object WriterLease {
             s"merge contracts; wait for the holder or, if it crashed, " +
             s"retry after the ${ttlMs / 1000}s TTL expires")
     }
-    new WriterLease(fs, p, owner)
+    // Keep-alive: a live holder re-stamps every ttl/3, so only a DEAD
+    // holder's lease can ever reach the expiry a recovering writer
+    // breaks. Daemon thread — a killed JVM stops stamping by definition.
+    val beat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "writer-lease-heartbeat"); t.setDaemon(true); t })
+    val period = math.max(ttlMs / 3, 50L)
+    beat.scheduleAtFixedRate(
+      () => try stamp(fs, p, owner, overwrite = true)
+            catch { case _: java.io.IOException => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    new WriterLease(fs, p, owner, beat)
   }
 
   /** acquire → body → release (release also on failure: a thrown body

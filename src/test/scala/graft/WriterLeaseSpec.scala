@@ -24,6 +24,19 @@ class WriterLeaseSpec extends SparkSpecBase {
     WriterLease.acquire(spark, dir, "recoverer", ttlMs = 0L).release()
   }
 
+  test("heartbeat keeps a live lease from expiring mid-write") {
+    val dir = Files.createTempDirectory("lease-hb").toString
+    // TTL far shorter than the hold time: without the keep-alive the
+    // impatient second writer would break this LIVE lease and corrupt.
+    val l = WriterLease.acquire(spark, dir, "long-job", ttlMs = 1000L)
+    Thread.sleep(2500)
+    intercept[IllegalStateException] {
+      WriterLease.acquire(spark, dir, "impatient", ttlMs = 1000L)
+    }
+    l.release()
+    WriterLease.acquire(spark, dir, "next").release()
+  }
+
   test("withLease releases on body failure; renew keeps a long job alive") {
     val dir = Files.createTempDirectory("lease2").toString
     intercept[RuntimeException] {
