@@ -62,10 +62,17 @@ object WriterLease {
   /** Acquire the lease under `dir` (created if absent). Throws
     * IllegalStateException if a non-expired lease is held by anyone —
     * including another process of the same job: the contract is one
-    * writer, not one job name. */
+    * writer, not one job name.
+    *
+    * `scope` narrows the lease to one resource group within the dir:
+    * the SIM and SINASC ingests write disjoint facts (the reference
+    * runs them as two independent DAGs, possibly concurrently), so each
+    * takes its own scoped lease and only true same-resource writers
+    * conflict. Empty scope = the whole dir (the index roots). */
   def acquire(spark: SparkSession, dir: String, owner: String,
-      ttlMs: Long = DefaultTtlMs): WriterLease = {
-    val p = new Path(s"$dir/$LeaseFile")
+      ttlMs: Long = DefaultTtlMs, scope: String = ""): WriterLease = {
+    val suffix = if (scope.isEmpty) "" else s"_$scope"
+    val p = new Path(s"$dir/$LeaseFile$suffix")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
     def tryCreate(): Boolean =
@@ -110,8 +117,8 @@ object WriterLease {
   /** acquire → body → release (release also on failure: a thrown body
     * must not turn into a TTL-long outage for the next writer). */
   def withLease[T](spark: SparkSession, dir: String, owner: String,
-      ttlMs: Long = DefaultTtlMs)(body: => T): T = {
-    val lease = acquire(spark, dir, owner, ttlMs)
+      ttlMs: Long = DefaultTtlMs, scope: String = "")(body: => T): T = {
+    val lease = acquire(spark, dir, owner, ttlMs, scope)
     try body finally lease.release()
   }
 }

@@ -158,7 +158,7 @@ object Pipeline {
     // ingest corrupts (double-appended day). A crashed run's lease
     // expires and the replay converges through the manifest.
     graft.WriterLease.withLease(wh.spark, wh.root,
-      graft.WriterLease.processOwner("ingest-sinasc")) {
+      graft.WriterLease.processOwner("ingest-sinasc"), scope = "sinasc") {
       if (wh.ingestLogged("sinasc", dt)) 0L
       else {
         val raw = readRaw(wh, paths)
@@ -206,7 +206,7 @@ object Pipeline {
     // single-writer contract (duplicate group ids are silent and
     // permanent) — lease before the manifest check, like the SINASC path.
     graft.WriterLease.withLease(wh.spark, wh.root,
-      graft.WriterLease.processOwner("ingest-sim")) {
+      graft.WriterLease.processOwner("ingest-sim"), scope = "sim") {
       ingestSimLeased(wh, paths, dt)
     }
   }

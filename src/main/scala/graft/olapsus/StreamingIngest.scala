@@ -35,7 +35,7 @@ object StreamingIngest {
     // Per-micro-batch lease: a batch driver run concurrently against the
     // same warehouse fails fast instead of interleaving appends.
     graft.WriterLease.withLease(wh.spark, wh.root,
-      graft.WriterLease.processOwner("stream-sinasc")) {
+      graft.WriterLease.processOwner("stream-sinasc"), scope = "sinasc") {
       val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
       wh.append("factNascimentos", fact, label)
     }
@@ -45,7 +45,7 @@ object StreamingIngest {
   private[olapsus] def ingestSimBatch(wh: Warehouse, batch: DataFrame,
       label: String): Unit =
     graft.WriterLease.withLease(wh.spark, wh.root,
-      graft.WriterLease.processOwner("stream-sim")) {
+      graft.WriterLease.processOwner("stream-sim"), scope = "sim") {
       ingestSimBatchLeased(wh, batch, label)
     }
 

@@ -117,9 +117,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       partition: Option[String] = None): Int = {
     val rel = partition.map(p => s"$tableName/$p").getOrElse(tableName)
     // Compaction is a writer too: a Maintain run racing an ingest would
-    // rewrite files the ingest is appending around.
+    // rewrite files the ingest is appending around. Scoped to the
+    // table's owning ingest so compacting factObitos doesn't block a
+    // concurrent SINASC day.
     graft.WriterLease.withLease(spark, root,
-      graft.WriterLease.processOwner("wh-compact")) {
+      graft.WriterLease.processOwner("wh-compact"),
+      scope = Warehouse.leaseScope(tableName)) {
       Warehouse.compactPath(spark, path(rel), targetFileBytes)
     }
   }
@@ -141,6 +144,16 @@ object Warehouse {
   val IngestLog = "_ingest_log"
   val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
   val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
+
+  /** Single-writer lease scope per table: tables written by the same
+    * ingest share one scope (a compaction can't race its own writer),
+    * while the two reference DAGs — SIM and SINASC, disjoint fact sets —
+    * stay mutually concurrent, as the reference's Airflow deploys them. */
+  def leaseScope(table: String): String = table match {
+    case "factNascimentos" => "sinasc"
+    case "factObitos" | Bridge | Signatures => "sim"
+    case t => t
+  }
 
   /** Path-level compaction core — shared by warehouse tables and the
     * persisted index roots ([[graft.operators.NearDupIndex]] /

@@ -57,21 +57,28 @@ class WriterLeaseSpec extends SparkSpecBase {
       olapsus.Fixtures.write(dir, "cbo.csv", olapsus.Fixtures.cbo),
       olapsus.Fixtures.write(dir, "cid.csv", olapsus.Fixtures.cid))
     val csvGlob = olapsus.Fixtures.write(dir, "sinasc.csv", olapsus.Fixtures.sinasc)
-    val held = WriterLease.acquire(spark, wh.root, "other-driver")
+    val held = WriterLease.acquire(spark, wh.root, "other-driver", scope = "sinasc")
     intercept[IllegalStateException] {
       olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01")
     }
+    // Scopes are independent: a SIM writer does not block a SINASC day
+    // (the reference's two DAGs run concurrently against one warehouse).
+    val simHeld = WriterLease.acquire(spark, wh.root, "sim-driver", scope = "sim")
     held.release()
     assert(olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01") > 0L)
+    simHeld.release()
     // Crash-replay: a leftover expired lease (epoch forged into the past)
     // does not block the idempotent re-run.
-    val stale = WriterLease.acquire(spark, wh.root, "crashed-driver")
-    val leaseFile = java.nio.file.Paths.get(wh.root, WriterLease.LeaseFile)
+    val stale = WriterLease.acquire(spark, wh.root, "crashed-driver", scope = "sinasc")
+    val leaseFile = java.nio.file.Paths.get(wh.root, s"${WriterLease.LeaseFile}_sinasc")
     assert(java.nio.file.Files.exists(leaseFile))
     // Forge expiry by backdating the stamp through the same FS API.
+    // (Release first so the holder's heartbeat can't re-stamp over it.)
+    stale.release()
     val fs = new org.apache.hadoop.fs.Path(wh.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"${wh.root}/${WriterLease.LeaseFile}"), true)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"${wh.root}/${WriterLease.LeaseFile}_sinasc"), true)
     out.write("owner=crashed-driver epoch=1000\n".getBytes("UTF-8")); out.close()
     // Re-ingest of the logged day: lease broken, manifest makes it a no-op.
     assert(olapsus.Pipeline.ingestSinasc(wh, csvGlob, "2020-01-01") == 0L)
