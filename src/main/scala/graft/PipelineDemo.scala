@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.col
   *   6. sequence packing into fixed-token-budget bins (t30);
   *   7. source-mixture census with realized sampling rates (t31);
   *   8. ANN recall census of the similarity index family (s13) and
-  *      embedding-side canonical selection (d12).
+  *      embedding-side canonical selection (d12);
+  *   9. sharded JSONL export of the curated survivors (TrainingSink) —
+  *      the handoff artifact a training job consumes.
   *
   *   sbt "runMain graft.PipelineDemo [sfDir] [workDir]"
   */
@@ -68,6 +70,19 @@ object PipelineDemo {
     println("== 8. ANN recall census (s13) + embedding canonical selection (d12; first 10) ==")
     SparkEntry.queries("s13_ann_recall")(spark, sfDir).show(20, truncate = false)
     SparkEntry.queries("d12_canonical_vectors")(spark, sfDir).show(10, truncate = false)
+
+    // The pipeline's terminal artifact: survivors of the curation DAG
+    // (quality gate -> exact dedup -> near-dup drop), PII-scrubbed,
+    // exported as deterministic JSONL shards a training job consumes.
+    val survivors = docs
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextFns.tokens(col("text"))) >= 20)
+      .join(NearDupIndex.pairs(spark, indexRoot)
+        .select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "anti")
+      .withColumn("text", graft.operators.TextOps.scrubPii(col("text")))
+    val exported = graft.sources.TrainingSink.writeJsonlShards(
+      survivors, s"$work/export", "doc_id", 8)
+    println(s"== 9. exported $exported curated, scrubbed docs as 8 JSONL shards under $work/export ==")
 
     spark.stop()
   }
