@@ -84,7 +84,10 @@ object Bench {
         val fn = SparkEntry.queries(name)
         once(fn) // re-warm after the long gap
         val iso = median((1 to runs).map(_ => once(fn)))
-        (name, math.min(warm, iso), cold, iso)
+        // A failed re-measure (error sentinel -1.0) must not replace a
+        // valid sweep median — keep the worse-but-real number.
+        if (iso < 0) (name, warm, cold, -1.0)
+        else (name, math.min(warm, iso), cold, iso)
       }
     }
     val total = results.map(_._2).sum

@@ -105,6 +105,9 @@ object ScaleCheck {
     }
     val json = lines.mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
+    // The scaled corpus is factor× the input — don't leak it in tmp.
+    val sp = new org.apache.hadoop.fs.Path(scaled)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     spark.stop()
   }
 }

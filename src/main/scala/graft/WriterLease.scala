@@ -37,7 +37,11 @@ final class WriterLease private[graft] (fs: FileSystem, val path: Path,
   def renew(): Unit = WriterLease.stamp(fs, path, owner, overwrite = true)
 
   def release(): Unit = {
+    // Drain the heartbeat BEFORE deleting: an in-flight re-stamp landing
+    // after the delete would resurrect an ownerless lease and block the
+    // next writer for a full TTL.
     heartbeat.shutdownNow()
+    heartbeat.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
     fs.delete(path, false)
     ()
   }
@@ -79,11 +83,12 @@ object WriterLease {
       try { stamp(fs, p, owner, overwrite = false); true }
       catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
-      // Held: read the stamp. Unreadable/unparseable (holder crashed
-      // mid-create, or released between our create and this read) is
-      // treated as expired — the replay-idempotent write paths make
-      // breaking a dead lease safe, while breaking a LIVE one is the
-      // only dangerous direction and requires a fresh epoch to prevent.
+      // Held: read the stamp. An unreadable/unparseable stamp (holder
+      // crashed mid-create, or we peeked between its create-exclusive
+      // and its write) falls back to the FILE's mtime: a just-created
+      // empty stamp reads as fresh (held — never break a live writer
+      // mid-create), while a crashed holder's empty stamp ages out on
+      // the same TTL as a written one.
       val info =
         try {
           val in = fs.open(p)
@@ -92,14 +97,25 @@ object WriterLease {
           finally in.close()
         } catch { case _: java.io.IOException => "" }
       val epoch = "epoch=(\\d+)".r.findFirstMatchIn(info).map(_.group(1).toLong)
-      val expired = epoch.forall(e => System.currentTimeMillis() - e > ttlMs)
-      if (expired) fs.delete(p, false)
-      if (!expired || !tryCreate())
+        .orElse(try Some(fs.getFileStatus(p).getModificationTime)
+                catch { case _: java.io.IOException => None })
+      val expired = epoch.exists(e => System.currentTimeMillis() - e > ttlMs)
+      def fail(): Nothing =
         throw new IllegalStateException(
           s"single-writer lease at $p is held ($info) — a concurrent " +
             s"ingest/build/append against the same root would corrupt its " +
             s"merge contracts; wait for the holder or, if it crashed, " +
             s"retry after the ${ttlMs / 1000}s TTL expires")
+      if (!expired) fail()
+      // Break the dead lease via RENAME, not delete-then-create: rename
+      // has exactly one winner when several recoverers race (the losers'
+      // source is already gone), where concurrent deletes could each
+      // remove the OTHER recoverer's fresh lease and let both proceed.
+      val steal = new Path(p.getParent,
+        s".${p.getName}_stale_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!fs.rename(p, steal)) fail()
+      fs.delete(steal, false)
+      if (!tryCreate()) fail()
     }
     // Keep-alive: a live holder re-stamps every ttl/3, so only a DEAD
     // holder's lease can ever reach the expiry a recovering writer

@@ -36,9 +36,14 @@ object StreamingIngest {
     // same warehouse fails fast instead of interleaving appends.
     graft.WriterLease.withLease(wh.spark, wh.root,
       graft.WriterLease.processOwner("stream-sinasc"), scope = "sinasc") {
-      val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
-      wh.append("factNascimentos", fact, label)
+      ingestSinascBatchLeased(wh, batch, label)
     }
+
+  private def ingestSinascBatchLeased(wh: Warehouse, batch: DataFrame,
+      label: String): Unit = {
+    val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
+    wh.append("factNascimentos", fact, label)
+  }
 
   /** One SIM micro-batch: bridge merge + factObitos append
     * (single-writer, as in the batch path). */
@@ -127,11 +132,16 @@ object StreamingIngest {
     * driver's own day-granular idempotency). Don't run both drivers
     * concurrently. */
   def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
+    // UNLEASED per-day bodies: the foreachBatch below holds the dataset
+    // lease across the manifest checks AND the appends AND the log rows —
+    // leasing only the append (and checking/logging outside it) would
+    // re-open the read-before-write window the batch path closes by
+    // checking the manifest inside its lease.
     val (schema, perDay) = dataset match {
       case "sinasc" =>
-        (sinascSchema, (b: DataFrame, d: String) => ingestSinascBatch(wh, b, d))
+        (sinascSchema, (b: DataFrame, d: String) => ingestSinascBatchLeased(wh, b, d))
       case "sim" =>
-        (simSchema, (b: DataFrame, d: String) => ingestSimBatch(wh, b, d))
+        (simSchema, (b: DataFrame, d: String) => ingestSimBatchLeased(wh, b, d))
       case other => sys.error(s"unknown dataset $other (sim|sinasc)")
     }
     val withDt = StructType(schema.fields :+ StructField("dt", StringType))
@@ -143,15 +153,19 @@ object StreamingIngest {
         // backfill window, so the driver-side loop is tiny.
         val days = batch.select("dt").distinct()
           .collect().map(_.getString(0)).sorted
-        days.foreach { d =>
-          val dayBatchKey = s"$d#sb$id"
-          val replayed = wh.ingestLogged(dataset, dayBatchKey)
-          val batchDriverOwns =
-            !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d)
-          if (!replayed && !batchDriverOwns) {
-            perDay(batch.filter(col("dt") === d).drop("dt"), d)
-            wh.logIngest(dataset, dayBatchKey)
-            if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
+        graft.WriterLease.withLease(wh.spark, wh.root,
+          graft.WriterLease.processOwner(s"stream-backfill-$dataset"),
+          scope = dataset) {
+          days.foreach { d =>
+            val dayBatchKey = s"$d#sb$id"
+            val replayed = wh.ingestLogged(dataset, dayBatchKey)
+            val batchDriverOwns =
+              !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d)
+            if (!replayed && !batchDriverOwns) {
+              perDay(batch.filter(col("dt") === d).drop("dt"), d)
+              wh.logIngest(dataset, dayBatchKey)
+              if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
+            }
           }
         }
       }

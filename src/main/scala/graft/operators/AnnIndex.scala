@@ -227,6 +227,19 @@ object AnnIndex extends OpModule {
     }
 
   private def appendLeased(spark: SparkSession, root: String, newVecs: DataFrame): Unit = {
+    // Version gate BEFORE any write: appending to a root built by an
+    // older layout would commit a partial (ivf-only) append under
+    // incompatible geometry before failing on the families that root
+    // lacks — refuse up front instead.
+    val marker = s"$root/_built"
+    val ok = exists(spark, marker) && {
+      val in = fs(spark, marker).open(new Path(marker))
+      val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      content.startsWith(s"v$BuildVersion ")
+    }
+    if (!ok) throw new IllegalStateException(
+      s"index at $root has no v$BuildVersion commit marker (unbuilt, crashed " +
+        "build, or an older build layout) — run build() before append().")
     val nv = newVecs
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))

@@ -107,7 +107,8 @@ object Curation extends OpModule {
       tablePath: String): org.apache.spark.sql.DataFrame = {
     NearDupIndex.requireFamily(spark, tablePath, "near-dup pair table")
     curate(spark, dir,
-      spark.read.parquet(tablePath).select(col("doc_b").as("doc_id")).distinct())
+      NearDupIndex.pairsTable(spark, tablePath)
+        .select(col("doc_b").as("doc_id")).distinct())
   }
 
   /** Funnel census: how many documents each curation stage keeps, per

@@ -38,6 +38,19 @@ object NearDupIndex {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** True when `p` holds at least one DATA file: a dir containing only
+    * metadata markers (`_family`, written before any pair is found on a
+    * duplicate-free corpus) must read as the empty table, not crash
+    * parquet schema inference. */
+  private def tableHasData(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listStatus(hp).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Hash-family stamp (`<root>/_family`): band keys from two different
     * minhash families never collide, so mixing them in one index silently
     * loses every new-vs-old pair. The stamp is written when the index is
@@ -75,7 +88,7 @@ object NearDupIndex {
   }
 
   private def readOrEmpty(spark: SparkSession, p: String, template: DataFrame): DataFrame =
-    if (tableExists(spark, p)) spark.read.parquet(p)
+    if (tableHasData(spark, p)) spark.read.parquet(p)
     else template.limit(0)
 
   /** Index a batch of documents (doc_id, text, …). Returns the number
@@ -163,7 +176,7 @@ object NearDupIndex {
       graft.WriterLease.processOwner("neardup-compact")) {
       requireFamily(spark, root, "near-dup index")
       Seq("pairs", "bands", "shingles")
-        .filter(t => tableExists(spark, path(root, t)))
+        .filter(t => tableHasData(spark, path(root, t)))
         .map(t => t -> graft.olapsus.Warehouse.compactPath(
           spark, path(root, t), targetFileBytes))
         .toMap
@@ -175,11 +188,15 @@ object NearDupIndex {
     * commit-order note in [[addDocuments]]), and exact-duplicate
     * collapse on read is what makes that retry safe for counts and
     * joins alike. */
-  def pairs(spark: SparkSession, root: String): DataFrame = {
-    val p = path(root, "pairs")
-    if (tableExists(spark, p)) spark.read.parquet(p).distinct()
+  def pairs(spark: SparkSession, root: String): DataFrame =
+    pairsTable(spark, path(root, "pairs"))
+
+  /** Read a standalone pair table (the index's `pairs` dir or a
+    * [[Curation.persistNearDupPairs]] output) tolerating the data-less
+    * marker-only state. */
+  private[operators] def pairsTable(spark: SparkSession, p: String): DataFrame =
+    if (tableHasData(spark, p)) spark.read.parquet(p).distinct()
     else spark.range(0).select(
       col("id").as("doc_a"), col("id").as("doc_b"),
       col("id").cast("double").as("jaccard"))
-  }
 }

@@ -781,7 +781,13 @@ object TextOps extends OpModule {
     * post-scrub character volume (integer lengths, so both engines
     * agree bit-for-bit). The scrub itself is [[scrubPii]]; this census
     * is the audit artifact a pipeline owner reviews — a source suddenly
-    * contributing thousands of emails is the regression signal. */
+    * contributing thousands of emails is the regression signal.
+    *
+    * Counting contract: each class is counted independently on the RAW
+    * text, so nested matches are counted once per class (an address like
+    * `user@10.0.0.1.com` is one email AND one IPv4 detection) while the
+    * sequential scrub replaces only the outermost — the census measures
+    * detection exposure per class, not replacement arithmetic. */
   val t36PiiScrub: Op = Op(
     "t36_pii_scrub",
     Some(s"""

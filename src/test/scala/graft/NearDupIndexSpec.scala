@@ -65,6 +65,26 @@ class NearDupIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("a duplicate-free corpus leaves a pairless index that still reads, compacts and curates") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("neardup-nodup").toString
+    // Fully distinct shingle spaces: no near-dup pair can exist.
+    (0L until 30L).map(i =>
+      (i, (0 until 25).map(t => s"w${i}_$t").mkString(" "), "en", "web", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val root = Files.createTempDirectory("neardup-idx-nodup").toString
+    assert(NearDupIndex.addDocuments(spark, Tables.documents(spark, tmp), root) == 0L)
+    // The pairs dir holds only the family stamp — reads must return the
+    // empty set, not crash parquet schema inference.
+    assert(NearDupIndex.pairs(spark, root).isEmpty)
+    val compacted = NearDupIndex.compact(spark, root)
+    assert(!compacted.contains("pairs"), compacted.toString) // data-less: skipped
+    assert(operators.Curation.curateAgainstPairs(spark, tmp, s"$root/pairs").count() > 0)
+    // Replay stays a no-op and later batches still work.
+    assert(NearDupIndex.addDocuments(spark, Tables.documents(spark, tmp), root) == 0L)
+  }
+
   test("compaction merges append files, keeps the pair set, and preserves the family stamp") {
     val root = Files.createTempDirectory("neardup-idx-compact").toString
     val docs = Tables.documents(spark, sf())

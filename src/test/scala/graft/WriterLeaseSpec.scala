@@ -20,8 +20,10 @@ class WriterLeaseSpec extends SparkSpecBase {
     WriterLease.acquire(spark, dir, "writer-2").release()
     // A crashed writer never releases: its stale epoch is past the TTL,
     // so the next writer breaks the lease instead of waiting forever.
+    // (Sleep past the tiny TTL: expiry is strict millisecond arithmetic.)
     WriterLease.acquire(spark, dir, "crashed")
-    WriterLease.acquire(spark, dir, "recoverer", ttlMs = 0L).release()
+    Thread.sleep(50)
+    WriterLease.acquire(spark, dir, "recoverer", ttlMs = 10L).release()
   }
 
   test("heartbeat keeps a live lease from expiring mid-write") {

@@ -155,6 +155,16 @@ class AnnIndexSpec extends SparkSpecBase {
     AnnIndex.resetValidationCacheForTest()
     val out = hfs.create(hp, true)
     out.write("v1 f=deadbeef\n".getBytes("UTF-8")); out.close()
+    // append() must refuse the stale-version root BEFORE writing anything
+    // (a partial ivf-only append under old geometry would corrupt).
+    val countsBefore = Seq("ivf/codes", "pq/codes", "ivfpq/codes")
+      .map(t => spark.read.parquet(s"$root/$t").count())
+    intercept[IllegalStateException] {
+      AnnIndex.append(spark, root,
+        Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding")))
+    }
+    assert(Seq("ivf/codes", "pq/codes", "ivfpq/codes")
+      .map(t => spark.read.parquet(s"$root/$t").count()) == countsBefore)
     AnnIndex.ensureBuilt(spark, sf(), root)
     assert(rows(AnnIndex.probeIvf(spark, root)) == expected)
     val marker = new String(java.nio.file.Files.readAllBytes(
