@@ -71,19 +71,12 @@ object PipelineDemo {
     SparkEntry.queries("s13_ann_recall")(spark, sfDir).show(20, truncate = false)
     SparkEntry.queries("d12_canonical_vectors")(spark, sfDir).show(10, truncate = false)
 
-    // The pipeline's terminal artifact: survivors of the curation DAG —
-    // the SAME three stages the step-2 census counted (quality gate ->
-    // exact dedup -> near-dup drop), then PII-scrubbed and exported as
+    // The pipeline's terminal artifact: the SAME survivor set the step-2
+    // census counted (one shared definition in Curation — quality gate ->
+    // exact dedup -> near-dup drop), PII-scrubbed and exported as
     // deterministic JSONL shards a training job consumes.
-    import org.apache.spark.sql.functions.{md5, min, size}
-    val gated = docs
-      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 20)
-    val exactKeepers = gated.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val survivors = gated
-      .join(exactKeepers, Seq("doc_id"), "semi")
-      .join(NearDupIndex.pairs(spark, indexRoot)
-        .select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "anti")
+    val survivors = Curation
+      .survivorsAgainstPairs(spark, sfDir, s"$indexRoot/pairs")
       .withColumn("text", graft.operators.TextOps.scrubPii(col("text")))
     val exported = graft.sources.TrainingSink.writeJsonlShards(
       survivors, s"$work/export", "doc_id", 8)

@@ -74,6 +74,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     val scaled = Files.createTempDirectory("graft-scalecheck").toString
+    try {
     scaleDocuments(spark, sfDir, scaled, factor)
     scaleEmbeddings(spark, sfDir, scaled, factor)
 
@@ -105,9 +106,13 @@ object ScaleCheck {
     }
     val json = lines.mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
-    // The scaled corpus is factor× the input — don't leak it in tmp.
-    val sp = new org.apache.hadoop.fs.Path(scaled)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
-    spark.stop()
+    } finally {
+      // The scaled corpus is factor× the input — don't leak it in tmp,
+      // ESPECIALLY when a heavy op crashed the probe (the case where the
+      // leak matters most).
+      val sp = new org.apache.hadoop.fs.Path(scaled)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      spark.stop()
+    }
   }
 }

@@ -12,17 +12,22 @@ import org.apache.spark.sql.SparkSession
   * double-appended facts, lost index pairs).
   *
   * Acquisition is a create-exclusive file (`_writer_lease`) carrying the
-  * owner id and an epoch stamp. A live lease makes the second writer
-  * fail fast and loud; a lease older than `ttlMs` is presumed crashed
-  * and is broken — safe because every guarded write path is
-  * independently replay-idempotent (manifest day keys, per-family
-  * anti-joins), so the recovering writer converges.
+  * owner id, a unique lease id, and an epoch stamp. A live lease makes
+  * the second writer fail fast and loud; a lease older than `ttlMs` is
+  * presumed crashed and is broken — safe because every guarded write
+  * path is independently replay-idempotent (manifest day keys,
+  * per-family anti-joins), so the recovering writer converges.
   *
   * Scope and honesty notes: this is a correctness net for the DECLARED
   * single-writer deployments, not a distributed lock service — on
   * filesystems without atomic create-exclusive (S3 without conditional
   * writes) two writers racing the same millisecond can both pass; HDFS
-  * and local FS creates are atomic.
+  * and local FS creates are atomic. A holder paused LONGER than the TTL
+  * (GC, hung NFS) can lose its lease to a recoverer; the lease-id check
+  * in renew/release keeps the paused holder from clobbering or deleting
+  * the new holder's lease when it wakes, but cannot retract writes the
+  * paused holder had already issued — size `ttlMs` above the worst
+  * expected pause.
   *
   * A daemon heartbeat re-stamps the epoch every ttl/3 for as long as the
   * lease is held, so a HEALTHY long-running writer (a multi-hour ingest,
@@ -30,11 +35,17 @@ import org.apache.spark.sql.SparkSession
   * crash-detection bound. A killed JVM takes its heartbeat with it and
   * the lease expires on schedule. */
 final class WriterLease private[graft] (fs: FileSystem, val path: Path,
-    owner: String, heartbeat: java.util.concurrent.ScheduledExecutorService) {
+    owner: String, leaseId: String,
+    heartbeat: java.util.concurrent.ScheduledExecutorService) {
 
-  /** Re-stamp the epoch (the heartbeat calls this automatically; manual
-    * calls remain harmless). */
-  def renew(): Unit = WriterLease.stamp(fs, path, owner, overwrite = true)
+  private def ownsFile(): Boolean =
+    WriterLease.readStamp(fs, path).exists(_.contains(s"lease=$leaseId"))
+
+  /** Re-stamp the epoch — ONLY while the on-disk lease is still ours: a
+    * holder paused past the TTL may have lost the lease to a recoverer,
+    * and overwriting the recoverer's stamp would put two writers live. */
+  def renew(): Unit =
+    if (ownsFile()) WriterLease.stamp(fs, path, owner, leaseId, overwrite = true)
 
   def release(): Unit = {
     // Drain the heartbeat BEFORE deleting: an in-flight re-stamp landing
@@ -42,7 +53,9 @@ final class WriterLease private[graft] (fs: FileSystem, val path: Path,
     // next writer for a full TTL.
     heartbeat.shutdownNow()
     heartbeat.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
-    fs.delete(path, false)
+    // Delete only OUR lease: if a recoverer stole it mid-pause, the file
+    // now belongs to them.
+    if (ownsFile()) fs.delete(path, false)
     ()
   }
 }
@@ -56,12 +69,24 @@ object WriterLease {
   def processOwner(tag: String): String =
     s"$tag:${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
 
-  private def stamp(fs: FileSystem, p: Path, owner: String,
+  private def stamp(fs: FileSystem, p: Path, owner: String, leaseId: String,
       overwrite: Boolean): Unit = {
     val out = fs.create(p, overwrite)
-    try out.write(s"owner=$owner epoch=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    try out.write(
+      s"owner=$owner lease=$leaseId epoch=${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** The stamp's content, or None when the file doesn't exist /
+    * can't be read (a racing create or release). */
+  private def readStamp(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Acquire the lease under `dir` (created if absent). Throws
     * IllegalStateException if a non-expired lease is held by anyone —
@@ -79,55 +104,70 @@ object WriterLease {
     val p = new Path(s"$dir/$LeaseFile$suffix")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    val leaseId = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { stamp(fs, p, owner, overwrite = false); true }
+      try { stamp(fs, p, owner, leaseId, overwrite = false); true }
       catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      // Held: read the stamp. An unreadable/unparseable stamp (holder
-      // crashed mid-create, or we peeked between its create-exclusive
-      // and its write) falls back to the FILE's mtime: a just-created
-      // empty stamp reads as fresh (held — never break a live writer
-      // mid-create), while a crashed holder's empty stamp ages out on
-      // the same TTL as a written one.
-      val info =
-        try {
-          val in = fs.open(p)
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-          finally in.close()
-        } catch { case _: java.io.IOException => "" }
-      val epoch = "epoch=(\\d+)".r.findFirstMatchIn(info).map(_.group(1).toLong)
-        .orElse(try Some(fs.getFileStatus(p).getModificationTime)
-                catch { case _: java.io.IOException => None })
-      val expired = epoch.exists(e => System.currentTimeMillis() - e > ttlMs)
-      def fail(): Nothing =
-        throw new IllegalStateException(
-          s"single-writer lease at $p is held ($info) — a concurrent " +
-            s"ingest/build/append against the same root would corrupt its " +
-            s"merge contracts; wait for the holder or, if it crashed, " +
-            s"retry after the ${ttlMs / 1000}s TTL expires")
-      if (!expired) fail()
-      // Break the dead lease via RENAME, not delete-then-create: rename
-      // has exactly one winner when several recoverers race (the losers'
-      // source is already gone), where concurrent deletes could each
-      // remove the OTHER recoverer's fresh lease and let both proceed.
-      val steal = new Path(p.getParent,
-        s".${p.getName}_stale_${java.util.UUID.randomUUID().toString.take(8)}")
-      if (!fs.rename(p, steal)) fail()
-      fs.delete(steal, false)
-      if (!tryCreate()) fail()
+
+    // Bounded attempts: each loop iteration either creates, proves the
+    // lease live (throw), or breaks a provably-dead lease and retries —
+    // the retry bound only guards against pathological rename/create
+    // thrash under heavy contention.
+    var acquired = tryCreate()
+    var attempts = 0
+    while (!acquired && attempts < 3) {
+      attempts += 1
+      readStamp(fs, p) match {
+        case None =>
+          // The file vanished between our create and this read — the
+          // holder just released. Take the free lease; don't throw.
+          acquired = tryCreate()
+        case Some(info) =>
+          // An unparseable stamp (holder crashed mid-create, or we peeked
+          // between its create-exclusive and its write) falls back to the
+          // FILE's mtime: a just-created empty stamp reads as fresh (held
+          // — never break a live writer mid-create), while a crashed
+          // holder's empty stamp ages out on the same TTL as a written one.
+          val epoch = "epoch=(\\d+)".r.findFirstMatchIn(info).map(_.group(1).toLong)
+            .orElse(try Some(fs.getFileStatus(p).getModificationTime)
+                    catch { case _: java.io.IOException => None })
+          val expired = epoch.exists(e => System.currentTimeMillis() - e > ttlMs)
+          if (!expired && epoch.isDefined)
+            throw new IllegalStateException(
+              s"single-writer lease at $p is held ($info) — a concurrent " +
+                s"ingest/build/append against the same root would corrupt its " +
+                s"merge contracts; wait for the holder or, if it crashed, " +
+                s"retry after the ${ttlMs / 1000}s TTL expires")
+          if (expired) {
+            // Break the dead lease via RENAME, not delete-then-create:
+            // rename has exactly one winner when several recoverers race
+            // (the losers' source is already gone), where concurrent
+            // deletes could each remove the OTHER recoverer's fresh lease
+            // and let both proceed. A failed rename means someone else
+            // won (or the holder released) — loop and re-evaluate.
+            val steal = new Path(p.getParent,
+              s".${p.getName}_stale_${java.util.UUID.randomUUID().toString.take(8)}")
+            if (fs.rename(p, steal)) fs.delete(steal, false)
+          }
+          // epoch undefined (file vanished during evaluation) → retry.
+          acquired = tryCreate()
+      }
     }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"single-writer lease at $p could not be acquired after $attempts " +
+          "contended attempts — another writer is actively racing this root")
     // Keep-alive: a live holder re-stamps every ttl/3, so only a DEAD
     // holder's lease can ever reach the expiry a recovering writer
     // breaks. Daemon thread — a killed JVM stops stamping by definition.
     val beat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "writer-lease-heartbeat"); t.setDaemon(true); t })
     val period = math.max(ttlMs / 3, 50L)
+    val lease = new WriterLease(fs, p, owner, leaseId, beat)
     beat.scheduleAtFixedRate(
-      () => try stamp(fs, p, owner, overwrite = true)
-            catch { case _: java.io.IOException => () },
+      () => try lease.renew() catch { case _: java.io.IOException => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    new WriterLease(fs, p, owner, beat)
+    lease
   }
 
   /** acquire → body → release (release also on failure: a thrown body

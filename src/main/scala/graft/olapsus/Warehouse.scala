@@ -88,7 +88,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def logIngest(dataset: String, dt: String): Unit = {
     import spark.implicits._
-    appendRows(Warehouse.IngestLog, Seq((dataset, dt)).toDF("dataset", "dt"))
+    // The manifest is the ONE table every dataset's ingest appends to:
+    // per-dataset lease scoping deliberately lets the SIM and SINASC
+    // drivers run concurrently, but two Spark jobs appending to the same
+    // directory share its _temporary staging dir — one job's commit
+    // cleanup can wipe the other's in-flight attempt and silently lose
+    // its manifest row (which later re-appends that day). A short
+    // manifest-scoped lease serializes just this tiny append.
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("manifest-append"),
+      scope = Warehouse.ManifestScope) {
+      appendRows(Warehouse.IngestLog, Seq((dataset, dt)).toDF("dataset", "dt"))
+    }
   }
 
   /** Rewrite a table's (or one fact `dt=` partition's) accumulated
@@ -145,13 +156,19 @@ object Warehouse {
   val Facts: Seq[String] = Seq("factNascimentos", "factObitos")
   val AllTables: Seq[String] = Dims ++ Seq(Bridge) ++ Facts
 
+  /** Scope of the manifest-append lease — shared by BOTH datasets'
+    * `logIngest` and by manifest compaction. */
+  val ManifestScope = "manifest"
+
   /** Single-writer lease scope per table: tables written by the same
     * ingest share one scope (a compaction can't race its own writer),
     * while the two reference DAGs — SIM and SINASC, disjoint fact sets —
-    * stay mutually concurrent, as the reference's Airflow deploys them. */
+    * stay mutually concurrent, as the reference's Airflow deploys them.
+    * The manifest gets its own scope: both datasets append to it. */
   def leaseScope(table: String): String = table match {
     case "factNascimentos" => "sinasc"
     case "factObitos" | Bridge | Signatures => "sim"
+    case IngestLog => ManifestScope
     case t => t
   }
 

@@ -58,9 +58,13 @@ object Curation extends OpModule {
     curate(spark, dir,
       Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
 
-  /** The curation DAG with the near-dup drop set injected — shared by
-    * the inline oracle query (c1) and the persisted-pair-table path. */
-  private def curate(spark: org.apache.spark.sql.SparkSession, dir: String,
+  /** Row-level SURVIVORS of the curation DAG (quality gate → exact
+    * dedup → near-dup drop): (doc_id, lang, text, n_tokens). THE one
+    * definition of "what the curated corpus contains" — the c1 census
+    * aggregates it and the terminal export ships it, so the two can
+    * never diverge (a hand-copied stage list in the export is exactly
+    * how the census and the shipped corpus drift apart). */
+  private[graft] def survivors(spark: org.apache.spark.sql.SparkSession, dir: String,
       nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("text"),
@@ -69,14 +73,19 @@ object Curation extends OpModule {
     val keepers = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = base.join(keepers, Seq("doc_id"), "semi")
-    val nearDrop = exact.join(nearDupDocs, Seq("doc_id"), "anti")
-    nearDrop
+    base.join(keepers, Seq("doc_id"), "semi")
+      .join(nearDupDocs, Seq("doc_id"), "anti")
+  }
+
+  /** The curation DAG with the near-dup drop set injected — shared by
+    * the inline oracle query (c1) and the persisted-pair-table path. */
+  private def curate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    survivors(spark, dir, nearDupDocs)
       .select(col("lang"), col("n_tokens"), HashSplit.splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang", "split")
-  }
 
   /** Build the near-dup pair table ONCE and persist it. c1 recomputes
     * d2's banded self-join inside its own DAG — correct, but at 100 TB
@@ -104,11 +113,23 @@ object Curation extends OpModule {
     * family (or none) — re-run [[persistNearDupPairs]] instead of
     * curating against stale pairs. */
   def curateAgainstPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tablePath: String): org.apache.spark.sql.DataFrame =
+    curate(spark, dir, pairDropSet(spark, tablePath))
+
+  /** The row-level curated corpus against a persisted pair table —
+    * what [[curateAgainstPairs]] censuses and what an export ships. */
+  def survivorsAgainstPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tablePath: String): org.apache.spark.sql.DataFrame =
+    survivors(spark, dir, pairDropSet(spark, tablePath))
+
+  /** Distinct doc_bs of a stamped pair table — projected BEFORE the one
+    * distinct (a row-level distinct of the full (a,b,jaccard) set first
+    * would shuffle the whole pair table twice for nothing). */
+  private def pairDropSet(spark: org.apache.spark.sql.SparkSession,
       tablePath: String): org.apache.spark.sql.DataFrame = {
     NearDupIndex.requireFamily(spark, tablePath, "near-dup pair table")
-    curate(spark, dir,
-      NearDupIndex.pairsTable(spark, tablePath)
-        .select(col("doc_b").as("doc_id")).distinct())
+    NearDupIndex.pairsTableRaw(spark, tablePath)
+      .select(col("doc_b").as("doc_id")).distinct()
   }
 
   /** Funnel census: how many documents each curation stage keeps, per

@@ -195,7 +195,15 @@ object NearDupIndex {
     * [[Curation.persistNearDupPairs]] output) tolerating the data-less
     * marker-only state. */
   private[operators] def pairsTable(spark: SparkSession, p: String): DataFrame =
-    if (tableHasData(spark, p)) spark.read.parquet(p).distinct()
+    pairsTableRaw(spark, p).distinct()
+
+  /** As [[pairsTable]] but WITHOUT the exact-duplicate collapse —
+    * consumers that project + distinct a single column (the curation
+    * drop set) must not pay a row-level distinct of the full table
+    * first. Only safe for set-semantics consumers: replayed crash
+    * appends can leave exact-duplicate rows in the raw read. */
+  private[operators] def pairsTableRaw(spark: SparkSession, p: String): DataFrame =
+    if (tableHasData(spark, p)) spark.read.parquet(p)
     else spark.range(0).select(
       col("id").as("doc_a"), col("id").as("doc_b"),
       col("id").cast("double").as("jaccard"))
