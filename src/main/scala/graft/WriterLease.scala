@@ -24,10 +24,11 @@ import org.apache.spark.sql.SparkSession
   * writes) two writers racing the same millisecond can both pass; HDFS
   * and local FS creates are atomic. A holder paused LONGER than the TTL
   * (GC, hung NFS) can lose its lease to a recoverer; the lease-id check
-  * in renew/release keeps the paused holder from clobbering or deleting
-  * the new holder's lease when it wakes, but cannot retract writes the
-  * paused holder had already issued — size `ttlMs` above the worst
-  * expected pause.
+  * in renew/release NARROWS — but, absent conditional writes, cannot
+  * eliminate — the window in which the waking holder clobbers or deletes
+  * the new holder's lease (see [[WriterLease#renew]] for the residual
+  * ordering), and it cannot retract writes the paused holder had already
+  * issued — size `ttlMs` above the worst expected pause.
   *
   * A daemon heartbeat re-stamps the epoch every ttl/3 for as long as the
   * lease is held, so a HEALTHY long-running writer (a multi-hour ingest,
@@ -38,14 +39,37 @@ final class WriterLease private[graft] (fs: FileSystem, val path: Path,
     owner: String, leaseId: String,
     heartbeat: java.util.concurrent.ScheduledExecutorService) {
 
+  /** Set when a post-renew read shows someone else's stamp: the lease
+    * was stolen while we were paused, and this holder must stop
+    * claiming it (renew becomes a no-op; release won't delete the new
+    * holder's file). */
+  @volatile private var revoked = false
+
   private def ownsFile(): Boolean =
-    WriterLease.readStamp(fs, path).exists(_.contains(s"lease=$leaseId"))
+    !revoked &&
+      WriterLease.readStamp(fs, path).exists(_.contains(s"lease=$leaseId"))
 
   /** Re-stamp the epoch — ONLY while the on-disk lease is still ours: a
     * holder paused past the TTL may have lost the lease to a recoverer,
-    * and overwriting the recoverer's stamp would put two writers live. */
+    * and overwriting the recoverer's stamp would put two writers live.
+    *
+    * The ownership check NARROWS that race; it cannot eliminate it on
+    * filesystems without conditional writes. Between the check and the
+    * overwrite, a recoverer that just broke this (TTL-expired) lease can
+    * create its own stamp, which the overwrite then clobbers — that
+    * ordering is undetectable afterwards (the re-read shows our own
+    * fresh stamp). What the post-write verification below DOES catch is
+    * the other ordering — the recoverer stamping after our overwrite —
+    * in which case this holder self-revokes instead of fighting. The
+    * residual window is one check-to-write gap per heartbeat, versus a
+    * full TTL without the check; size `ttlMs` above the worst expected
+    * pause (see the class doc). */
   def renew(): Unit =
-    if (ownsFile()) WriterLease.stamp(fs, path, owner, leaseId, overwrite = true)
+    if (ownsFile()) {
+      WriterLease.stamp(fs, path, owner, leaseId, overwrite = true)
+      if (!WriterLease.readStamp(fs, path).exists(_.contains(s"lease=$leaseId")))
+        revoked = true
+    }
 
   def release(): Unit = {
     // Drain the heartbeat BEFORE deleting: an in-flight re-stamp landing
@@ -175,6 +199,33 @@ object WriterLease {
   def withLease[T](spark: SparkSession, dir: String, owner: String,
       ttlMs: Long = DefaultTtlMs, scope: String = "")(body: => T): T = {
     val lease = acquire(spark, dir, owner, ttlMs, scope)
+    try body finally lease.release()
+  }
+
+  /** [[withLease]] that BLOCKS with bounded retry instead of failing
+    * fast on a live holder — for short-lived, high-contention scopes
+    * like the warehouse manifest append, where every holder is another
+    * sub-second append and where the caller throwing would strand work
+    * already done (a fact day written but its manifest row lost). Long
+    * scopes (a whole ingest, an index build) should keep the fail-fast
+    * [[withLease]]: there, a live holder means hours, not milliseconds,
+    * and failing loudly is the right answer. Rethrows the last
+    * contention error once `maxWaitMs` elapses. */
+  def withLeaseRetry[T](spark: SparkSession, dir: String, owner: String,
+      ttlMs: Long = DefaultTtlMs, scope: String = "",
+      maxWaitMs: Long = 60000L)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    // Retry ONLY the acquisition: a body failure must propagate once,
+    // not re-run the body.
+    var lease: WriterLease = null
+    while (lease == null) {
+      try lease = acquire(spark, dir, owner, ttlMs, scope)
+      catch {
+        case e: IllegalStateException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(100L + scala.util.Random.nextInt(100))
+      }
+    }
     try body finally lease.release()
   }
 }

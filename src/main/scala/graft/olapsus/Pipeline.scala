@@ -24,6 +24,16 @@ import org.apache.spark.sql.DataFrame
   *    unmatched; fill 0 for ocupacao/grupo-causa; then `na.drop` over
   *    ALL grain keys (sim.py:384-399).
   */
+/** Test-only fault injection for the crash-replay specs: invoked between
+  * a fact day write and its manifest log row — the exact crash point the
+  * idempotent day write ([[Warehouse.overwriteDay]] /
+  * [[Warehouse.appendUnit]]) must survive. A no-op in production. */
+private[olapsus] object IngestFaults {
+  /** (warehouse root, dataset) — root-scoped so a spec's injected fault
+    * can never fire inside another suite's concurrently-running ingest. */
+  @volatile var afterFactWrite: (String, String) => Unit = (_, _) => ()
+}
+
 object Pipeline {
 
   /** SINASC clean rows → factNascimentos grain. */
@@ -165,7 +175,13 @@ object Pipeline {
         if (raw.isEmpty) 0L
         else {
           val fact = resolveSinasc(Transforms.sinasc(raw), wh)
-          wh.append("factNascimentos", fact, dt)
+          // overwriteDay, not append: a crash between this write and the
+          // logIngest row below leaves the day written-but-unlogged, and
+          // the replay must REPLACE it, not double it (see the
+          // crash-replay contract on Warehouse.overwriteDay; forged in
+          // CrashReplaySpec).
+          wh.overwriteDay("factNascimentos", fact, dt)
+          IngestFaults.afterFactWrite(wh.root, "sinasc")
           wh.logIngest("sinasc", dt)
           fact.count()
         }
@@ -220,7 +236,9 @@ object Pipeline {
     // then maintained by appending each batch's new groups — the merge
     // never re-derives existing groups' signatures again.
     if (!wh.exists(Warehouse.Signatures))
-      wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
+      // Unleased variant: this caller already holds the `sim` scope
+      // lease, which also guards the signature table.
+      wh.writeUnleased(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
     val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
       wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
     // Read-before-write single-writer merge (no ON CONFLICT in Parquet;
@@ -233,7 +251,11 @@ object Pipeline {
       wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
     }
     val fact = resolveSim(bridge.resolved, wh)
-    wh.append("factObitos", fact, dt)
+    // Crash-replayable day write — the bridge merge above is already
+    // replay-idempotent (signature anti-join); this makes the fact
+    // partition match it.
+    wh.overwriteDay("factObitos", fact, dt)
+    IngestFaults.afterFactWrite(wh.root, "sim")
     wh.logIngest("sim", dt)
     val n = fact.count()
     newRows.unpersist()

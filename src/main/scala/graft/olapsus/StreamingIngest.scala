@@ -39,10 +39,20 @@ object StreamingIngest {
       ingestSinascBatchLeased(wh, batch, label)
     }
 
+  /** `unit = None` (the plain stream): the whole `dt=$label` partition is
+    * this micro-batch's — labels are `stream-<id>`, unique per batch —
+    * so [[Warehouse.overwriteDay]] makes a foreachBatch replay after a
+    * crash converge instead of double-appending. `unit = Some(u)` (the
+    * backfill): several micro-batches may land files in the SAME day
+    * partition, so the write is a per-unit replayable append
+    * ([[Warehouse.appendUnit]]) keyed by the micro-batch id. */
   private def ingestSinascBatchLeased(wh: Warehouse, batch: DataFrame,
-      label: String): Unit = {
+      label: String, unit: Option[String] = None): Unit = {
     val fact = Pipeline.resolveSinasc(Transforms.sinasc(batch), wh)
-    wh.append("factNascimentos", fact, label)
+    unit match {
+      case Some(u) => wh.appendUnit("factNascimentos", fact, label, u)
+      case None => wh.overwriteDay("factNascimentos", fact, label)
+    }
   }
 
   /** One SIM micro-batch: bridge merge + factObitos append
@@ -54,11 +64,15 @@ object StreamingIngest {
       ingestSimBatchLeased(wh, batch, label)
     }
 
+  /** See the unit-vs-overwrite note on [[ingestSinascBatchLeased]]; the
+    * bridge/signature appends are replay-idempotent by anti-join either
+    * way. */
   private def ingestSimBatchLeased(wh: Warehouse, batch: DataFrame,
-      label: String): Unit = {
+      label: String, unit: Option[String] = None): Unit = {
     val clean = Transforms.sim(batch.withColumn("row_id", monotonically_increasing_id()))
     if (!wh.exists(Warehouse.Signatures))
-      wh.write(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
+      // Caller holds the `sim` scope lease, which guards this table too.
+      wh.writeUnleased(Warehouse.Signatures, CauseBridge.signatures(wh.table(Warehouse.Bridge)))
     val bridge = CauseBridge.resolve(clean, wh.table("dimCausa"),
       wh.table(Warehouse.Bridge), Some(wh.table(Warehouse.Signatures)))
     // Append only the new groups' rows (files of pre-existing groups are
@@ -68,7 +82,11 @@ object StreamingIngest {
       wh.appendRows(Warehouse.Bridge, newRows)
       wh.appendRows(Warehouse.Signatures, bridge.newSignatureRows)
     }
-    wh.append("factObitos", Pipeline.resolveSim(bridge.resolved, wh), label)
+    val fact = Pipeline.resolveSim(bridge.resolved, wh)
+    unit match {
+      case Some(u) => wh.appendUnit("factObitos", fact, label, u)
+      case None => wh.overwriteDay("factObitos", fact, label)
+    }
     newRows.unpersist()
     ()
   }
@@ -117,11 +135,13 @@ object StreamingIngest {
     * carries exactly the same files, and every applied (day, batch) is
     * logged to the manifest as `d#sb<id>` BEFORE the day itself — so a
     * replay after a crash skips the day-batches that committed and
-    * re-applies only the ones that didn't. The remaining window is a
-    * crash between a day's fact append and its `d#sb` log row — the
-    * same append-then-log exposure, at the same single-writer contract,
-    * as the batch driver's `ingest → logIngest` pair, but narrowed to
-    * one day of one micro-batch instead of the whole run.
+    * re-applies only the ones that didn't. A crash between a day's fact
+    * write and its `d#sb` log row is ALSO safe: the fact write is a
+    * per-unit replayable append ([[Warehouse.appendUnit]] keyed by the
+    * micro-batch id) whose replay first removes the crashed attempt's
+    * own files — the write-then-log pair converges just like the batch
+    * driver's `overwriteDay → logIngest` pair (CrashReplaySpec forges
+    * both).
     *
     * Composition with the batch driver, both directions: completed days
     * are also logged under their plain date, so the BATCH driver skips
@@ -139,9 +159,11 @@ object StreamingIngest {
     // checking the manifest inside its lease.
     val (schema, perDay) = dataset match {
       case "sinasc" =>
-        (sinascSchema, (b: DataFrame, d: String) => ingestSinascBatchLeased(wh, b, d))
+        (sinascSchema,
+          (b: DataFrame, d: String, u: String) => ingestSinascBatchLeased(wh, b, d, Some(u)))
       case "sim" =>
-        (simSchema, (b: DataFrame, d: String) => ingestSimBatchLeased(wh, b, d))
+        (simSchema,
+          (b: DataFrame, d: String, u: String) => ingestSimBatchLeased(wh, b, d, Some(u)))
       case other => sys.error(s"unknown dataset $other (sim|sinasc)")
     }
     val withDt = StructType(schema.fields :+ StructField("dt", StringType))
@@ -162,7 +184,13 @@ object StreamingIngest {
             val batchDriverOwns =
               !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d)
             if (!replayed && !batchDriverOwns) {
-              perDay(batch.filter(col("dt") === d).drop("dt"), d)
+              // appendUnit keyed by the micro-batch id: a crash between
+              // this write and the dayBatchKey log row replays with the
+              // SAME files (checkpoint) and the same unit, whose stale
+              // files the rewrite removes first — no double-append
+              // (CrashReplaySpec forges this).
+              perDay(batch.filter(col("dt") === d).drop("dt"), d, s"sb$id")
+              IngestFaults.afterFactWrite(wh.root, s"$dataset-stream")
               wh.logIngest(dataset, dayBatchKey)
               if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
             }

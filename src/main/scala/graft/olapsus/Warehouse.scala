@@ -16,12 +16,85 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def path(table: String): String = s"$root/$table"
 
+  /** Full-table overwrite (dim seeds, signature bootstrap). A writer
+    * like any other: takes the table's lease scope so a seed re-run
+    * cannot race a concurrent compaction of the same table. */
   def write(table: String, df: DataFrame): Unit =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("wh-write"),
+      scope = Warehouse.leaseScope(table)) {
+      writeUnleased(table, df)
+    }
+
+  /** [[write]] without lease acquisition — for callers that already hold
+    * the table's scope lease (the SIM ingest bootstraps the signature
+    * table inside its own `sim` lease; re-acquiring would self-conflict:
+    * the lease is not reentrant). */
+  private[olapsus] def writeUnleased(table: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(path(table))
 
+  /** Append one ingest batch under `dt=$dt`. NOT replay-safe on its own
+    * (a crashed run's partial files stay); the ingest paths use
+    * [[overwriteDay]] / [[appendUnit]] instead, which are. Kept for
+    * ad-hoc loads where the caller owns idempotency. Caller holds the
+    * table's scope lease. */
   def append(table: String, df: DataFrame, dt: String): Unit =
     df.withColumn("dt", org.apache.spark.sql.functions.lit(dt))
       .write.mode("append").partitionBy("dt").parquet(path(table))
+
+  /** Idempotent day write: REPLACES the `dt=$dt` partition with exactly
+    * this batch's rows. Dynamic partition overwrite touches only the
+    * partitions present in the data — one `lit(dt)` value — so every
+    * other day survives untouched. This closes the crash window between
+    * the fact write and the manifest log row: a run that died in between
+    * left the day written-but-unlogged, and the old `mode("append")`
+    * replay would re-append the whole day (permanent duplicate counts
+    * in every serving query). With overwrite semantics the replay
+    * converges on the same single copy. The reference has the
+    * append-only flaw (bare JDBC append, spark_script_sim.py:402); we
+    * fix it rather than port it. Caller holds the table's scope lease. */
+  def overwriteDay(table: String, df: DataFrame, dt: String): Unit =
+    df.withColumn("dt", org.apache.spark.sql.functions.lit(dt))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(path(table))
+
+  /** Replayable APPEND into `dt=$dt` for writers whose unit of work is
+    * smaller than a day — the streaming backfill, where several
+    * micro-batches may legitimately land files in the same day
+    * partition, so [[overwriteDay]] would wipe a sibling batch's rows.
+    * Every file of this write is prefixed `$unit-`; a replay of the same
+    * unit first deletes its own earlier files (a crashed attempt's
+    * partial output) and then re-stages, so appends converge per unit
+    * while distinct units accumulate. Stage-then-rename: the batch is
+    * written to a hidden sibling dir, then each part file moves into the
+    * partition under the unit prefix — a crash at any point leaves only
+    * unit-prefixed files the next replay removes. Caller holds the
+    * table's scope lease (the delete-by-prefix is only safe
+    * single-writer). */
+  def appendUnit(table: String, df: DataFrame, dt: String, unit: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(unit.matches("[A-Za-z0-9_.-]+"), s"unit must be path-safe: $unit")
+    val tableDir = new Path(path(table))
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDir = new Path(tableDir, s"dt=$dt")
+    if (fs.exists(partDir))
+      fs.listStatus(partDir).filter(_.getPath.getName.startsWith(s"$unit-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    val tmp = new Path(tableDir, s".unit_${unit}_tmp")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(partDir)
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .foreach { s =>
+        val target = new Path(partDir, s"$unit-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, target))
+          throw new java.io.IOException(s"appendUnit: could not move ${s.getPath} to $target")
+      }
+    fs.delete(tmp, true)
+  }
 
   /** Un-partitioned row append (bridge-table merge): adds only the new
     * rows' files — existing files are never rewritten, so the daily cost
@@ -45,11 +118,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * stay broadcast; bucket the big sides. */
   def writeBucketed(table: String, buckets: Int, bucketCols: Seq[String]): String = {
     val name = s"${table}_bucketed".toLowerCase
-    this.table(table).write.mode("overwrite")
-      .option("path", path(name))
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(name)
+    // A bucket rebuild is a writer of `name`'s directory: take the same
+    // scope a compaction of that directory takes, so rebuild-vs-compact
+    // races fail fast instead of interleaving file rewrites.
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("wh-bucketed"),
+      scope = Warehouse.leaseScope(name)) {
+      this.table(table).write.mode("overwrite")
+        .option("path", path(name))
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(name)
+    }
     name
   }
 
@@ -94,8 +174,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // directory share its _temporary staging dir — one job's commit
     // cleanup can wipe the other's in-flight attempt and silently lose
     // its manifest row (which later re-appends that day). A short
-    // manifest-scoped lease serializes just this tiny append.
-    graft.WriterLease.withLease(spark, root,
+    // manifest-scoped lease serializes just this tiny append — and it
+    // BLOCKS with bounded retry rather than failing fast: logIngest runs
+    // AFTER the fact write succeeded, so a throw here (because the other
+    // dataset's driver is mid-append) would leave the day
+    // written-but-unlogged. Contention on this scope is always another
+    // sub-second manifest append, never a long job, so waiting is right.
+    graft.WriterLease.withLeaseRetry(spark, root,
       graft.WriterLease.processOwner("manifest-append"),
       scope = Warehouse.ManifestScope) {
       appendRows(Warehouse.IngestLog, Seq((dataset, dt)).toDF("dataset", "dt"))
@@ -242,21 +327,27 @@ object Warehouse {
       df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     }
     require(fs.exists(tmp), s"compact: tmp write produced nothing at $tmp")
+    // Carry index metadata markers (top-level `_`-prefixed FILES, e.g.
+    // `_family`) into tmp BEFORE the publish renames, so the new dir is
+    // born complete: carrying them after publish would open a
+    // reader-visible window in which the live dir has data but no
+    // `_family` stamp, making unleased readers (requireFamily, index
+    // probes) fail spuriously with the "rebuild it" error. COPY, not
+    // rename — the live dir keeps serving readers until the swap. The
+    // fresh write's own markers (e.g. `_SUCCESS`) win on name collision.
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        val target = new Path(tmp, s.getPath.getName)
+        if (!fs.exists(target))
+          org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs, target,
+            false, spark.sparkContext.hadoopConfiguration)
+      }
     if (!fs.rename(dir, bak))
       throw new java.io.IOException(s"compact: could not move $dir aside")
     if (!fs.rename(tmp, dir)) {
       fs.rename(bak, dir) // roll back: old data intact
       throw new java.io.IOException(s"compact: could not publish $tmp; rolled back")
     }
-    // Carry index metadata markers (top-level `_`-prefixed FILES, e.g.
-    // `_family`) from the old data into the new dir before the old copy
-    // is destroyed; the fresh write's own markers (e.g. `_SUCCESS`) win
-    // on name collision.
-    fs.listStatus(bak).filter(s => s.isFile && s.getPath.getName.startsWith("_"))
-      .foreach { s =>
-        val target = new Path(dir, s.getPath.getName)
-        if (!fs.exists(target)) fs.rename(s.getPath, target)
-      }
     fs.delete(bak, true)
     nFiles
   }

@@ -87,6 +87,48 @@ class WriterLeaseSpec extends SparkSpecBase {
     stale.release() // already broken; harmless
   }
 
+  test("seed writes and bucketed rebuilds are writers too: a held table scope makes them fail fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lease-wr")
+    val wh = new olapsus.Warehouse(spark, dir.resolve("wh").toString)
+    // Warehouse.write takes the table's lease scope — the exact scope a
+    // compaction of that table holds — so seed-vs-compact races lose
+    // loudly instead of interleaving file rewrites.
+    val heldSeed = WriterLease.acquire(spark, wh.root, "compactor", scope = "dimTest")
+    intercept[IllegalStateException] { wh.write("dimTest", Seq(1, 2).toDF("v")) }
+    heldSeed.release()
+    wh.write("dimTest", Seq(1, 2).toDF("v"))
+    // writeBucketed guards the bucketed DIRECTORY it rewrites, under the
+    // same scope compact("dimtest_bucketed") takes.
+    val heldBucket = WriterLease.acquire(spark, wh.root, "compactor", scope = "dimtest_bucketed")
+    intercept[IllegalStateException] { wh.writeBucketed("dimTest", 2, Seq("v")) }
+    heldBucket.release()
+    assert(wh.writeBucketed("dimTest", 2, Seq("v")) == "dimtest_bucketed")
+  }
+
+  test("concurrent manifest appends block-and-retry: the loser waits instead of throwing after its fact write") {
+    val dir = Files.createTempDirectory("lease-manifest")
+    val wh = new olapsus.Warehouse(spark, dir.resolve("wh").toString)
+    // Forge the race ADVICE r8 flagged: one dataset's driver holds the
+    // manifest scope while the other dataset finishes its fact write and
+    // calls logIngest. Fail-fast would throw here — stranding an
+    // appended-but-unlogged day; the retry path must just wait.
+    val held = WriterLease.acquire(spark, wh.root, "sinasc-manifest",
+      scope = olapsus.Warehouse.ManifestScope)
+    @volatile var failure: Throwable = null
+    val simDriver = new Thread(() =>
+      try wh.logIngest("sim", "2020-03-01")
+      catch { case t: Throwable => failure = t })
+    simDriver.start()
+    Thread.sleep(1000) // the logIngest is now inside its retry loop
+    assert(simDriver.isAlive, "logIngest gave up instead of waiting for the holder")
+    held.release()
+    simDriver.join(30000)
+    assert(!simDriver.isAlive && failure == null,
+      s"logIngest failed under manifest contention: $failure")
+    assert(wh.ingestLogged("sim", "2020-03-01"))
+  }
+
   test("index writers take the lease: concurrent addDocuments/build fail fast") {
     val root = Files.createTempDirectory("lease-idx").toString
     val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 50)

@@ -1,0 +1,144 @@
+package graft.olapsus
+
+import graft.SparkSpecBase
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+
+/** Forged-crash replay contract for the write-then-log pairs (VERDICT r8
+  * item #1): a fault is injected BETWEEN the fact day write and its
+  * manifest log row — the one crash point where the day is on disk but
+  * the manifest doesn't know — and the replay must converge to exactly
+  * one clean run's rows, for batch SINASC, batch SIM, and a streaming
+  * backfill micro-batch. Before round 9 the fact write was a bare
+  * `mode("append")`, so this exact crash double-appended the day on
+  * replay, silently doubling every serving query's counts forever. */
+class CrashReplaySpec extends SparkSpecBase {
+
+  private lazy val dir = Files.createTempDirectory("crash-replay")
+  private lazy val municipioCsv = Fixtures.write(dir, "municipio.csv", Fixtures.municipio)
+  private lazy val cboCsv = Fixtures.write(dir, "cbo.csv", Fixtures.cbo)
+  private lazy val cidCsv = Fixtures.write(dir, "cid.csv", Fixtures.cid)
+  private lazy val simCsv = Fixtures.write(dir, "sim.csv", Fixtures.sim)
+  private lazy val sinascCsv = Fixtures.write(dir, "sinasc.csv", Fixtures.sinasc)
+
+  private def seeded(name: String): Warehouse = {
+    val w = new Warehouse(spark, dir.resolve(name).toString)
+    Dims.seedAll(w, municipioCsv, cboCsv, cidCsv)
+    w
+  }
+
+  /** The warehouse a single, never-crashed run produces — the target
+    * state every replay must land on. */
+  private lazy val whClean = seeded("wh-clean")
+  private lazy val whCrash = seeded("wh-crash")
+
+  private def rowsOf(wh: Warehouse, table: String, dt: String): Set[String] = {
+    val df = wh.table(table).where(s"dt = '$dt'")
+    df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  private def crashOn(root: String, dataset: String): Unit =
+    IngestFaults.afterFactWrite = (r, d) =>
+      if (r == root && d == dataset) sys.error(s"forged crash after $d fact write")
+
+  private def clearFault(): Unit =
+    IngestFaults.afterFactWrite = (_, _) => ()
+
+  test("batch SINASC: crash between day write and manifest log; replay equals one clean run") {
+    val dt = "2020-02-01"
+    assert(Pipeline.ingestSinasc(whClean, sinascCsv, dt) == 4L)
+    val want = rowsOf(whClean, "factNascimentos", dt)
+
+    // A pre-existing day that the replay's partition overwrite must NOT
+    // touch (dynamic mode rewrites only the replayed day).
+    assert(Pipeline.ingestSinasc(whCrash, sinascCsv, "2020-01-31") == 4L)
+    val otherDay = rowsOf(whCrash, "factNascimentos", "2020-01-31")
+
+    crashOn(whCrash.root, "sinasc")
+    try intercept[RuntimeException] { Pipeline.ingestSinasc(whCrash, sinascCsv, dt) }
+    finally clearFault()
+    // The forged state: day on disk, manifest ignorant — exactly what a
+    // real crash leaves.
+    assert(whCrash.table("factNascimentos").where(s"dt = '$dt'").count() == 4L)
+    assert(!whCrash.ingestLogged("sinasc", dt))
+
+    // Replay (what a scheduled backfill would do): must REPLACE, not
+    // double, the crashed day's rows.
+    assert(Pipeline.ingestSinasc(whCrash, sinascCsv, dt) == 4L)
+    assert(rowsOf(whCrash, "factNascimentos", dt) == want,
+      "replayed day diverged from a single clean run")
+    assert(rowsOf(whCrash, "factNascimentos", "2020-01-31") == otherDay,
+      "partition overwrite leaked outside the replayed day")
+    // And now the manifest knows: a third run is a pure no-op.
+    assert(Pipeline.ingestSinasc(whCrash, sinascCsv, dt) == 0L)
+  }
+
+  test("batch SIM: crash between day write and manifest log; replay equals one clean run") {
+    val dt = "2020-01-15"
+    assert(Pipeline.ingestSim(whClean, simCsv, dt) == 4L)
+    val want = rowsOf(whClean, "factObitos", dt)
+    val cleanBridge = whClean.table(Warehouse.Bridge).count()
+
+    crashOn(whCrash.root, "sim")
+    try intercept[RuntimeException] { Pipeline.ingestSim(whCrash, simCsv, dt) }
+    finally clearFault()
+    assert(!whCrash.ingestLogged("sim", dt))
+
+    assert(Pipeline.ingestSim(whCrash, simCsv, dt) == 4L)
+    assert(rowsOf(whCrash, "factObitos", dt) == want,
+      "replayed SIM day diverged from a single clean run")
+    // The bridge merge (which ran twice) stayed idempotent alongside.
+    assert(whCrash.table(Warehouse.Bridge).count() == cleanBridge,
+      "bridge rows duplicated across the crash replay")
+    assert(Pipeline.ingestSim(whCrash, simCsv, dt) == 0L)
+  }
+
+  test("streaming backfill: crash between a day's unit write and its d#sb log; replay converges") {
+    val dt = "2021-06-01"
+    def landingFor(wh: Warehouse): String = {
+      val landing = Files.createTempDirectory(s"crash-landing")
+      val day = landing.resolve(s"sinasc/dt=$dt")
+      Files.createDirectories(day)
+      Fixtures.write(day, "part.csv", Fixtures.sinasc)
+      landing.toString
+    }
+    StreamingIngest.backfill(whClean, landingFor(whClean), "sinasc").awaitTermination()
+    val want = rowsOf(whClean, "factNascimentos", dt)
+    assert(want.nonEmpty)
+
+    val landing = landingFor(whCrash)
+    crashOn(whCrash.root, "sinasc-stream")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIngest.backfill(whCrash, landing, "sinasc").awaitTermination()
+    } finally clearFault()
+    // Forged state: the unit's files are in the day partition, but
+    // neither the d#sb key nor the day reached the manifest.
+    assert(whCrash.table("factNascimentos").where(s"dt = '$dt'").count() == 4L)
+    assert(!whCrash.ingestLogged("sinasc", dt))
+
+    // Restart: the checkpoint re-delivers the SAME micro-batch (same id,
+    // same files); appendUnit drops the crashed attempt's files first.
+    StreamingIngest.backfill(whCrash, landing, "sinasc").awaitTermination()
+    assert(rowsOf(whCrash, "factNascimentos", dt) == want,
+      "crash-replayed micro-batch day diverged from a single clean run")
+    assert(whCrash.ingestLogged("sinasc", dt))
+    // And an idle re-run changes nothing.
+    StreamingIngest.backfill(whCrash, landing, "sinasc").awaitTermination()
+    assert(rowsOf(whCrash, "factNascimentos", dt) == want)
+  }
+
+  test("appendUnit: distinct units accumulate; a unit's replay supersedes its own files only") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, dir.resolve("wh-unit").toString)
+    val dt = "2022-01-01"
+    wh.appendUnit("tbl", Seq(1, 2).toDF("v"), dt, "sb0")
+    wh.appendUnit("tbl", Seq(3).toDF("v"), dt, "sb1")
+    def vals(): Seq[Int] =
+      wh.table("tbl").where(s"dt = '$dt'").select("v").collect().map(_.getInt(0)).toSeq.sorted
+    assert(vals() == Seq(1, 2, 3))
+    // Replaying sb0 with different content replaces ONLY sb0's files.
+    wh.appendUnit("tbl", Seq(9).toDF("v"), dt, "sb0")
+    assert(vals() == Seq(3, 9))
+  }
+}
