@@ -40,13 +40,26 @@ object Extras extends OpModule {
   })
 
   /** Generated minute-of-day spine (1440 rows, period buckets as in
-    * dimHorario) joined on a formatted HH:mm string. */
+    * dimHorario) joined on the minute-of-day INT — not a formatted
+    * "HH:mm" string: the int key skips a per-row date_format string
+    * build and hashes/compares as a primitive inside codegen, which at
+    * 100 TB of events is the difference between a long-key and an
+    * int-key shuffle-free broadcast probe. */
+  private val minuteSpineRows: Seq[(Int, String)] = (0 until 1440).map { m =>
+    val periodo = m / 60 match {
+      case h if h <= 5 => "madrugada"
+      case h if h <= 11 => "manhã"
+      case h if h <= 17 => "tarde"
+      case _ => "noite"
+    }
+    (m, periodo)
+  }
+
   val q20TimeSpine: Op = Op(
     "q20_time_spine_join",
     Some("""
       WITH spine AS (
-        SELECT m, m // 60 AS hora,
-               printf('%02d:%02d', m // 60, m % 60) AS mm_str,
+        SELECT m AS mod,
                CASE WHEN m // 60 BETWEEN 0 AND 5 THEN 'madrugada'
                     WHEN m // 60 BETWEEN 6 AND 11 THEN 'manhã'
                     WHEN m // 60 BETWEEN 12 AND 17 THEN 'tarde'
@@ -56,21 +69,28 @@ object Extras extends OpModule {
       SELECT periodo,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      FROM (SELECT strftime(CAST(ts AS TIMESTAMP), '%H:%M') AS mm_str, value FROM events) e
-      JOIN spine USING (mm_str)
+      FROM (SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 60
+                        + EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) AS INT) AS mod,
+                   value FROM events) e
+      JOIN spine USING (mod)
       GROUP BY periodo
       ORDER BY periodo
     """))((spark, dir) => {
-    val spine = spark.range(0, 1440)
-      .select(
-        format_string("%02d:%02d", (col("id") / 60).cast("int"), (col("id") % 60).cast("int")).as("mm_str"),
-        when((col("id") / 60).cast("int").between(0, 5), "madrugada")
-          .when((col("id") / 60).cast("int").between(6, 11), "manhã")
-          .when((col("id") / 60).cast("int").between(12, 17), "tarde")
-          .otherwise("noite").as("periodo"))
+    import spark.implicits._
+    // Driver-built LocalRelation, not spark.range: the spine is 1440
+    // rows BY DEFINITION (minutes in a day), so materializing it on the
+    // driver lets the broadcast build skip a whole Spark job per
+    // execution — the generated-spine-as-job shape only pays off when
+    // the spine itself is data-sized.
+    val spine = minuteSpineRows.toDF("mod", "periodo")
     Tables.events(spark, dir)
-      .select(date_format(col("ts"), "HH:mm").as("mm_str"), col("value"))
-      .join(broadcast(spine), Seq("mm_str"))
+      // Pure long arithmetic on the epoch value (session tz is UTC, so
+      // minute-of-day IS (micros / 60e6) mod 1440): hour()/minute() go
+      // through a per-row ZoneId conversion that both JITs slowly and
+      // codegens wider — on a 100 TB events scan the epoch-div form is
+      // the one you want in the hot loop.
+      .select(expr("CAST(unix_micros(ts) div 60000000 % 1440 AS INT)").as("mod"), col("value"))
+      .join(broadcast(spine), Seq("mod"))
       .groupBy("periodo")
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("periodo")
