@@ -26,9 +26,20 @@ import org.apache.spark.sql.SparkSession
   *     query's garbage doesn't become the next query's GC pause.
   *   - queries whose sweep median exceeds max(2x their own cold time,
   *     cold+0.25s) are automatically re-measured at the END of the sweep
-  *     (quiet JVM, fresh settle) and the better median wins — rounds 6/7
-  *     showed shared-JVM sweeps inflating sub-second medians 3-4x while
-  *     isolated re-runs of the same commit reproduced the prior numbers.
+  *     (quiet JVM, fresh settle) and the ISOLATED median wins — it is
+  *     the controlled condition; taking min(sweep, isolated) would be
+  *     one-sided selection that biases the gate toward the luckier run.
+  *     Rounds 6/7 showed shared-JVM sweeps inflating sub-second medians
+  *     3-4x while isolated re-runs of the same commit reproduced the
+  *     prior numbers.
+  *   - cross-ROUND drift is graded inside the bench itself: the previous
+  *     round's BENCH_DETAIL.json (if present) is read before being
+  *     overwritten, and any query whose new warm median exceeds 1.5x its
+  *     prior value is listed under `drift` in the new detail file. The
+  *     warm-vs-own-cold suspect rule above only catches intra-sweep
+  *     noise; round 8's q20 drifted 2.8x across rounds with its code
+  *     untouched and sailed through ungraded — this makes that review
+  *     mechanical.
   *   - the stdout line is CONSTANT-SIZE (no per-query values): rounds 6/7
   *     both lost their gate number because the per-query line outgrew the
   *     harness's ~2 KB output-capture tail and the parser saw a torn JSON
@@ -74,8 +85,9 @@ object Bench {
       (name, median((1 to runs).map(_ => once(fn))), cold)
     }
     // Second pass: re-measure suspiciously slow medians on the now-quiet
-    // JVM; keep the better number (contention can only inflate, so min is
-    // the honest estimate of the query's actual cost).
+    // JVM; the isolated number wins (it is the controlled condition —
+    // min(sweep, isolated) would let deflating noise pick the luckier
+    // run rather than the representative one).
     val results = sweep.map { case (name, warm, cold) =>
       val suspect = cold > 0 && warm > math.max(2 * cold, cold + 0.25)
       if (!suspect) (name, warm, cold, -1.0)
@@ -87,10 +99,25 @@ object Bench {
         // A failed re-measure (error sentinel -1.0) must not replace a
         // valid sweep median — keep the worse-but-real number.
         if (iso < 0) (name, warm, cold, -1.0)
-        else (name, math.min(warm, iso), cold, iso)
+        else (name, iso, cold, iso)
       }
     }
     val total = results.map(_._2).sum
+    // Cross-round drift: prior warm medians from the detail file this run
+    // is about to overwrite. Parsed with a regex — the format is our own
+    // constant output, and the bench must not grow dependencies.
+    val priorWarm: Map[String, Double] =
+      try {
+        val prior = new String(
+          Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
+        """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
+          .findAllMatchIn(prior).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val drift = results.collect {
+      case (name, warm, _, _)
+          if priorWarm.get(name).exists(p => p > 0 && warm > 1.5 * p) =>
+        s"""{"query":"$name","warm":$warm,"prior":${priorWarm(name)}}"""
+    }
     val detail = results
       .map { case (k, w, c, i) =>
         val iso = if (i >= 0) s""","isolated":$i""" else ""
@@ -98,7 +125,8 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total_warm","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$detail}"""
+      s"""{"metric":"total_warm","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir",""" +
+        s""""drift":${drift.mkString("[", ",", "]")},"queries":$detail}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // Constant-size gate line: never outgrows the capture window.

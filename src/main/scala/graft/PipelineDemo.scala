@@ -44,19 +44,28 @@ object PipelineDemo {
     val indexRoot = s"$work/neardup_index"
     val b1 = NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 0), indexRoot)
     val b2 = NearDupIndex.addDocuments(spark, docs.filter(col("doc_id") % 2 === 1), indexRoot)
+    val embPairs = Curation.persistEmbeddingPairs(spark, sfDir, s"$work/emb_pairs")
     println(s"\n== 1. near-dup index: batch1 +$b1 pairs, batch2 +$b2 pairs " +
-      s"(replay adds ${NearDupIndex.addDocuments(spark, docs, indexRoot)}) ==")
+      s"(replay adds ${NearDupIndex.addDocuments(spark, docs, indexRoot)}); " +
+      s"$embPairs embedding pairs persisted ==")
+
+    // Every pair-consuming stage below is served from the two persisted
+    // pair tables the index stage just built — at corpus scale the pairs
+    // are the expensive nightly artifact, and no later stage re-derives
+    // them (CurationSpec pins each output equal to the inline operator).
+    val curation = Curation.fromPersisted(spark, sfDir,
+      s"$indexRoot/pairs", Some(s"$work/emb_pairs"))
 
     println("\n== 2. curation census (quality -> exact dedup -> near-dup drop -> split) ==")
-    Curation.curateAgainstPairs(spark, sfDir, s"$indexRoot/pairs").show(20, truncate = false)
+    curation.census.show(20, truncate = false)
 
     println("== 3. funnel attrition per stage (c2), split leakage (c3) and its remedy (c4) ==")
-    SparkEntry.queries("c2_curation_funnel")(spark, sfDir).show(8, truncate = false)
-    SparkEntry.queries("c3_split_leakage")(spark, sfDir).show(5, truncate = false)
-    SparkEntry.queries("c4_group_split")(spark, sfDir).show(5, truncate = false)
+    curation.funnel.show(8, truncate = false)
+    curation.leakage.show(5, truncate = false)
+    curation.groupSplit.show(5, truncate = false)
 
     println("== 4. canonical docs per near-dup cluster (d9; first 10) ==")
-    SparkEntry.queries("d9_canonical_docs")(spark, sfDir).show(10, truncate = false)
+    curation.canonicalDocs.show(10, truncate = false)
 
     println("== 5. PII census per language (t36) ==")
     SparkEntry.queries("t36_pii_scrub")(spark, sfDir).show(10, truncate = false)
@@ -69,15 +78,19 @@ object PipelineDemo {
 
     println("== 8. ANN recall census (s13) + embedding canonical selection (d12; first 10) ==")
     SparkEntry.queries("s13_ann_recall")(spark, sfDir).show(20, truncate = false)
-    SparkEntry.queries("d12_canonical_vectors")(spark, sfDir).show(10, truncate = false)
+    curation.canonicalVectors.show(10, truncate = false)
 
     // The pipeline's terminal artifact: the SAME survivor set the step-2
     // census counted (one shared definition in Curation — quality gate ->
     // exact dedup -> near-dup drop), PII-scrubbed and exported as
-    // deterministic JSONL shards a training job consumes.
-    val survivors = Curation
-      .survivorsAgainstPairs(spark, sfDir, s"$indexRoot/pairs")
+    // deterministic JSONL shards a training job consumes. n_tokens is
+    // recomputed AFTER the scrub: redactions like <EMAIL> change
+    // tokenization, and the exported metadata must describe the text
+    // actually shipped, not its pre-scrub ancestor.
+    val survivors = curation.survivors
       .withColumn("text", graft.operators.TextOps.scrubPii(col("text")))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(graft.functions.TextFns.tokens(col("text"))))
     val exported = graft.sources.TrainingSink.writeJsonlShards(
       survivors, s"$work/export", "doc_id", 8)
     println(s"== 9. exported $exported curated, scrubbed docs as 8 JSONL shards under $work/export ==")

@@ -176,7 +176,15 @@ object Curation extends OpModule {
                            - n_docs, 0) AS BIGINT) AS n_dropped
       FROM census
       ORDER BY lang, stage_idx
-    """))((spark, dir) => {
+    """))((spark, dir) =>
+    funnel(spark, dir,
+      Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
+
+  /** c2's per-stage attrition census with the near-dup drop set
+    * injected — shared by the inline oracle query and
+    * [[fromPersisted]]. */
+  private def funnel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("text"),
@@ -186,9 +194,7 @@ object Curation extends OpModule {
     val keepers = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exact = base.join(keepers, Seq("doc_id"), "semi").select("doc_id", "lang")
-    val nearDrop = exact.join(
-      Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "anti")
+    val nearDrop = exact.join(nearDupDocs, Seq("doc_id"), "anti")
     def tag(df: org.apache.spark.sql.DataFrame, idx: Int, name: String) =
       df.select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("lang"))
     val census = tag(raw, 1, "raw")
@@ -203,7 +209,7 @@ object Curation extends OpModule {
           Window.partitionBy("lang").orderBy("stage_idx")) - col("n_docs"),
         lit(0L)))
       .orderBy("lang", "stage_idx")
-  })
+  }
 
   /** Split-leakage audit: MinHash-LSH near-dup pairs that STRADDLE the
     * t27 train/valid/test boundary — each such pair is evaluation data
@@ -234,8 +240,13 @@ object Curation extends OpModule {
       FROM lab WHERE sa <> sb
       GROUP BY 1, 2
       ORDER BY split_a, split_b
-    """))((spark, dir) => {
-    Dedup.d2Pairs(spark, dir)
+    """))((spark, dir) => leakage(Dedup.d2Pairs(spark, dir)))
+
+  /** c3's straddle census over an arbitrary pair SET — needs no corpus
+    * join (split labels are doc_id arithmetic), so the persisted path
+    * costs one pass over the stored table. */
+  private def leakage(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs
       .select(col("doc_a"), col("doc_b"),
         HashSplit.splitOf(col("doc_a")).as("sa"), HashSplit.splitOf(col("doc_b")).as("sb"))
       .filter(col("sa") =!= col("sb"))
@@ -243,7 +254,6 @@ object Curation extends OpModule {
         greatest(col("sa"), col("sb")).as("split_b"))
       .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("min_doc_a"))
       .orderBy("split_a", "split_b")
-  })
 
   /** Group-aware splitting — the remedy c3's leakage audit motivates:
     * every member of a near-dup cluster (d6's connected components)
@@ -288,19 +298,22 @@ object Curation extends OpModule {
       GROUP BY split
       ORDER BY split
     """))((spark, dir) =>
-    groupSplitLabels(spark, dir)
+    groupSplitCensus(groupSplitLabels(spark, dir, Dedup.d2Pairs(spark, dir))))
+
+  private def groupSplitCensus(
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    labels
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("split") =!= col("own_split"), 1L).otherwise(0L)).as("n_reassigned"))
-      .orderBy("split"))
+      .orderBy("split")
 
   /** Per-document group-aware split labels (split = the cluster-min
     * doc's hash split, own_split = the doc's naive hash split) — the
     * assignment c4 censuses and the spec audits for zero leakage. */
   private[operators] def groupSplitLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val comp = Dedup.connectedComponents(
-      Dedup.d2Pairs(spark, dir).select("doc_a", "doc_b"))
+      dir: String, pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val comp = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(broadcast(comp), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -310,7 +323,78 @@ object Curation extends OpModule {
 
   /** Test-only accessor for the per-doc label assignment. */
   def c4GroupSplitLabelsForTest(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = groupSplitLabels(spark, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    groupSplitLabels(spark, dir, Dedup.d2Pairs(spark, dir))
+
+  /** Persist d8's embedding near-dup pair table, stamped with the
+    * EMBEDDING family id ([[Dedup.embFamilyId]]) — the vector twin of
+    * [[persistNearDupPairs]], consumed by [[fromPersisted]] for d12's
+    * canonical-vector selection. */
+  def persistEmbeddingPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tablePath: String): Long = {
+    Dedup.d8Pairs(spark, dir)
+      .write.mode("overwrite").parquet(tablePath)
+    NearDupIndex.writeFamilyStamp(spark, tablePath, Dedup.embFamilyId)
+    spark.read.parquet(tablePath).count()
+  }
+
+  /** Every pair-consuming curation artifact served from PERSISTED pair
+    * tables — the production shape at 100 TB, where the pair tables are
+    * the expensive nightly artifacts maintained incrementally by
+    * [[NearDupIndex]] (text) and rebuilt by [[persistEmbeddingPairs]]
+    * (vectors), and each downstream decision is a cheap join against
+    * storage instead of a banded self-join re-derivation per run.
+    * Family stamps are checked on EVERY accessor (the underlying tables
+    * can be rebuilt between calls); outputs are pinned byte-identical to
+    * the inline operators by CurationSpec. `textPairs` is a stamped d2
+    * pair table (e.g. `<indexRoot>/pairs`); `embPairs` a stamped d8
+    * table, or None when only the text side exists. d10 is NOT here by
+    * design: it consumes gram statistics, not the pair table. */
+  final class FromPersisted private[Curation] (
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      textPairsPath: String, embPairsPath: Option[String]) {
+
+    private def textPairs: org.apache.spark.sql.DataFrame = {
+      NearDupIndex.requireFamily(spark, textPairsPath, "near-dup pair table")
+      NearDupIndex.pairsTableRaw(spark, textPairsPath)
+    }
+
+    private def embPairs: org.apache.spark.sql.DataFrame = {
+      val p = embPairsPath.getOrElse(throw new IllegalStateException(
+        "this FromPersisted was built without an embedding pair table — " +
+          "persist one with Curation.persistEmbeddingPairs and pass its path"))
+      NearDupIndex.requireFamily(spark, p, "embedding pair table", Dedup.embFamilyId)
+      spark.read.parquet(p)
+    }
+
+    private def dropSet: org.apache.spark.sql.DataFrame =
+      textPairs.select(col("doc_b").as("doc_id")).distinct()
+
+    /** c1: final curation census. */
+    def census: org.apache.spark.sql.DataFrame = curate(spark, dir, dropSet)
+    /** The row-level curated corpus the census counts and exports ship. */
+    def survivors: org.apache.spark.sql.DataFrame =
+      Curation.survivors(spark, dir, dropSet)
+    /** c2: per-stage attrition funnel. */
+    def funnel: org.apache.spark.sql.DataFrame = Curation.funnel(spark, dir, dropSet)
+    /** c3: split-leakage audit over the stored pair set. */
+    def leakage: org.apache.spark.sql.DataFrame = Curation.leakage(textPairs)
+    /** c4: group-aware split census. */
+    def groupSplit: org.apache.spark.sql.DataFrame =
+      groupSplitCensus(groupSplitLabels(spark, dir, textPairs))
+    /** d9: canonical-doc selection over the stored text pairs. */
+    def canonicalDocs: org.apache.spark.sql.DataFrame =
+      Dedup.canonicalDocsFrom(spark, dir, textPairs)
+    /** d12: canonical-vector selection over the stored embedding pairs. */
+    def canonicalVectors: org.apache.spark.sql.DataFrame =
+      Dedup.canonicalVectorsFrom(spark, dir, embPairs)
+  }
+
+  /** Index-backed curation over stored pair tables — see
+    * [[FromPersisted]]. */
+  def fromPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      textPairsPath: String, embPairsPath: Option[String] = None): FromPersisted =
+    new FromPersisted(spark, dir, textPairsPath, embPairsPath)
 
   override def ops: Seq[Op] =
     Seq(c1Curation, c2CurationFunnel, c3SplitLeakage, c4GroupSplit)

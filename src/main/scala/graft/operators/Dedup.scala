@@ -77,6 +77,15 @@ object Dedup extends OpModule {
     s"minhash/2;shingle=word3;p=$MinhashP;mask=$MinhashMask;nh=$NH;bands=$BANDS;" +
       s"ab=${MinhashAB.map { case (a, b) => s"$a*h+$b" }.mkString(",")};t=$JACCARD_T"
 
+  /** Identity of the EMBEDDING near-dup pair family (d8's multi-probe
+    * cosine pairs) — every constant that shapes a pair: the quantization
+    * scale, the sign-projection seed, bit width, probe radius, and the
+    * cosine threshold. Persisted embedding pair tables stamp this id so
+    * a seed/width change can't be consumed silently (same contract as
+    * [[hashFamilyId]] for the text side). */
+  private[graft] val embFamilyId: String =
+    "emblsh/1;quant=1e6;sign=popcount(b*1000003+i);bits=8;probe=hamming1;cos_t=0.3"
+
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
     * (used by d2's oracle and d6's clustering oracle). MinHash values
     * are int64: ONE md5 per shingle (first 15 hex chars parsed as a
@@ -726,9 +735,17 @@ object Dedup extends OpModule {
              CAST(csize - 1 AS BIGINT) AS n_dropped
       FROM r WHERE rnk = 1
       ORDER BY cluster_id
-    """))((spark, dir) => {
+    """))((spark, dir) =>
+    canonicalDocsFrom(spark, dir, d2Pairs(spark, dir)))
+
+  /** d9's canonical-doc selection parameterized by the near-dup pair
+    * SET — the seam that lets [[Curation.fromPersisted]] serve the same
+    * decision from a stored pair table instead of re-deriving the banded
+    * self-join per run. */
+  private[operators] def canonicalDocsFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponents(d2Pairs(spark, dir).select("doc_a", "doc_b"))
+    val comp = connectedComponents(pairs.select("doc_a", "doc_b"))
     val lens = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val j = comp.join(lens, Seq("doc_id"))
     val byCluster = Window.partitionBy("cluster_id")
@@ -741,7 +758,7 @@ object Dedup extends OpModule {
         col("n_chars").as("canonical_chars"), col("csize").as("cluster_size"),
         (col("csize") - 1).as("n_dropped"))
       .orderBy("cluster_id")
-  })
+  }
 
   /** Embedding-side canonical selection — d9's keep-this-copy decision
     * over d11's vector clusters, completing the vector half of the dedup
@@ -782,10 +799,16 @@ object Dedup extends OpModule {
              CAST(csize - 1 AS BIGINT) AS n_dropped
       FROM r WHERE rnk = 1
       ORDER BY cluster_id
-    """))((spark, dir) => {
+    """))((spark, dir) =>
+    canonicalVectorsFrom(spark, dir, d8Pairs(spark, dir)))
+
+  /** d12's canonical-vector selection parameterized by the embedding
+    * pair SET — the vector-side twin of [[canonicalDocsFrom]]. */
+  private[operators] def canonicalVectorsFrom(spark: SparkSession, dir: String,
+      epairs: DataFrame): DataFrame = {
     import graft.functions.VectorFns
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponents(d8Pairs(spark, dir).select("vec_a", "vec_b"))
+    val comp = connectedComponents(epairs.select("vec_a", "vec_b"))
       .withColumnRenamed("doc_id", "vec_id")
     val norms = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -801,7 +824,7 @@ object Dedup extends OpModule {
         col("nrm").as("canonical_nrm"), col("csize").as("cluster_size"),
         (col("csize") - 1).as("n_dropped"))
       .orderBy("cluster_id")
-  })
+  }
 
   private val DupGramN = 8
 

@@ -76,14 +76,17 @@ object NearDupIndex {
   }
 
   /** Fails fast when `dir` holds data stamped with a different (or no)
-    * hash family than the running code's [[Dedup.hashFamilyId]]. */
-  private[operators] def requireFamily(spark: SparkSession, dir: String, what: String): Unit = {
+    * hash family than `expected` (default: the text-side
+    * [[Dedup.hashFamilyId]]; embedding pair tables pass
+    * [[Dedup.embFamilyId]]). */
+  private[operators] def requireFamily(spark: SparkSession, dir: String, what: String,
+      expected: String = Dedup.hashFamilyId): Unit = {
     val stamp = readFamilyStamp(spark, dir)
-    if (!stamp.contains(Dedup.hashFamilyId))
+    if (!stamp.contains(expected))
       throw new IllegalStateException(
         s"$what at $dir was built with hash family " +
           s"${stamp.getOrElse("<unstamped — predates family stamping>")} but the " +
-          s"running code uses ${Dedup.hashFamilyId}; band keys are incompatible " +
+          s"running code uses $expected; keys are incompatible " +
           "(appends would silently lose all new-vs-old pairs) — rebuild it.")
   }
 

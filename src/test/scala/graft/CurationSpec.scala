@@ -86,6 +86,48 @@ class CurationSpec extends SparkSpecBase {
     labels.unpersist()
   }
 
+  test("fromPersisted serves every pair-consuming artifact equal to its inline operator") {
+    val work = Files.createTempDirectory("graft-from-persisted")
+    val textPairs = work.resolve("text_pairs").toString
+    val embPairs = work.resolve("emb_pairs").toString
+    Curation.persistNearDupPairs(spark, sf(), textPairs)
+    Curation.persistEmbeddingPairs(spark, sf(), embPairs)
+    val fp = Curation.fromPersisted(spark, sf(), textPairs, Some(embPairs))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // Each persisted-path artifact must be byte-identical to the inline
+    // recomputation the oracle gate pins.
+    assert(rows(fp.census) == rows(Curation.c1Curation.run(spark, sf())))
+    assert(rows(fp.funnel) == rows(Curation.c2CurationFunnel.run(spark, sf())))
+    assert(rows(fp.leakage) == rows(Curation.c3SplitLeakage.run(spark, sf())))
+    assert(rows(fp.groupSplit) == rows(Curation.c4GroupSplit.run(spark, sf())))
+    assert(rows(fp.canonicalDocs)
+      == rows(graft.operators.Dedup.d9CanonicalDocs.run(spark, sf())))
+    assert(rows(fp.canonicalVectors)
+      == rows(graft.operators.Dedup.d12CanonicalVectors.run(spark, sf())))
+    assert(rows(fp.canonicalDocs).nonEmpty && rows(fp.canonicalVectors).nonEmpty)
+  }
+
+  test("fromPersisted refuses pair tables stamped with the wrong hash family") {
+    val work = Files.createTempDirectory("graft-family-check")
+    val textPairs = work.resolve("text_pairs").toString
+    val embPairs = work.resolve("emb_pairs").toString
+    Curation.persistNearDupPairs(spark, sf(), textPairs)
+    Curation.persistEmbeddingPairs(spark, sf(), embPairs)
+    // Forge a family drift: an embedding table restamped under the TEXT
+    // family (e.g. a path mixup) and a text table under a stale family.
+    graft.operators.NearDupIndex.writeFamilyStamp(spark, embPairs, "emblsh/0;stale")
+    graft.operators.NearDupIndex.writeFamilyStamp(spark, textPairs, "minhash/1;stale")
+    val fp = Curation.fromPersisted(spark, sf(), textPairs, Some(embPairs))
+    intercept[IllegalStateException] { fp.census.collect() }
+    intercept[IllegalStateException] { fp.canonicalVectors.collect() }
+    // And the no-embedding-table constructor fails with a rebuild hint,
+    // not an NPE/path error.
+    val textOnly = Curation.fromPersisted(spark, sf(), textPairs)
+    val e = intercept[IllegalStateException] { textOnly.canonicalVectors }
+    assert(e.getMessage.contains("persistEmbeddingPairs"))
+  }
+
   test("c3 leakage counts reconcile with a direct recount of straddling pairs") {
     // The shipped split definition, not a local copy: the audit must
     // audit the split t27 actually ships.
