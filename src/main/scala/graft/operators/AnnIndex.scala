@@ -46,8 +46,15 @@ object AnnIndex extends OpModule {
 
   /** Bump when the layout or training logic changes: a probe against a
     * root built by another version refuses loudly instead of silently
-    * serving stale geometry. v2: added the `ivf_seeded` family (s3). */
-  private val BuildVersion = 2
+    * serving stale geometry. v2: added the `ivf_seeded` family (s3).
+    * v3: the commit marker records the cell geometry (`nc`/`kc`) the
+    * root was built with. */
+  private val BuildVersion = 3
+
+  /** Default rows-per-cell ceiling for the skew salting in
+    * [[writeCells]] — sized so one writer task's slice of a hot cell
+    * stays a few hundred MB of parquet, far below executor memory. */
+  val DefaultMaxCellRows: Long = 4000000L
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,18 +128,68 @@ object AnnIndex extends OpModule {
 
   // ---- build ----------------------------------------------------------
 
+  /** Cell-partitioned codes write with skew salting: a cell whose row
+    * count exceeds `maxCellRows` is spread across
+    * ceil(rows / maxCellRows) writer tasks (salt = hash(vec_id) mod
+    * fan-out, used ONLY to drive the repartition — it never reaches
+    * storage). Without this, a 32-cell IVF over a 100 TB corpus funnels
+    * ~3 TB per inverted list through whichever task owns the cell —
+    * the write hot-spots and the cell lands as one oversized file
+    * chain. The per-cell count pass is bounded: the aggregate output is
+    * one row per CELL (the geometry, ≤ a few hundred), not per vector.
+    * Below the ceiling the write is byte-identical to the unsalted
+    * form, so default-geometry results never change. */
+  private def writeCells(df: DataFrame, p: String, maxCellRows: Long,
+      mode: String = "overwrite"): Unit = {
+    val counts = df.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fanOut = counts.collect { case (cid, n) if n > maxCellRows =>
+      cid -> ((n + maxCellRows - 1) / maxCellRows).toInt
+    }
+    val toWrite =
+      if (fanOut.isEmpty) df
+      else {
+        val fanExpr = fanOut.foldLeft(lit(1)) { case (acc, (cid, s)) =>
+          when(col("cid") === cid, lit(s)).otherwise(acc)
+        }
+        // Explicit partition count (every cell's fan-out summed): an
+        // expression-only repartition is fair game for AQE coalescing,
+        // which would quietly re-merge the salted slices.
+        val slices = counts.keysIterator
+          .map(cid => fanOut.getOrElse(cid, 1)).sum.max(1)
+        df.withColumn("_salt", pmod(hash(col("vec_id")), fanExpr))
+          .repartition(slices, col("cid"), col("_salt"))
+          .drop("_salt")
+      }
+    toWrite.write.partitionBy("cid").mode(mode).parquet(p)
+  }
+
   /** Train all three sub-indexes on the corpus at `dir` and write them
     * under `root` (replacing whatever was there). One cached pass
-    * provides every training aggregate and every encode. */
-  def build(spark: SparkSession, dir: String, root: String): Unit =
+    * provides every training aggregate and every encode.
+    *
+    * `nc` (seeded-IVF cells) and `kc` (Lloyd-trained cells) are BUILD
+    * parameters recorded in the `_built` marker, not compile-time
+    * constants: the defaults are sized for the sf0.1 testdata, and at
+    * 100 TB a 16-cell IVF means terabytes per inverted list — a
+    * production build passes cell counts sized to the corpus
+    * (cells ≈ rows / target_cell_size) and probes keep pruning to the
+    * query cells, so probe cost tracks CELL size, not corpus size.
+    * Probes take their geometry from the persisted centroid tables,
+    * whose cardinality the marker pins ([[buildParams]] reads it
+    * back). */
+  def build(spark: SparkSession, dir: String, root: String,
+      nc: Int = Similarity.NC, kc: Int = Similarity.KC,
+      maxCellRows: Long = DefaultMaxCellRows): Unit =
     // Single-writer: concurrent build/append against the same root would
     // interleave family writes and commit a marker over mixed geometry.
     graft.WriterLease.withLease(spark, root,
       graft.WriterLease.processOwner("ann-build")) {
-      buildLeased(spark, dir, root)
+      buildLeased(spark, dir, root, nc, kc, maxCellRows)
     }
 
-  private def buildLeased(spark: SparkSession, dir: String, root: String): Unit = {
+  private def buildLeased(spark: SparkSession, dir: String, root: String,
+      nc: Int, kc: Int, maxCellRows: Long): Unit = {
     val f = fs(spark, root)
     // Clear the index CONTENTS, not the root: the root also holds the
     // writer lease just acquired.
@@ -142,18 +199,18 @@ object AnnIndex extends OpModule {
     try {
       // IVF (s5's geometry): Lloyd-trained centroids, full vectors
       // partitioned by cell — the inverted-list layout.
-      val cent = Similarity.trainIvf(spark, dir, vecs)
+      val cent = Similarity.trainIvf(spark, dir, vecs, kc)
       writeCentroids(spark, cent, s"$root/ivf/centroids")
-      vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
-        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivf/codes")
+      writeCells(vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent)),
+        s"$root/ivf/codes", maxCellRows)
       // Seeded IVF (s3's geometry): same inverted-list layout under the
-      // deterministic first-NC codebook — probing replaces the inline
+      // deterministic first-nc codebook — probing replaces the inline
       // path's per-query full-corpus assignment scan.
-      val seeded = Similarity.collectHead(spark, dir, Similarity.NC.toLong)
+      val seeded = Similarity.collectHead(spark, dir, nc.toLong)
         .toSeq.sortBy(_._1)
       writeCentroids(spark, seeded, s"$root/ivf_seeded/centroids")
-      vecs.withColumn("cid", Similarity.nearestId(col("qv"), seeded))
-        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivf_seeded/codes")
+      writeCells(vecs.withColumn("cid", Similarity.nearestId(col("qv"), seeded)),
+        s"$root/ivf_seeded/codes", maxCellRows)
       // PQ (s7's geometry): refined codebook + 4-long codes per vector.
       val headPq = Similarity.collectHead(spark, dir,
         math.max(Similarity.NQ, Similarity.PQ_K).toLong)
@@ -170,20 +227,44 @@ object AnnIndex extends OpModule {
       val rcb = Similarity.ivfpqResidualCb(headR, coarse)
       writeCentroids(spark, coarse, s"$root/ivfpq/coarse")
       writeCodebook(spark, rcb, s"$root/ivfpq/codebook")
-      Similarity.ivfpqEncode(vecs, coarse, rcb)
+      writeCells(Similarity.ivfpqEncode(vecs, coarse, rcb)
         .select(col("vec_id") +: col("cid") +:
-          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
-        .write.partitionBy("cid").mode("overwrite").parquet(s"$root/ivfpq/codes")
+          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*),
+        s"$root/ivfpq/codes", maxCellRows)
       // Commit marker LAST: a root without it is a failed build and will
-      // be rebuilt, never probed. The marker pins the build version AND
-      // a file-metadata fingerprint of the corpus, so a root left behind
-      // by an older build or a regenerated corpus (even at identical row
-      // count) is rebuilt, not silently served.
+      // be rebuilt, never probed. The marker pins the build version, the
+      // CELL GEOMETRY (nc/kc — so a probe/append can read back what the
+      // root was built with, and ensureBuilt rebuilds rather than serve
+      // a differently-celled index), and a file-metadata fingerprint of
+      // the corpus, so a root left behind by an older build or a
+      // regenerated corpus (even at identical row count) is rebuilt, not
+      // silently served.
       val out = f.create(new Path(s"$root/_built"), true)
-      out.write(s"v$BuildVersion f=${corpusFingerprint(spark, dir)}\n".getBytes("UTF-8"))
+      out.write(markerContent(nc, kc, corpusFingerprint(spark, dir)).getBytes("UTF-8"))
       out.close()
-      validated.add(s"$dir|$root")
+      validated.add(s"$dir|$root|$nc|$kc")
     } finally vecs.unpersist()
+  }
+
+  private def markerContent(nc: Int, kc: Int, fingerprint: String): String =
+    s"v$BuildVersion nc=$nc kc=$kc f=$fingerprint\n"
+
+  /** The cell geometry a root was built with, read back from its commit
+    * marker: (nc seeded cells, kc trained cells). None when the root has
+    * no valid current-version marker. The persisted centroid tables
+    * carry the same cardinalities — the marker is the cheap,
+    * no-Spark-job authority (and the spec pins the two against each
+    * other). */
+  def buildParams(spark: SparkSession, root: String): Option[(Int, Int)] = {
+    val marker = s"$root/_built"
+    if (!exists(spark, marker)) None
+    else {
+      val in = fs(spark, marker).open(new Path(marker))
+      val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      """^v(\d+) nc=(\d+) kc=(\d+) f=.*$""".r.findFirstMatchIn(content)
+        .filter(_.group(1).toInt == BuildVersion)
+        .map(m => (m.group(2).toInt, m.group(3).toInt))
+    }
   }
 
   /** Roots this JVM has already built or validated — revalidating the
@@ -197,19 +278,20 @@ object AnnIndex extends OpModule {
   private[operators] def resetValidationCacheForTest(): Unit = validated.clear()
 
   /** Build iff the commit marker is absent or doesn't match this build
-    * version + the corpus's current file fingerprint. Metadata-only:
-    * no Spark job on the validation path. */
-  def ensureBuilt(spark: SparkSession, dir: String, root: String): Unit = {
-    if (validated.contains(s"$dir|$root")) return
+    * version + the requested cell geometry + the corpus's current file
+    * fingerprint. Metadata-only: no Spark job on the validation path. */
+  def ensureBuilt(spark: SparkSession, dir: String, root: String,
+      nc: Int = Similarity.NC, kc: Int = Similarity.KC): Unit = {
+    if (validated.contains(s"$dir|$root|$nc|$kc")) return
     val marker = s"$root/_built"
     val ok = exists(spark, marker) && {
       val in = fs(spark, marker).open(new Path(marker))
-      val content = scala.io.Source.fromInputStream(in).mkString.trim
+      val content = scala.io.Source.fromInputStream(in).mkString
       in.close()
-      content == s"v$BuildVersion f=${corpusFingerprint(spark, dir)}"
+      content == markerContent(nc, kc, corpusFingerprint(spark, dir))
     }
-    if (!ok) build(spark, dir, root)
-    validated.add(s"$dir|$root")
+    if (!ok) build(spark, dir, root, nc, kc)
+    validated.add(s"$dir|$root|$nc|$kc")
   }
 
   // ---- append: extend the corpus under frozen codebooks ---------------

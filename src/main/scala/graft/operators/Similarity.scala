@@ -260,7 +260,7 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
-  private[operators] val NC = 16 // IVF cells: first NC vectors act as centroids
+  private[graft] val NC = 16 // IVF cells: first NC vectors act as centroids
 
   /** IVF-style ANN: vectors are assigned to their nearest "centroid"
     * (deterministic stand-in for k-means output: the first NC vectors —
@@ -313,7 +313,7 @@ object Similarity extends OpModule {
     ivfCosineTopK(cells)
   }
 
-  private[operators] val KC = 8       // trained-codebook cells
+  private[graft] val KC = 8       // trained-codebook cells
   private[operators] val KM_ITERS = 2 // fixed Lloyd iterations (determinism + an
                                       // exactly-unrollable DuckDB mirror)
 
@@ -350,12 +350,12 @@ object Similarity extends OpModule {
     * the executors' (and DuckDB's). Used by s5 per-query and by
     * [[AnnIndex.build]] — one trainer, two lifecycles. */
   private[operators] def trainIvf(spark: SparkSession, dir: String,
-      vecs: DataFrame): Seq[(Long, Array[Long])] = {
-    var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, KC).toSeq.sortBy(_._1)
+      vecs: DataFrame, kc: Int = KC): Seq[(Long, Array[Long])] = {
+    var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, kc.toLong).toSeq.sortBy(_._1)
     val dims = cent.head._2.length
     for (_ <- 1 to KM_ITERS) {
       // n rows stay n rows: `dims` element-wise sums per cell instead of
-      // a dims×n posexplode — map-side combines to KC × (dims + 1) longs.
+      // a dims×n posexplode — map-side combines to kc × (dims + 1) longs.
       val aggs = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("n")
       val rows = vecs.withColumn("cid", nearestId(col("qv"), cent))

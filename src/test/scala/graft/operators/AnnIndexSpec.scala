@@ -172,6 +172,47 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!marker.contains("deadbeef"), marker)
   }
 
+  test("cell geometry is a build parameter: nc/kc round-trip through the marker") {
+    val root = Files.createTempDirectory("ann-idx-geom").toString
+    AnnIndex.build(spark, sf(), root, nc = 4, kc = 4)
+    // The marker is the no-Spark-job authority for the root's geometry…
+    assert(AnnIndex.buildParams(spark, root).contains((4, 4)))
+    // …and the persisted centroid tables carry the same cardinalities.
+    assert(spark.read.parquet(s"$root/ivf_seeded/centroids").count() == 4L)
+    assert(spark.read.parquet(s"$root/ivf/centroids").count() == 4L)
+    // ensureBuilt at the DIFFERENT (default) geometry must rebuild, not
+    // serve the 4-cell index; afterwards the marker reports the default.
+    AnnIndex.resetValidationCacheForTest()
+    AnnIndex.ensureBuilt(spark, sf(), root)
+    assert(AnnIndex.buildParams(spark, root)
+      .contains((Similarity.NC, Similarity.KC)))
+    assert(rows(AnnIndex.probeIvfSeeded(spark, root))
+      == rows(Similarity.s3Inline(spark, sf())))
+  }
+
+  test("oversized cells are salted across writer tasks without changing probe answers") {
+    val plain = Files.createTempDirectory("ann-idx-plain").toString
+    val salted = Files.createTempDirectory("ann-idx-salted").toString
+    AnnIndex.build(spark, sf(), plain)
+    // maxCellRows=10 forces every real cell over the ceiling — the
+    // worst-case salting — while default geometry keeps answers pinned
+    // to the inline operators.
+    AnnIndex.build(spark, sf(), salted, maxCellRows = 10L)
+    // Salting only re-files rows: every probe family answers identically.
+    assert(rows(AnnIndex.probeIvf(spark, salted))
+      == rows(AnnIndex.probeIvf(spark, plain)))
+    assert(rows(AnnIndex.probeIvfSeeded(spark, salted))
+      == rows(AnnIndex.probeIvfSeeded(spark, plain)))
+    assert(rows(AnnIndex.probeIvfPq(spark, sf(), salted))
+      == rows(AnnIndex.probeIvfPq(spark, sf(), plain)))
+    // And the hot cell really did fan out into multiple data files.
+    val biggestCell = new java.io.File(s"$salted/ivf_seeded/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .maxBy(d => d.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(biggestCell.listFiles().count(f => f.getName.endsWith(".parquet")) > 1,
+      s"expected a salted fan-out under ${biggestCell}")
+  }
+
   test("streaming appends converge to the batch-append index") {
     val all = Tables.embeddings(spark, sf())
     val split = all.count() / 2
