@@ -110,7 +110,13 @@ object Bench {
       try {
         val prior = new String(
           Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
-        """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
+        // Compare like with like: a leftover dev-run detail file (other
+        // sf dir, fewer reps) has medians on a different scale, and
+        // grading against it would flag every query as drifted — burying
+        // the one real regression the list exists to surface.
+        val comparable = prior.contains(s""""runs":$runs,"sf":"$sfDir"""")
+        if (!comparable) Map.empty
+        else """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
           .findAllMatchIn(prior).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val drift = results.collect {

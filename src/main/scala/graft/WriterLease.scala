@@ -67,8 +67,16 @@ final class WriterLease private[graft] (fs: FileSystem, val path: Path,
   def renew(): Unit =
     if (ownsFile()) {
       WriterLease.stamp(fs, path, owner, leaseId, overwrite = true)
-      if (!WriterLease.readStamp(fs, path).exists(_.contains(s"lease=$leaseId")))
-        revoked = true
+      // Self-revoke ONLY on positive evidence of a foreign stamp. A None
+      // read here is ambiguous (most likely a transient IO failure of
+      // this beat's verification read) — treating it as theft would
+      // permanently silence the heartbeat of a healthy holder and
+      // manufacture the very two-writers window the lease prevents; the
+      // next beat re-verifies.
+      WriterLease.readStamp(fs, path) match {
+        case Some(s) if !s.contains(s"lease=$leaseId") => revoked = true
+        case _ => ()
+      }
     }
 
   def release(): Unit = {

@@ -91,27 +91,60 @@ object StreamingIngest {
     ()
   }
 
+  /** Stable token for one checkpoint LIFETIME, stored inside the
+    * checkpoint dir itself. Micro-batch ids are unique only within a
+    * checkpoint, so the fact `dt=` labels built from them must die with
+    * it: without the token, deleting the checkpoint (a routine ops
+    * reset) restarts ids at 0 and the new stream's overwriteDay would
+    * REPLACE the old run's `dt=stream-0` partition with unrelated new
+    * data — silent destruction of ingested facts. Same checkpoint →
+    * same token → a crash replay of batch N rewrites its own partition
+    * and converges; new checkpoint → fresh token → disjoint labels, the
+    * prior run's partitions untouched. */
+  private[olapsus] def runToken(wh: Warehouse, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_run")
+    val fs = p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      // Non-overwriting create: two starters racing the same (illegal —
+      // one checkpoint, one stream) setup at worst throw here, never
+      // tear the token; the read below is the single authority.
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+  }
+
   /** Drain all available SINASC CSVs from `landingDir` into
     * factNascimentos; one fact append per micro-batch. */
-  def sinasc(wh: Warehouse, landingDir: String): StreamingQuery =
+  def sinasc(wh: Warehouse, landingDir: String): StreamingQuery = {
+    val cp = s"${wh.root}/.checkpoints/sinasc"
+    val run = runToken(wh, cp)
     csvStream(wh, landingDir, sinascSchema).writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"${wh.root}/.checkpoints/sinasc")
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) ingestSinascBatch(wh, batch, s"stream-$id")
+        if (!batch.isEmpty) ingestSinascBatch(wh, batch, s"stream-$run-$id")
       }
       .start()
+  }
 
   /** Drain all available SIM CSVs: bridge merge + factObitos append per
     * micro-batch (single-writer, as in the batch path). */
-  def sim(wh: Warehouse, landingDir: String): StreamingQuery =
+  def sim(wh: Warehouse, landingDir: String): StreamingQuery = {
+    val cp = s"${wh.root}/.checkpoints/sim"
+    val run = runToken(wh, cp)
     csvStream(wh, landingDir, simSchema).writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"${wh.root}/.checkpoints/sim")
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) ingestSimBatch(wh, batch, s"stream-$id")
+        if (!batch.isEmpty) ingestSimBatch(wh, batch, s"stream-$run-$id")
       }
       .start()
+  }
 
   /** Has the STREAM backfill itself ever written to day `d`? (Its
     * per-(day, micro-batch) manifest keys are `d#sb<id>` — never a
@@ -150,7 +183,15 @@ object StreamingIngest {
     * stream skips its files rather than double-appending them (late
     * files for such a day are dropped — identical to the batch
     * driver's own day-granular idempotency). Don't run both drivers
-    * concurrently. */
+    * concurrently.
+    *
+    * The checkpoint and the stream's `d#sb<id>` manifest keys are ONE
+    * unit of state: batch ids restart at 0 with a fresh checkpoint, so
+    * deleting the checkpoint without also clearing this dataset's `#sb`
+    * manifest rows makes stale keys collide with the new run's — a new
+    * day-batch that happens to reuse a logged (day, id) pair is skipped
+    * as "already replayed" and its rows are silently dropped. Reset
+    * both or neither. */
   def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
     // UNLEASED per-day bodies: the foreachBatch below holds the dataset
     // lease across the manifest checks AND the appends AND the log rows —

@@ -219,9 +219,51 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     graft.WriterLease.withLease(spark, root,
       graft.WriterLease.processOwner("wh-compact"),
       scope = Warehouse.leaseScope(tableName)) {
+      dropCrashedUnitFiles(tableName, partition)
       Warehouse.compactPath(spark, path(rel), targetFileBytes)
     }
   }
+
+  /** [[appendUnit]]'s replay idempotency is delete-by-unit-prefix, so a
+    * crashed (written-but-unlogged) unit's files must NOT be folded into
+    * compaction's anonymous `part-*` output: the unit's replay would
+    * find nothing to delete and re-append rows the compacted files
+    * already carry — permanent duplication. Under the table lease (the
+    * crashed writer is gone or its lease would have blocked us), any
+    * unit-prefixed file whose `day#unit` manifest key is absent IS a
+    * crashed attempt, and deleting it re-creates exactly the state the
+    * unit's own replay would: the rows return when the checkpointed
+    * micro-batch re-runs. Logged units' files fold in safely — their
+    * replay is skipped at the manifest check, never at the prefix
+    * delete. */
+  private def dropCrashedUnitFiles(tableName: String,
+      partition: Option[String]): Unit =
+    Warehouse.unitDataset(tableName).foreach { dataset =>
+      import org.apache.hadoop.fs.Path
+      val tableDir = new Path(path(tableName))
+      val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(tableDir)) return
+      val parts = partition match {
+        case Some(p) => Seq(new Path(tableDir, p)).filter(fs.exists(_))
+        case None => fs.listStatus(tableDir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+          .map(_.getPath)
+      }
+      parts.foreach { partDir =>
+        val d = partDir.getName.stripPrefix("dt=")
+        fs.listStatus(partDir).filter(_.isFile).foreach { f =>
+          val n = f.getPath.getName
+          // appendUnit names files `$unit-part-…`; the part-file body
+          // never contains another "-part-", so the LAST occurrence is
+          // the unit boundary even for units with dashes.
+          val i = n.lastIndexOf("-part-")
+          if (i > 0 && !n.startsWith("_") && !n.startsWith(".")) {
+            val unit = n.substring(0, i)
+            if (!ingestLogged(dataset, s"$d#$unit")) fs.delete(f.getPath, false)
+          }
+        }
+      }
+    }
 
   /** Register every existing table as a lowercase temp view (the serving
     * queries use the reference's lowercase Postgres spellings). */
@@ -255,6 +297,15 @@ object Warehouse {
     case "factObitos" | Bridge | Signatures => "sim"
     case IngestLog => ManifestScope
     case t => t
+  }
+
+  /** The manifest dataset whose `day#unit` keys govern a table's
+    * unit-prefixed appends — only the fact tables the streaming backfill
+    * writes through [[Warehouse.appendUnit]]. */
+  def unitDataset(table: String): Option[String] = table match {
+    case "factNascimentos" => Some("sinasc")
+    case "factObitos" => Some("sim")
+    case _ => None
   }
 
   /** Path-level compaction core — shared by warehouse tables and the

@@ -141,6 +141,18 @@ object AnnIndex extends OpModule {
     * form, so default-geometry results never change. */
   private def writeCells(df: DataFrame, p: String, maxCellRows: Long,
       mode: String = "overwrite"): Unit = {
+    // Persist the assigned/encoded rows across the two actions: the
+    // count pass and the write would otherwise each evaluate the full
+    // cell-assignment (and, for ivfpq, the residual-encode chain) —
+    // doubling the most expensive build stages. Disk-spillable: at
+    // index-build corpus sizes the encoded columns don't fit in memory.
+    val assigned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeCellsPersisted(assigned, p, maxCellRows, mode)
+    finally assigned.unpersist()
+  }
+
+  private def writeCellsPersisted(df: DataFrame, p: String, maxCellRows: Long,
+      mode: String): Unit = {
     val counts = df.groupBy("cid").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fanOut = counts.collect { case (cid, n) if n > maxCellRows =>

@@ -377,8 +377,14 @@ object Curation extends OpModule {
       Curation.survivors(spark, dir, dropSet)
     /** c2: per-stage attrition funnel. */
     def funnel: org.apache.spark.sql.DataFrame = Curation.funnel(spark, dir, dropSet)
-    /** c3: split-leakage audit over the stored pair set. */
-    def leakage: org.apache.spark.sql.DataFrame = Curation.leakage(textPairs)
+    /** c3: split-leakage audit over the stored pair set. The count is
+      * multiplicity-sensitive, so the raw read's tolerated
+      * exact-duplicate rows (replayed crash appends) must be collapsed
+      * first — projected to the two id columns BEFORE the distinct
+      * (jaccard is family-deterministic per pair, so the projection
+      * loses nothing). */
+    def leakage: org.apache.spark.sql.DataFrame =
+      Curation.leakage(textPairs.select(col("doc_a"), col("doc_b")).distinct())
     /** c4: group-aware split census. */
     def groupSplit: org.apache.spark.sql.DataFrame =
       groupSplitCensus(groupSplitLabels(spark, dir, textPairs))

@@ -77,14 +77,24 @@ object Dedup extends OpModule {
     s"minhash/2;shingle=word3;p=$MinhashP;mask=$MinhashMask;nh=$NH;bands=$BANDS;" +
       s"ab=${MinhashAB.map { case (a, b) => s"$a*h+$b" }.mkString(",")};t=$JACCARD_T"
 
+  /** d8's LSH bucket width (sign-projection bits) and cosine keep
+    * threshold — named ONCE and interpolated into both the pair
+    * derivation and [[embFamilyId]], so changing either cannot leave
+    * the family stamp describing the old geometry (the silent-stale
+    * failure the stamp exists to prevent). */
+  private[operators] val EMB_BITS = 8
+  private[operators] val EMB_COS_T = 0.3
+
   /** Identity of the EMBEDDING near-dup pair family (d8's multi-probe
     * cosine pairs) — every constant that shapes a pair: the quantization
     * scale, the sign-projection seed, bit width, probe radius, and the
     * cosine threshold. Persisted embedding pair tables stamp this id so
     * a seed/width change can't be consumed silently (same contract as
-    * [[hashFamilyId]] for the text side). */
+    * [[hashFamilyId]] for the text side). The quant/sign fragments stay
+    * literal: they mirror [[graft.functions.VectorFns]] internals that
+    * have their own Duck-mirror pinning. */
   private[graft] val embFamilyId: String =
-    "emblsh/1;quant=1e6;sign=popcount(b*1000003+i);bits=8;probe=hamming1;cos_t=0.3"
+    s"emblsh/1;quant=1e6;sign=popcount(b*1000003+i);bits=$EMB_BITS;probe=hamming1;cos_t=$EMB_COS_T"
 
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
     * (used by d2's oracle and d6's clustering oracle). MinHash values
@@ -384,7 +394,7 @@ object Dedup extends OpModule {
   /** d8's pair CTE chain, shared with d11's clustering oracle: `epairs`
     * holds the threshold-filtered multi-probe embedding near-dup pairs. */
   private[operators] lazy val duckEmbPairCtes: String = {
-    val bInt = graft.functions.VectorFns.duckLshBucketInt("qv", 8)
+    val bInt = graft.functions.VectorFns.duckLshBucketInt("qv", EMB_BITS)
     s"""v AS (
         SELECT vec_id, label, ${graft.functions.VectorFns.duckQuantize("embedding")} AS qv
         FROM embeddings
@@ -395,7 +405,7 @@ object Dedup extends OpModule {
       ), probes AS (
         SELECT vec_id, label, qv, nrm,
                UNNEST([bucket] || [CAST(xor(bucket, CAST(1 << j AS BIGINT)) AS BIGINT)
-                                   FOR j IN generate_series(0, 7)]) AS probe
+                                   FOR j IN generate_series(0, ${EMB_BITS - 1})]) AS probe
         FROM n
       ), p AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -404,7 +414,7 @@ object Dedup extends OpModule {
         FROM probes a JOIN n b
           ON a.label = b.label AND a.probe = b.bucket AND a.vec_id < b.vec_id
       ), epairs AS (
-        SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= 0.3
+        SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= $EMB_COS_T
       )"""
   }
 
@@ -415,10 +425,10 @@ object Dedup extends OpModule {
     val n = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
-      .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), 8))
+      .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), EMB_BITS))
     val probes = n.select(
       col("vec_id"), col("label"), col("qv"), col("nrm"),
-      explode(array(col("bucket") +: (0 until 8).map(j =>
+      explode(array(col("bucket") +: (0 until EMB_BITS).map(j =>
         expr(s"bucket ^ ${1L << j}")): _*)).as("probe"))
     val p = probes.as("a")
       .join(n.as("b"),
@@ -429,7 +439,7 @@ object Dedup extends OpModule {
         VectorFns.cosine(
           VectorFns.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cos"))
       .distinct()
-    p.filter(col("cos") >= 0.3)
+    p.filter(col("cos") >= EMB_COS_T)
   }
 
   val d8EmbeddingMultiProbe: Op = Op(

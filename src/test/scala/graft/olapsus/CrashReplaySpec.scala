@@ -141,4 +141,34 @@ class CrashReplaySpec extends SparkSpecBase {
     wh.appendUnit("tbl", Seq(9).toDF("v"), dt, "sb0")
     assert(vals() == Seq(3, 9))
   }
+
+  test("compaction drops a crashed unit's unlogged files instead of folding them past the replay") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, dir.resolve("wh-unit-compact").toString)
+    val dt = "2022-03-01"
+    def vals(): Seq[Int] =
+      wh.table("factNascimentos").where(s"dt = '$dt'")
+        .select("v").collect().map(_.getInt(0)).toSeq.sorted
+    // sb0 committed its write-then-log pair; sb1 crashed in between —
+    // its files are in the partition but the manifest never heard of it.
+    wh.appendUnit("factNascimentos", Seq(1, 2).toDF("v"), dt, "sb0")
+    wh.logIngest("sinasc", s"$dt#sb0")
+    wh.appendUnit("factNascimentos", Seq(7).toDF("v"), dt, "sb1")
+    assert(vals() == Seq(1, 2, 7))
+
+    // Compaction must fold ONLY the logged unit: anonymizing sb1's files
+    // would blind its replay's delete-by-prefix and double the rows.
+    wh.compact("factNascimentos", partition = Some(s"dt=$dt"))
+    assert(vals() == Seq(1, 2),
+      "compaction folded a crashed (unlogged) unit's rows into anonymous files")
+
+    // The crashed micro-batch replays (same unit, same content): the
+    // final state is exactly one clean copy of both units…
+    wh.appendUnit("factNascimentos", Seq(7).toDF("v"), dt, "sb1")
+    wh.logIngest("sinasc", s"$dt#sb1")
+    assert(vals() == Seq(1, 2, 7))
+    // …and once logged, a later compaction folds sb1 in and keeps it.
+    wh.compact("factNascimentos", partition = Some(s"dt=$dt"))
+    assert(vals() == Seq(1, 2, 7))
+  }
 }

@@ -140,6 +140,31 @@ class OlapSusSpec extends SparkSpecBase {
     // Restart with no new files: checkpoint prevents re-ingest.
     StreamingIngest.sinasc(wh, landing.toString).awaitTermination()
     assert(wh.table("factNascimentos").count() == before + 4)
+
+    // Checkpoint reset (a routine ops action): batch ids restart at 0,
+    // but the per-checkpoint run token keeps the new run's labels
+    // disjoint — everything is visibly RE-ingested into new partitions,
+    // and the old run's partitions are never overwritten with unrelated
+    // data.
+    val facts = () => wh.table("factNascimentos").where("dt LIKE 'stream-%'")
+    val oldDts = facts().select("dt").distinct().collect().map(_.getString(0)).toSet
+    assert(oldDts.nonEmpty)
+    val cp = new org.apache.hadoop.fs.Path(s"${wh.root}/.checkpoints/sinasc")
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
+    Fixtures.write(landing, "batch2.csv", Fixtures.sinasc)
+    StreamingIngest.sinasc(wh, landing.toString).awaitTermination()
+    val newDts = facts().select("dt").distinct().collect().map(_.getString(0)).toSet
+    assert(oldDts.subsetOf(newDts), "checkpoint reset destroyed a prior run's partitions")
+    assert((newDts -- oldDts).nonEmpty, "reset run produced no fresh labels")
+    oldDts.foreach { d =>
+      assert(wh.table("factNascimentos").where(s"dt = '$d'").count() == 4,
+        s"prior run's partition $d was rewritten after the checkpoint reset")
+    }
+    // Both landing files reprocessed under the fresh checkpoint into one
+    // AvailableNow micro-batch; their identical rows collapse on the
+    // fact GRAIN (groupBy-count), so the new partition carries 4 grain
+    // rows beside the old run's 4.
+    assert(wh.table("factNascimentos").count() == before + 8)
   }
 
   test("streaming backfill: dt-partitioned tree, crash-resume, batch-driver composition") {
