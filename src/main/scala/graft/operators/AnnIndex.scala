@@ -158,22 +158,27 @@ object AnnIndex extends OpModule {
     val fanOut = counts.collect { case (cid, n) if n > maxCellRows =>
       cid -> ((n + maxCellRows - 1) / maxCellRows).toInt
     }
-    val toWrite =
-      if (fanOut.isEmpty) df
-      else {
-        val fanExpr = fanOut.foldLeft(lit(1)) { case (acc, (cid, s)) =>
-          when(col("cid") === cid, lit(s)).otherwise(acc)
-        }
-        // Explicit partition count (every cell's fan-out summed): an
-        // expression-only repartition is fair game for AQE coalescing,
-        // which would quietly re-merge the salted slices.
-        val slices = counts.keysIterator
-          .map(cid => fanOut.getOrElse(cid, 1)).sum.max(1)
-        df.withColumn("_salt", pmod(hash(col("vec_id")), fanExpr))
-          .repartition(slices, col("cid"), col("_salt"))
-          .drop("_salt")
-      }
-    toWrite.write.partitionBy("cid").mode(mode).parquet(p)
+    // ALWAYS repartition to one writer task per cell-slice (the counts
+    // are already in hand): without it, partitionBy fans every incoming
+    // task across every cell, so the file count is writer-parallelism ×
+    // cells — a 32-thread build of a small corpus leaves 32 tiny files
+    // PER CELL, and every later probe pays the per-file open cost (this
+    // exact layout regressed the r9 index probes ~2× until rebuilt).
+    // One slice per cell below the ceiling, ceil(rows/ceiling) above it
+    // — the same expression serves small-corpus tidiness and hot-cell
+    // salting.
+    val fanExpr = fanOut.foldLeft(lit(1)) { case (acc, (cid, s)) =>
+      when(col("cid") === cid, lit(s)).otherwise(acc)
+    }
+    // Explicit partition count (every cell's fan-out summed): an
+    // expression-only repartition is fair game for AQE coalescing,
+    // which would quietly re-merge the salted slices.
+    val slices = counts.keysIterator
+      .map(cid => fanOut.getOrElse(cid, 1)).sum.max(1)
+    df.withColumn("_salt", pmod(hash(col("vec_id")), fanExpr))
+      .repartition(slices, col("cid"), col("_salt"))
+      .drop("_salt")
+      .write.partitionBy("cid").mode(mode).parquet(p)
   }
 
   /** Train all three sub-indexes on the corpus at `dir` and write them
