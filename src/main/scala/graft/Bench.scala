@@ -119,9 +119,15 @@ object Bench {
         else """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
           .findAllMatchIn(prior).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Ratio AND absolute floor: 1.5x of a 0.2 s prior is 0.1 s — inside
+    // this box's per-job noise — so sub-second queries would be flagged
+    // on ambient variance alone. A quarter second of REAL growth is the
+    // smallest cross-round move worth a human look (r8's q20 regression
+    // was +0.47 s and still trips this).
     val drift = results.collect {
       case (name, warm, _, _)
-          if priorWarm.get(name).exists(p => p > 0 && warm > 1.5 * p) =>
+          if priorWarm.get(name).exists(p =>
+            p > 0 && warm > 1.5 * p && warm > p + 0.25) =>
         s"""{"query":"$name","warm":$warm,"prior":${priorWarm(name)}}"""
     }
     val detail = results
