@@ -100,12 +100,25 @@ object StreamingIngest {
     * data — silent destruction of ingested facts. Same checkpoint →
     * same token → a crash replay of batch N rewrites its own partition
     * and converges; new checkpoint → fresh token → disjoint labels, the
-    * prior run's partitions untouched. */
+    * prior run's partitions untouched.
+    *
+    * Migration: a checkpoint that already COMMITTED batches but has no
+    * token file predates tokens — its labels / `#sb` unit keys are
+    * already on disk and in the manifest in the unscoped format, so it
+    * adopts the EMPTY token (and [[streamLabel]]/[[unitId]] keep the
+    * unscoped format for it). Minting a token here instead would orphan
+    * every logged key and file prefix: the next crash replay could not
+    * find its own earlier output and would double-append. Spark writes
+    * `offsets/N` before running batch N, so a checkpoint with no offset
+    * files has never reached a foreachBatch body and is safely fresh. */
   private[olapsus] def runToken(wh: Warehouse, checkpoint: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_run")
     val fs = p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      val token = java.util.UUID.randomUUID().toString.take(8)
+      val offsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+      val legacy = fs.exists(offsets) && fs.listStatus(offsets).exists(_.isFile)
+      val token =
+        if (legacy) "" else java.util.UUID.randomUUID().toString.take(8)
       // Non-overwriting create: two starters racing the same (illegal —
       // one checkpoint, one stream) setup at worst throw here, never
       // tear the token; the read below is the single authority.
@@ -118,6 +131,21 @@ object StreamingIngest {
     try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
   }
 
+  /** Fact `dt=` label of a plain-stream micro-batch. Legacy (empty-token)
+    * checkpoints keep the pre-token `stream-<id>` spelling so their
+    * crash replays still overwrite their own partitions. */
+  private[olapsus] def streamLabel(run: String, id: Long): String =
+    if (run.isEmpty) s"stream-$id" else s"stream-$run-$id"
+
+  /** Unit id of a backfill micro-batch — BOTH the [[Warehouse.appendUnit]]
+    * file prefix and the suffix of the `day#unit` manifest key, so the
+    * two stay derivable from each other (compaction's crashed-unit
+    * detection relies on that). Token-scoped: a rebuilt checkpoint's
+    * batch ids restart at 0, but its fresh token keeps the new keys
+    * disjoint from every logged one. Legacy checkpoints keep `sb<id>`. */
+  private[olapsus] def unitId(run: String, id: Long): String =
+    if (run.isEmpty) s"sb$id" else s"sb$run-$id"
+
   /** Drain all available SINASC CSVs from `landingDir` into
     * factNascimentos; one fact append per micro-batch. */
   def sinasc(wh: Warehouse, landingDir: String): StreamingQuery = {
@@ -127,7 +155,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cp)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) ingestSinascBatch(wh, batch, s"stream-$run-$id")
+        if (!batch.isEmpty) ingestSinascBatch(wh, batch, streamLabel(run, id))
       }
       .start()
   }
@@ -141,20 +169,26 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cp)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batch.isEmpty) ingestSimBatch(wh, batch, s"stream-$run-$id")
+        if (!batch.isEmpty) ingestSimBatch(wh, batch, streamLabel(run, id))
       }
       .start()
   }
 
-  /** Has the STREAM backfill itself ever written to day `d`? (Its
-    * per-(day, micro-batch) manifest keys are `d#sb<id>` — never a
+  /** Has THIS RUN of the stream backfill written to day `d`? Its
+    * per-(day, micro-batch) manifest keys are `d#<unitId>` — never a
     * calendar date, so the batch driver's equality lookups ignore
-    * them.) */
-  private def streamTouched(wh: Warehouse, dataset: String, d: String): Boolean = {
+    * them. Run-scoped on purpose: a PRIOR run's `#sb` keys (checkpoint
+    * since rebuilt) must read as "someone else completed this day", so
+    * the day falls into the skip arm below instead of being re-appended.
+    * A legacy run (empty token) owns every unscoped `d#sb…` key — there
+    * is only ever one legacy lineage per warehouse. */
+  private def streamTouched(wh: Warehouse, dataset: String, d: String,
+      run: String): Boolean = {
     import org.apache.spark.sql.functions.{col, lit}
+    val prefix = if (run.isEmpty) s"$d#sb" else s"$d#sb$run-"
     wh.exists(Warehouse.IngestLog) &&
       !wh.table(Warehouse.IngestLog)
-        .where(col("dataset") === lit(dataset) && col("dt").startsWith(s"$d#sb"))
+        .where(col("dataset") === lit(dataset) && col("dt").startsWith(prefix))
         .isEmpty
   }
 
@@ -166,7 +200,7 @@ object StreamingIngest {
     *
     * Crash safety: the checkpoint guarantees a replayed micro-batch id
     * carries exactly the same files, and every applied (day, batch) is
-    * logged to the manifest as `d#sb<id>` BEFORE the day itself — so a
+    * logged to the manifest as `d#<unitId>` BEFORE the day itself — so a
     * replay after a crash skips the day-batches that committed and
     * re-applies only the ones that didn't. A crash between a day's fact
     * write and its `d#sb` log row is ALSO safe: the fact write is a
@@ -176,22 +210,23 @@ object StreamingIngest {
     * driver's `overwriteDay → logIngest` pair (CrashReplaySpec forges
     * both).
     *
-    * Composition with the batch driver, both directions: completed days
-    * are also logged under their plain date, so the BATCH driver skips
-    * days the stream ingested; and a day the manifest knows but this
-    * stream has never touched was the BATCH driver's work, so the
-    * stream skips its files rather than double-appending them (late
-    * files for such a day are dropped — identical to the batch
-    * driver's own day-granular idempotency). Don't run both drivers
-    * concurrently.
+    * Composition with prior completed ingests, both directions:
+    * completed days are also logged under their plain date, so the
+    * BATCH driver skips days the stream ingested; and a day the
+    * manifest knows but THIS RUN has never touched was someone else's
+    * completed work — the batch driver's, or a prior stream run whose
+    * checkpoint has since been rebuilt — so the stream skips its files
+    * rather than double-appending them (late files for such a day are
+    * dropped — identical to the batch driver's own day-granular
+    * idempotency). Don't run both drivers concurrently.
     *
-    * The checkpoint and the stream's `d#sb<id>` manifest keys are ONE
-    * unit of state: batch ids restart at 0 with a fresh checkpoint, so
-    * deleting the checkpoint without also clearing this dataset's `#sb`
-    * manifest rows makes stale keys collide with the new run's — a new
-    * day-batch that happens to reuse a logged (day, id) pair is skipped
-    * as "already replayed" and its rows are silently dropped. Reset
-    * both or neither. */
+    * Checkpoint resets are SAFE: batch ids restart at 0 with a fresh
+    * checkpoint, but the unit keys are scoped by the checkpoint's
+    * [[runToken]], so the new run's `d#<unitId>` keys are disjoint from
+    * every logged one — stale keys are inert (a day they complete is
+    * skipped per the ownership rule above; they can never swallow a new
+    * run's day-batch). Legacy checkpoints (created before tokens)
+    * adopt the unscoped format and keep converging — see [[runToken]]. */
   def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
     // UNLEASED per-day bodies: the foreachBatch below holds the dataset
     // lease across the manifest checks AND the appends AND the log rows —
@@ -208,9 +243,11 @@ object StreamingIngest {
       case other => sys.error(s"unknown dataset $other (sim|sinasc)")
     }
     val withDt = StructType(schema.fields :+ StructField("dt", StringType))
+    val cp = s"${wh.root}/.checkpoints/backfill-$dataset"
+    val run = runToken(wh, cp)
     csvStream(wh, s"$prefix/$dataset", withDt).writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"${wh.root}/.checkpoints/backfill-$dataset")
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         // A micro-batch may span days; the day count is bounded by the
         // backfill window, so the driver-side loop is tiny.
@@ -220,17 +257,18 @@ object StreamingIngest {
           graft.WriterLease.processOwner(s"stream-backfill-$dataset"),
           scope = dataset) {
           days.foreach { d =>
-            val dayBatchKey = s"$d#sb$id"
+            val unit = unitId(run, id)
+            val dayBatchKey = s"$d#$unit"
             val replayed = wh.ingestLogged(dataset, dayBatchKey)
             val batchDriverOwns =
-              !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d)
+              !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d, run)
             if (!replayed && !batchDriverOwns) {
-              // appendUnit keyed by the micro-batch id: a crash between
-              // this write and the dayBatchKey log row replays with the
-              // SAME files (checkpoint) and the same unit, whose stale
-              // files the rewrite removes first — no double-append
-              // (CrashReplaySpec forges this).
-              perDay(batch.filter(col("dt") === d).drop("dt"), d, s"sb$id")
+              // appendUnit keyed by the run-scoped micro-batch id: a
+              // crash between this write and the dayBatchKey log row
+              // replays with the SAME files (checkpoint) and the same
+              // unit, whose stale files the rewrite removes first — no
+              // double-append (CrashReplaySpec forges this).
+              perDay(batch.filter(col("dt") === d).drop("dt"), d, unit)
               IngestFaults.afterFactWrite(wh.root, s"$dataset-stream")
               wh.logIngest(dataset, dayBatchKey)
               if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)

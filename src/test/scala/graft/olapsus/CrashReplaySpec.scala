@@ -128,6 +128,73 @@ class CrashReplaySpec extends SparkSpecBase {
     assert(rowsOf(whCrash, "factNascimentos", dt) == want)
   }
 
+  test("runToken: fresh checkpoints mint; pre-token checkpoints with commits adopt the unscoped format") {
+    val wh = new Warehouse(spark, dir.resolve("wh-token").toString)
+    val fresh = dir.resolve("cp-fresh").toString
+    val t = StreamingIngest.runToken(wh, fresh)
+    assert(t.length == 8 && t.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(StreamingIngest.runToken(wh, fresh) == t, "token not stable across calls")
+    // Forge a checkpoint created by pre-token code: a committed offset
+    // file, no _graft_run. Its unit keys are already logged unscoped, so
+    // the adopter must return the empty (legacy) token — and persist it.
+    val legacyCp = dir.resolve("cp-legacy").toString
+    val off = new org.apache.hadoop.fs.Path(s"$legacyCp/offsets/0")
+    val fs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(off, false)
+    try out.write("v1".getBytes("UTF-8")) finally out.close()
+    assert(StreamingIngest.runToken(wh, legacyCp) == "")
+    assert(StreamingIngest.runToken(wh, legacyCp) == "")
+    // The two formats the token feeds: legacy spellings are unchanged,
+    // scoped ones embed the token between the kind tag and the batch id.
+    assert(StreamingIngest.streamLabel("", 3) == "stream-3")
+    assert(StreamingIngest.streamLabel("ab12cd34", 3) == "stream-ab12cd34-3")
+    assert(StreamingIngest.unitId("", 3) == "sb3")
+    assert(StreamingIngest.unitId("ab12cd34", 3) == "sbab12cd34-3")
+  }
+
+  test("backfill checkpoint reset: prior-run days are skipped, new days ingested, no key collisions") {
+    val wh = seeded("wh-reset")
+    val landing = Files.createTempDirectory("reset-landing")
+    def addDay(d: String): Unit = {
+      val day = landing.resolve(s"sinasc/dt=$d")
+      Files.createDirectories(day)
+      Fixtures.write(day, "part.csv", Fixtures.sinasc)
+    }
+    def dayCount(d: String): Long =
+      wh.table("factNascimentos").where(s"dt = '$d'").count()
+    // First checkpoint lifetime: day A in micro-batch 0, day B in 1.
+    addDay("2021-07-01")
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    addDay("2021-07-02")
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(dayCount("2021-07-01") == 4 && dayCount("2021-07-02") == 4)
+
+    // Routine ops reset: the checkpoint dir is rebuilt from nothing. The
+    // new run re-lists EVERY landing file into batch 0 — so day B now
+    // arrives under an id (0) it was never logged with. Unscoped keys
+    // made that a re-append (day B re-ingested as unit sb0, doubling
+    // its rows); run-scoped keys classify both old days as completed
+    // prior work and skip them.
+    val cp = new org.apache.hadoop.fs.Path(s"${wh.root}/.checkpoints/backfill-sinasc")
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(cp, true))
+    addDay("2021-07-03")
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(dayCount("2021-07-01") == 4, "prior-run day re-appended after checkpoint reset")
+    assert(dayCount("2021-07-02") == 4, "prior-run day re-appended after checkpoint reset")
+    assert(dayCount("2021-07-03") == 4, "new day swallowed by a stale manifest key")
+    // The new lifetime's keys are token-scoped: disjoint from every
+    // logged unscoped-or-other-token key by construction.
+    assert(wh.ingestLogged("sinasc", "2021-07-03"))
+    assert(!wh.ingestLogged("sinasc", "2021-07-03#sb0"),
+      "rebuilt checkpoint wrote an unscoped (collision-prone) unit key")
+    // And the rebuilt run's own crash-replay story still holds: an idle
+    // re-run with the SAME new checkpoint changes nothing.
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(dayCount("2021-07-01") == 4 && dayCount("2021-07-02") == 4
+      && dayCount("2021-07-03") == 4)
+  }
+
   test("appendUnit: distinct units accumulate; a unit's replay supersedes its own files only") {
     import spark.implicits._
     val wh = new Warehouse(spark, dir.resolve("wh-unit").toString)
