@@ -188,10 +188,14 @@ object OlapCube extends OpModule {
       ORDER BY p_brand, rnk
     """))((spark, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // Aggregate BEFORE the dimension join: p_brand is functionally
+    // dependent on p_partkey, so summing per l_partkey first shrinks the
+    // join input from every lineitem row to one row per part and keeps
+    // the shuffle key a bare int.
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand", "p_partkey")
+      .groupBy(col("l_partkey").as("p_partkey"))
       .agg(Exact.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")), "p_partkey")
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
