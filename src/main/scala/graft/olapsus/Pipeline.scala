@@ -32,6 +32,10 @@ private[olapsus] object IngestFaults {
   /** (warehouse root, dataset) — root-scoped so a spec's injected fault
     * can never fire inside another suite's concurrently-running ingest. */
   @volatile var afterFactWrite: (String, String) => Unit = (_, _) => ()
+  /** Fires between a backfill day-batch's `d#<unit>` manifest row and
+    * its plain-day row — the window where the day is written and
+    * unit-logged but invisible to the batch driver. */
+  @volatile var afterUnitKeyLog: (String, String) => Unit = (_, _) => ()
 }
 
 object Pipeline {

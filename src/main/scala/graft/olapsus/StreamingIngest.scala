@@ -109,26 +109,47 @@ object StreamingIngest {
     * unscoped format for it). Minting a token here instead would orphan
     * every logged key and file prefix: the next crash replay could not
     * find its own earlier output and would double-append. Spark writes
-    * `offsets/N` before running batch N, so a checkpoint with no offset
-    * files has never reached a foreachBatch body and is safely fresh. */
+    * `offsets/N` before running batch N, so a checkpoint with no
+    * COMMITTED offset files (digit names, plus the offset log's
+    * `N.compact` rewrites — a crash can leave hidden `.….tmp` staging
+    * files that mean nothing) has never reached a foreachBatch body and
+    * is safely fresh.
+    *
+    * The file is published by rename, never written in place, so a
+    * half-written token is unobservable: a crash leaves either no file
+    * (next start decides afresh — offsets still authoritative) or a
+    * complete one. `legacy` is an explicit sentinel rather than an
+    * empty file so truncation can never masquerade as adoption; any
+    * unreadable content fails fast instead of silently picking a key
+    * format. */
   private[olapsus] def runToken(wh: Warehouse, checkpoint: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_run")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$checkpoint/_graft_run")
     val fs = p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      val offsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
-      val legacy = fs.exists(offsets) && fs.listStatus(offsets).exists(_.isFile)
-      val token =
-        if (legacy) "" else java.util.UUID.randomUUID().toString.take(8)
-      // Non-overwriting create: two starters racing the same (illegal —
-      // one checkpoint, one stream) setup at worst throw here, never
-      // tear the token; the read below is the single authority.
-      try {
-        val out = fs.create(p, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-      } catch { case _: java.io.IOException => () }
+      val offsets = new Path(s"$checkpoint/offsets")
+      val legacy = fs.exists(offsets) && fs.listStatus(offsets).exists(s =>
+        s.isFile && s.getPath.getName.matches("\\d+(\\.compact)?"))
+      val content =
+        if (legacy) "legacy" else java.util.UUID.randomUUID().toString.take(8)
+      // Stage-then-rename: the token becomes visible atomically and
+      // complete, or not at all. Two starters racing the same (illegal —
+      // one checkpoint, one stream) setup at worst lose the rename;
+      // the read below is the single authority.
+      val tmp = new Path(s"$checkpoint/.graft_run_${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     }
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    val raw = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    raw match {
+      case "legacy" => ""
+      case t if t.matches("[0-9a-f]{8}") => t
+      case bad => sys.error(
+        s"unreadable run token '$bad' in $p — refusing to guess the key format; " +
+          "delete the file to re-decide from the offsets log")
+    }
   }
 
   /** Fact `dt=` label of a plain-stream micro-batch. Legacy (empty-token)
@@ -220,13 +241,25 @@ object StreamingIngest {
     * dropped — identical to the batch driver's own day-granular
     * idempotency). Don't run both drivers concurrently.
     *
-    * Checkpoint resets are SAFE: batch ids restart at 0 with a fresh
-    * checkpoint, but the unit keys are scoped by the checkpoint's
-    * [[runToken]], so the new run's `d#<unitId>` keys are disjoint from
-    * every logged one — stale keys are inert (a day they complete is
-    * skipped per the ownership rule above; they can never swallow a new
-    * run's day-batch). Legacy checkpoints (created before tokens)
-    * adopt the unscoped format and keep converging — see [[runToken]]. */
+    * Checkpoint resets are SAFE at day granularity: batch ids restart
+    * at 0 with a fresh checkpoint, but the unit keys are scoped by the
+    * checkpoint's [[runToken]], so the new run's `d#<unitId>` keys are
+    * disjoint from every logged one — stale keys can never swallow a
+    * new run's day-batch. Days a prior lineage COMPLETED are skipped
+    * (ownership rule above); a day a prior lineage left manifest-
+    * unknown — crashed before any log row, or between its unit key and
+    * the plain-day row — is CLAIMED on this run's first touch with a
+    * whole-partition [[Warehouse.overwriteDay]], which wipes the
+    * crashed attempt's files (whatever their unit prefix) instead of
+    * appending beside them. The day-granularity caveat: a reset
+    * abandons Spark's file-level source tracking, so a day whose
+    * slices were only PARTLY ingested by a crashed multi-batch prior
+    * lineage (its plain-day row already logged) reads as complete, and
+    * the unseen slices are dropped like late files. Resetting a
+    * checkpoint mid-backfill trades those in-flight days for the
+    * collision-freedom above; completed and untouched days are always
+    * exact. Legacy checkpoints (created before tokens) adopt the
+    * unscoped format and keep converging — see [[runToken]]. */
   def backfill(wh: Warehouse, prefix: String, dataset: String): StreamingQuery = {
     // UNLEASED per-day bodies: the foreachBatch below holds the dataset
     // lease across the manifest checks AND the appends AND the log rows —
@@ -236,10 +269,10 @@ object StreamingIngest {
     val (schema, perDay) = dataset match {
       case "sinasc" =>
         (sinascSchema,
-          (b: DataFrame, d: String, u: String) => ingestSinascBatchLeased(wh, b, d, Some(u)))
+          (b: DataFrame, d: String, u: Option[String]) => ingestSinascBatchLeased(wh, b, d, u))
       case "sim" =>
         (simSchema,
-          (b: DataFrame, d: String, u: String) => ingestSimBatchLeased(wh, b, d, Some(u)))
+          (b: DataFrame, d: String, u: Option[String]) => ingestSimBatchLeased(wh, b, d, u))
       case other => sys.error(s"unknown dataset $other (sim|sinasc)")
     }
     val withDt = StructType(schema.fields :+ StructField("dt", StringType))
@@ -260,17 +293,35 @@ object StreamingIngest {
             val unit = unitId(run, id)
             val dayBatchKey = s"$d#$unit"
             val replayed = wh.ingestLogged(dataset, dayBatchKey)
-            val batchDriverOwns =
-              !replayed && wh.ingestLogged(dataset, d) && !streamTouched(wh, dataset, d, run)
-            if (!replayed && !batchDriverOwns) {
-              // appendUnit keyed by the run-scoped micro-batch id: a
-              // crash between this write and the dayBatchKey log row
-              // replays with the SAME files (checkpoint) and the same
-              // unit, whose stale files the rewrite removes first — no
-              // double-append (CrashReplaySpec forges this).
-              perDay(batch.filter(col("dt") === d).drop("dt"), d, unit)
-              IngestFaults.afterFactWrite(wh.root, s"$dataset-stream")
-              wh.logIngest(dataset, dayBatchKey)
+            val touched = streamTouched(wh, dataset, d, run)
+            val dayLogged = wh.ingestLogged(dataset, d)
+            // A day the manifest knows but this run never wrote is a
+            // prior writer's COMPLETED work (batch driver or an earlier
+            // stream lineage) — skip its files entirely.
+            val priorOwns = dayLogged && !touched && !replayed
+            if (!priorOwns) {
+              if (!replayed) {
+                // First touch of a manifest-unknown day CLAIMS it: an
+                // overwrite of the whole `dt=` partition replaces
+                // whatever a crashed earlier attempt left there (a
+                // foreign lineage's unit files, a batch driver's
+                // unlogged day) — appending beside such files would
+                // double-count them until a compaction ran. Later
+                // batches of THIS run accumulate via appendUnit, whose
+                // replay removes its own unit's stale files first
+                // (CrashReplaySpec forges both).
+                val claim = !touched && !dayLogged
+                perDay(batch.filter(col("dt") === d).drop("dt"), d,
+                  if (claim) None else Some(unit))
+                IngestFaults.afterFactWrite(wh.root, s"$dataset-stream")
+                wh.logIngest(dataset, dayBatchKey)
+                IngestFaults.afterUnitKeyLog(wh.root, s"$dataset-stream")
+              }
+              // Outside the write arm: a crash between the unit key and
+              // this row leaves the day invisible to the batch driver,
+              // and the replay skips the write arm (unit key is
+              // logged) — so the plain-day row is repaired on every
+              // pass, not only on first write.
               if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
             }
           }

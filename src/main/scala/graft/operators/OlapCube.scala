@@ -199,6 +199,7 @@ object OlapCube extends OpModule {
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
+      .select("p_brand", "p_partkey", "revenue", "rnk")
       .orderBy("p_brand", "rnk")
   })
 

@@ -152,6 +152,108 @@ class CrashReplaySpec extends SparkSpecBase {
     assert(StreamingIngest.unitId("ab12cd34", 3) == "sbab12cd34-3")
   }
 
+  test("runToken: torn files fail fast; offset-log temp files never read as legacy commits") {
+    val wh = new Warehouse(spark, dir.resolve("wh-token2").toString)
+    def forge(name: String, file: String, content: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"${dir.resolve(name)}/$file")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      dir.resolve(name).toString
+    }
+    // A token file holding neither 'legacy' nor 8 hex chars (torn write,
+    // hand edit) must refuse to pick a key format: guessing 'fresh'
+    // orphans logged keys, guessing 'legacy' invites collisions.
+    intercept[RuntimeException] {
+      StreamingIngest.runToken(wh, forge("cp-torn", "_graft_run", "ab12"))
+    }
+    // Zero bytes is the classic torn-create shape — also refused.
+    intercept[RuntimeException] {
+      StreamingIngest.runToken(wh, forge("cp-empty", "_graft_run", ""))
+    }
+    // A crash during the offset log's own staged write leaves hidden
+    // `.N.<uuid>.tmp` files; no batch ever ran, so this checkpoint must
+    // mint fresh, not adopt the collision-prone unscoped format.
+    val cpTmp = forge("cp-tmponly", "offsets/.0.deadbeef.tmp", "v1")
+    assert(StreamingIngest.runToken(wh, cpTmp).length == 8)
+    // The offset log COMPACTS old entries into `N.compact` — still a
+    // committed batch, still legacy.
+    val cpCompact = forge("cp-compact", "offsets/9.compact", "v1")
+    assert(StreamingIngest.runToken(wh, cpCompact) == "")
+  }
+
+  test("checkpoint reset after a crashed day: the new lineage claims the day instead of doubling it") {
+    def forgeReset(name: String,
+        crash: (String, String) => Unit): (Warehouse, String) = {
+      val wh = seeded(name)
+      val landing = Files.createTempDirectory(s"$name-landing")
+      val day = landing.resolve("sinasc/dt=2021-08-01")
+      Files.createDirectories(day)
+      Fixtures.write(day, "part.csv", Fixtures.sinasc)
+      IngestFaults.afterFactWrite = (_, _) => ()
+      IngestFaults.afterUnitKeyLog = (_, _) => ()
+      crash(wh.root, "sinasc-stream")
+      try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+      } finally { clearFault(); IngestFaults.afterUnitKeyLog = (_, _) => () }
+      // Ops response to the corrupted run: rebuild the checkpoint.
+      val cp = new org.apache.hadoop.fs.Path(s"${wh.root}/.checkpoints/backfill-sinasc")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(cp, true))
+      (wh, landing.toString)
+    }
+    def crashAt(set: ((String, String) => Unit) => Unit): (String, String) => Unit =
+      (root, ds) =>
+        set((r, d) => if (r == root && d == ds) sys.error(s"forged crash in $d"))
+
+    // Crash BEFORE the unit key was logged: the day partition holds a
+    // foreign lineage's files the manifest never heard of. Appending
+    // beside them would double-count until a compaction; the claim
+    // overwrite replaces them.
+    val (whA, landA) = forgeReset("wh-reset-prelog",
+      crashAt(f => IngestFaults.afterFactWrite = f))
+    StreamingIngest.backfill(whA, landA, "sinasc").awaitTermination()
+    assert(whA.table("factNascimentos").where("dt = '2021-08-01'").count() == 4,
+      "crashed foreign unit files were double-counted after a reset")
+    assert(whA.ingestLogged("sinasc", "2021-08-01"))
+
+    // Crash BETWEEN the unit key and the plain-day row: the day is
+    // unit-logged but batch-driver-invisible. Both units ending up
+    // logged (old lineage's and the new one's) would be permanent
+    // duplication — the claim overwrite must land exactly one copy.
+    val (whB, landB) = forgeReset("wh-reset-midlog",
+      crashAt(f => IngestFaults.afterUnitKeyLog = f))
+    StreamingIngest.backfill(whB, landB, "sinasc").awaitTermination()
+    assert(whB.table("factNascimentos").where("dt = '2021-08-01'").count() == 4,
+      "unit-logged but day-unlogged crash state was double-counted after a reset")
+    assert(whB.ingestLogged("sinasc", "2021-08-01"))
+  }
+
+  test("same-checkpoint replay repairs a missing plain-day row without rewriting the day") {
+    val wh = seeded("wh-repair")
+    val landing = Files.createTempDirectory("repair-landing")
+    val day = landing.resolve("sinasc/dt=2021-09-01")
+    Files.createDirectories(day)
+    Fixtures.write(day, "part.csv", Fixtures.sinasc)
+    IngestFaults.afterUnitKeyLog = (r, d) =>
+      if (r == wh.root && d == "sinasc-stream") sys.error("forged crash after key log")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    } finally IngestFaults.afterUnitKeyLog = (_, _) => ()
+    // Forged state: rows written, unit key logged, plain day missing —
+    // the batch driver would re-ingest this day if left unrepaired.
+    assert(wh.table("factNascimentos").where("dt = '2021-09-01'").count() == 4)
+    assert(!wh.ingestLogged("sinasc", "2021-09-01"))
+    // Replay with the SAME checkpoint: the write arm is skipped (unit
+    // key logged) but the plain-day row must still be repaired.
+    StreamingIngest.backfill(wh, landing.toString, "sinasc").awaitTermination()
+    assert(wh.table("factNascimentos").where("dt = '2021-09-01'").count() == 4)
+    assert(wh.ingestLogged("sinasc", "2021-09-01"),
+      "replay left the day invisible to the batch driver")
+    // And the batch driver now agrees there is nothing to do.
+    assert(Pipeline.backfill(wh, landing.toString, "sinasc") == Seq("2021-09-01" -> 0L))
+  }
+
   test("backfill checkpoint reset: prior-run days are skipped, new days ingested, no key collisions") {
     val wh = seeded("wh-reset")
     val landing = Files.createTempDirectory("reset-landing")
