@@ -25,13 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
+  /** Replica id offset derived from the table's ACTUAL max key, never a
+    * fixed constant: a constant (say 1e8) collides once base keys reach
+    * it — TPC-H order keys do around sf≈17 — and colliding ranges forge
+    * cross-replica join matches, making the probe measure fabricated
+    * data growth instead of the engine. */
+  private def offsetFor(df: DataFrame, keys: Seq[String]): Long = {
+    val maxes = df.agg(max(keys.head), keys.tail.map(max): _*)
+      .collect()(0).toSeq.map {
+      case null => 0L
+      case n: Number => n.longValue()
+    }
+    math.max(100000000L, maxes.max + 1L)
+  }
+
   /** K distinct replicas of documents: ids offset into disjoint ranges,
     * every token prefixed with the replica tag (all shingle/gram spaces
     * become replica-local, so cross-replica Jaccard is ~0). */
   private def scaleDocuments(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.documents(spark, dir)
-    val idOffset = 100000000L
+    val idOffset = offsetFor(base, Seq("doc_id"))
     val reps = (0 until k).map { r =>
       base
         .withColumn("doc_id", col("doc_id") + lit(r * idOffset))
@@ -48,7 +62,7 @@ object ScaleCheck {
   private def scaleEmbeddings(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.embeddings(spark, dir)
-    val idOffset = 100000000L
+    val idOffset = offsetFor(base, Seq("vec_id"))
     val reps = (0 until k).map { r =>
       base
         .withColumn("vec_id", col("vec_id") + lit(r * idOffset))
@@ -66,23 +80,26 @@ object ScaleCheck {
     * unchanged. */
   private def scaleRelational(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
-    val idOffset = 100000000L
-    def reps(df: org.apache.spark.sql.DataFrame,
-        keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    def reps(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+        idOffset: Long): org.apache.spark.sql.DataFrame =
       (0 until k).map { r =>
         keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * idOffset)))
       }.reduce(_ unionByName _)
-    reps(Tables.orders(spark, dir), Seq("o_orderkey"))
+    // ONE offset for the shared o_orderkey/l_orderkey space — replicas
+    // must join within themselves on both sides.
+    val orderOffset = offsetFor(Tables.orders(spark, dir), Seq("o_orderkey"))
+    reps(Tables.orders(spark, dir), Seq("o_orderkey"), orderOffset)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    reps(Tables.lineitem(spark, dir), Seq("l_orderkey"))
+    reps(Tables.lineitem(spark, dir), Seq("l_orderkey"), orderOffset)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // Events: per-replica user/event id spaces, so sessions (and any
     // per-user window) stay replica-local. Read RAW — Tables.events
     // rewrites ts to TIMESTAMP, which would change the scaled table's
     // schema vs the base layout the loaders expect.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reps(spark.read.parquet(s"$dir/events.parquet"),
-      Seq("event_id", "user_id"))
+    val eventsRaw = spark.read.parquet(s"$dir/events.parquet")
+    reps(eventsRaw, Seq("event_id", "user_id"),
+      offsetFor(eventsRaw, Seq("event_id", "user_id")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // Dims pass through byte-identical (a broadcast side that does not
     // grow is the point being measured).
@@ -152,18 +169,20 @@ object ScaleCheck {
     }
     // Persisted-index probes: the entire point of the index is that the
     // PROBE does not grow with the corpus. The scaled index is built
-    // with cell counts scaled by the same factor (cells ∝ rows — the
-    // sizing rule the build parameter exists for), so per-cell size is
-    // constant and the partition-pruned probes should stay ~flat; the
-    // PQ probe (s10) scans the compressed codes table, which is linear
-    // BY DESIGN — it is reported without the flat expectation. Build
-    // time is excluded: it amortizes over every query ever asked.
+    // with ALL THREE cell counts scaled by the same factor — nc, kc,
+    // and the IVF+PQ coarse pc (cells ∝ rows, the sizing rule the build
+    // parameters exist for) — so per-cell size is constant and the
+    // partition-pruned probes (s9 ivf, s11 ivfpq) should stay ~flat;
+    // the PQ probe (s10) scans the compressed codes table, which is
+    // linear BY DESIGN — it is reported without the flat expectation.
+    // Build time is excluded: it amortizes over every query ever asked.
     import graft.operators.{AnnIndex, Similarity}
     val baseRoot = AnnIndex.defaultRoot(sfDir)
     AnnIndex.ensureBuilt(spark, sfDir, baseRoot)
     val scaledRoot = s"$scaled/ann_index"
     AnnIndex.build(spark, scaled, scaledRoot,
-      nc = Similarity.NC * factor, kc = Similarity.KC * factor)
+      nc = Similarity.NC * factor, kc = Similarity.KC * factor,
+      pc = Similarity.PQ_K * factor)
     def timeDf(df: => DataFrame): Double = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()

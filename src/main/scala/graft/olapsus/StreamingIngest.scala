@@ -147,8 +147,13 @@ object StreamingIngest {
       case "legacy" => ""
       case t if t.matches("[0-9a-f]{8}") => t
       case bad => sys.error(
-        s"unreadable run token '$bad' in $p — refusing to guess the key format; " +
-          "delete the file to re-decide from the offsets log")
+        s"unreadable run token '$bad' in $p — refusing to guess the key format. " +
+          "Restore the file by hand: its token is recoverable from this " +
+          "dataset's manifest keys (`<day>#sb<token>-<n>`) or fact file " +
+          "prefixes (`sb<token>-<n>-…`); write `legacy` if those are " +
+          "unscoped (`#sb<n>`). Do NOT just delete the file — a committed " +
+          "checkpoint would then silently adopt the legacy key format, " +
+          "orphaning every scoped key, and replays would double-append.")
     }
   }
 
@@ -321,8 +326,10 @@ object StreamingIngest {
               // this row leaves the day invisible to the batch driver,
               // and the replay skips the write arm (unit key is
               // logged) — so the plain-day row is repaired on every
-              // pass, not only on first write.
-              if (!wh.ingestLogged(dataset, d)) wh.logIngest(dataset, d)
+              // pass, not only on first write. `dayLogged` is still
+              // current: the write arm logs only the `d#unit` key, and
+              // the held dataset lease excludes every other writer.
+              if (!dayLogged) wh.logIngest(dataset, d)
             }
           }
         }

@@ -48,8 +48,9 @@ object AnnIndex extends OpModule {
     * root built by another version refuses loudly instead of silently
     * serving stale geometry. v2: added the `ivf_seeded` family (s3).
     * v3: the commit marker records the cell geometry (`nc`/`kc`) the
-    * root was built with. */
-  private val BuildVersion = 3
+    * root was built with. v4: the IVF+PQ coarse cell count (`pc`) is a
+    * build parameter too, recorded in the marker alongside nc/kc. */
+  private val BuildVersion = 4
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -185,28 +186,29 @@ object AnnIndex extends OpModule {
     * under `root` (replacing whatever was there). One cached pass
     * provides every training aggregate and every encode.
     *
-    * `nc` (seeded-IVF cells) and `kc` (Lloyd-trained cells) are BUILD
-    * parameters recorded in the `_built` marker, not compile-time
-    * constants: the defaults are sized for the sf0.1 testdata, and at
-    * 100 TB a 16-cell IVF means terabytes per inverted list — a
-    * production build passes cell counts sized to the corpus
-    * (cells ≈ rows / target_cell_size) and probes keep pruning to the
-    * query cells, so probe cost tracks CELL size, not corpus size.
-    * Probes take their geometry from the persisted centroid tables,
-    * whose cardinality the marker pins ([[buildParams]] reads it
-    * back). */
+    * `nc` (seeded-IVF cells), `kc` (Lloyd-trained cells) and `pc`
+    * (IVF+PQ coarse cells) are BUILD parameters recorded in the
+    * `_built` marker, not compile-time constants: the defaults are
+    * sized for the sf0.1 testdata, and at 100 TB a 16-cell IVF means
+    * terabytes per inverted list — a production build passes cell
+    * counts sized to the corpus (cells ≈ rows / target_cell_size) and
+    * probes keep pruning to the query cells, so probe cost tracks CELL
+    * size, not corpus size. Probes take their geometry from the
+    * persisted centroid tables, whose cardinality the marker pins
+    * ([[buildParams]] reads it back). */
   def build(spark: SparkSession, dir: String, root: String,
       nc: Int = Similarity.NC, kc: Int = Similarity.KC,
+      pc: Int = Similarity.PQ_K,
       maxCellRows: Long = DefaultMaxCellRows): Unit =
     // Single-writer: concurrent build/append against the same root would
     // interleave family writes and commit a marker over mixed geometry.
     graft.WriterLease.withLease(spark, root,
       graft.WriterLease.processOwner("ann-build")) {
-      buildLeased(spark, dir, root, nc, kc, maxCellRows)
+      buildLeased(spark, dir, root, nc, kc, pc, maxCellRows)
     }
 
   private def buildLeased(spark: SparkSession, dir: String, root: String,
-      nc: Int, kc: Int, maxCellRows: Long): Unit = {
+      nc: Int, kc: Int, pc: Int, maxCellRows: Long): Unit = {
     val f = fs(spark, root)
     // Clear the index CONTENTS, not the root: the root also holds the
     // writer lease just acquired.
@@ -239,8 +241,8 @@ object AnnIndex extends OpModule {
       // IVF+PQ (s8's geometry): coarse cells + residual codes,
       // cell-partitioned.
       val headR = Similarity.collectHead(spark, dir,
-        math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
-      val coarse = Similarity.ivfpqCoarse(headR)
+        math.max(Similarity.NQ, pc + Similarity.PQ_K).toLong)
+      val coarse = Similarity.ivfpqCoarse(headR, pc)
       val rcb = Similarity.ivfpqResidualCb(headR, coarse)
       writeCentroids(spark, coarse, s"$root/ivfpq/coarse")
       writeCodebook(spark, rcb, s"$root/ivfpq/codebook")
@@ -257,30 +259,30 @@ object AnnIndex extends OpModule {
       // regenerated corpus (even at identical row count) is rebuilt, not
       // silently served.
       val out = f.create(new Path(s"$root/_built"), true)
-      out.write(markerContent(nc, kc, corpusFingerprint(spark, dir)).getBytes("UTF-8"))
+      out.write(markerContent(nc, kc, pc, corpusFingerprint(spark, dir)).getBytes("UTF-8"))
       out.close()
-      validated.add(s"$dir|$root|$nc|$kc")
+      validated.add(s"$dir|$root|$nc|$kc|$pc")
     } finally vecs.unpersist()
   }
 
-  private def markerContent(nc: Int, kc: Int, fingerprint: String): String =
-    s"v$BuildVersion nc=$nc kc=$kc f=$fingerprint\n"
+  private def markerContent(nc: Int, kc: Int, pc: Int, fingerprint: String): String =
+    s"v$BuildVersion nc=$nc kc=$kc pc=$pc f=$fingerprint\n"
 
   /** The cell geometry a root was built with, read back from its commit
-    * marker: (nc seeded cells, kc trained cells). None when the root has
-    * no valid current-version marker. The persisted centroid tables
-    * carry the same cardinalities — the marker is the cheap,
-    * no-Spark-job authority (and the spec pins the two against each
-    * other). */
-  def buildParams(spark: SparkSession, root: String): Option[(Int, Int)] = {
+    * marker: (nc seeded cells, kc trained cells, pc IVF+PQ coarse
+    * cells). None when the root has no valid current-version marker.
+    * The persisted centroid tables carry the same cardinalities — the
+    * marker is the cheap, no-Spark-job authority (and the spec pins the
+    * two against each other). */
+  def buildParams(spark: SparkSession, root: String): Option[(Int, Int, Int)] = {
     val marker = s"$root/_built"
     if (!exists(spark, marker)) None
     else {
       val in = fs(spark, marker).open(new Path(marker))
       val content = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      """^v(\d+) nc=(\d+) kc=(\d+) f=.*$""".r.findFirstMatchIn(content)
+      """^v(\d+) nc=(\d+) kc=(\d+) pc=(\d+) f=.*$""".r.findFirstMatchIn(content)
         .filter(_.group(1).toInt == BuildVersion)
-        .map(m => (m.group(2).toInt, m.group(3).toInt))
+        .map(m => (m.group(2).toInt, m.group(3).toInt, m.group(4).toInt))
     }
   }
 
@@ -298,17 +300,18 @@ object AnnIndex extends OpModule {
     * version + the requested cell geometry + the corpus's current file
     * fingerprint. Metadata-only: no Spark job on the validation path. */
   def ensureBuilt(spark: SparkSession, dir: String, root: String,
-      nc: Int = Similarity.NC, kc: Int = Similarity.KC): Unit = {
-    if (validated.contains(s"$dir|$root|$nc|$kc")) return
+      nc: Int = Similarity.NC, kc: Int = Similarity.KC,
+      pc: Int = Similarity.PQ_K): Unit = {
+    if (validated.contains(s"$dir|$root|$nc|$kc|$pc")) return
     val marker = s"$root/_built"
     val ok = exists(spark, marker) && {
       val in = fs(spark, marker).open(new Path(marker))
       val content = scala.io.Source.fromInputStream(in).mkString
       in.close()
-      content == markerContent(nc, kc, corpusFingerprint(spark, dir))
+      content == markerContent(nc, kc, pc, corpusFingerprint(spark, dir))
     }
-    if (!ok) build(spark, dir, root, nc, kc)
-    validated.add(s"$dir|$root|$nc|$kc")
+    if (!ok) build(spark, dir, root, nc, kc, pc)
+    validated.add(s"$dir|$root|$nc|$kc|$pc")
   }
 
   // ---- append: extend the corpus under frozen codebooks ---------------

@@ -85,11 +85,13 @@ object Extras extends OpModule {
     val spine = minuteSpineRows.toDF("mod", "periodo")
     Tables.events(spark, dir)
       // Pure long arithmetic on the epoch value (session tz is UTC, so
-      // minute-of-day IS (micros / 60e6) mod 1440): hour()/minute() go
-      // through a per-row ZoneId conversion that both JITs slowly and
+      // minute-of-day IS floor-mod micros-of-day / 60e6): hour()/minute()
+      // go through a per-row ZoneId conversion that both JITs slowly and
       // codegens wider — on a 100 TB events scan the epoch-div form is
-      // the one you want in the hot loop.
-      .select(expr("CAST(unix_micros(ts) div 60000000 % 1440 AS INT)").as("mod"), col("value"))
+      // the one you want in the hot loop. pmod (not %) so pre-1970
+      // timestamps land in [0, 1440) exactly like the oracle's EXTRACT;
+      // truncating div is then safe because the operand is non-negative.
+      .select(expr("CAST(pmod(unix_micros(ts), 86400000000) div 60000000 AS INT)").as("mod"), col("value"))
       .join(broadcast(spine), Seq("mod"))
       .groupBy("periodo")
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))

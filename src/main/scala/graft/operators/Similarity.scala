@@ -408,7 +408,7 @@ object Similarity extends OpModule {
 
   private[operators] val PQ_M = 4    // sub-vector blocks
   private[operators] val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)
-  private[operators] val PQ_K = 8    // codes per block (seeded: first PQ_K vectors)
+  private[graft] val PQ_K = 8    // codes per block (seeded: first PQ_K vectors); also the DEFAULT ivfpq coarse cell count — builds size it to the corpus
 
   private[operators] def pqSubCol(m: Int): Column =
     expr(s"slice(qv, ${m * PQ_SUB + 1}, $PQ_SUB)")
@@ -570,23 +570,33 @@ object Similarity extends OpModule {
     pqAdcTopK("s7", pqEncode(vecs, cb), head, cb)
   })
 
-  /** The IVF+PQ coarse codebook: the first PQ_K raw vectors. */
-  private[operators] def ivfpqCoarse(head: Map[Long, Array[Long]]): Seq[(Long, Array[Long])] =
-    (0L until PQ_K.toLong).flatMap(k => head.get(k).map(k -> _))
+  /** The IVF+PQ coarse codebook: the first `pc` raw vectors. `pc` is a
+    * BUILD parameter (default PQ_K — the inline s8 definition): at
+    * 100 TB a fixed 8-cell coarse quantizer means ~1/8th of the corpus
+    * per probed cell, so the persisted build sizes `pc` to the corpus
+    * (cells ≈ rows / target_cell_size) exactly like the IVF families'
+    * nc/kc. */
+  private[operators] def ivfpqCoarse(head: Map[Long, Array[Long]],
+      pc: Int = PQ_K): Seq[(Long, Array[Long])] =
+    (0L until pc.toLong).flatMap(k => head.get(k).map(k -> _))
 
-  /** Residual codebook (driver): vectors PQ_K..2·PQ_K−1, each a residual
+  /** Residual codebook (driver): the PQ_K vectors AFTER the coarse
+    * seeds (ids coarse.size..coarse.size+PQ_K−1), each a residual
     * against its own nearest coarse centroid. NEVER the centroids
     * themselves — a centroid's residual is the zero vector, which would
     * collapse every codebook entry to zeros and every ADC distance to a
-    * per-query constant (no ranking signal). */
+    * per-query constant (no ranking signal). The codebook stays PQ_K
+    * entries regardless of the coarse cell count (codebook size is the
+    * per-sub-block code space, not a cell-geometry knob). */
   private[operators] def ivfpqResidualCb(head: Map[Long, Array[Long]],
       coarse: Seq[(Long, Array[Long])]): Map[Int, Seq[(Long, Array[Long])]] = {
     val coarseMap = coarse.toMap
+    val cs = coarse.size.toLong
     (0 until PQ_M).map { m =>
-      m -> (PQ_K.toLong until 2L * PQ_K).flatMap { k =>
+      m -> (cs until cs + PQ_K).flatMap { k =>
         head.get(k).map { a =>
           val rv = subL(a, coarseMap(nearestIdL(a, coarse)))
-          (k - PQ_K) -> sliceL(rv, m)
+          (k - cs) -> sliceL(rv, m)
         }
       }
     }.toMap

@@ -172,22 +172,35 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!marker.contains("deadbeef"), marker)
   }
 
-  test("cell geometry is a build parameter: nc/kc round-trip through the marker") {
+  test("cell geometry is a build parameter: nc/kc/pc round-trip through the marker") {
     val root = Files.createTempDirectory("ann-idx-geom").toString
-    AnnIndex.build(spark, sf(), root, nc = 4, kc = 4)
+    AnnIndex.build(spark, sf(), root, nc = 4, kc = 4, pc = 4)
     // The marker is the no-Spark-job authority for the root's geometry…
-    assert(AnnIndex.buildParams(spark, root).contains((4, 4)))
-    // …and the persisted centroid tables carry the same cardinalities.
+    assert(AnnIndex.buildParams(spark, root).contains((4, 4, 4)))
+    // …and the persisted centroid tables carry the same cardinalities —
+    // including the IVF+PQ coarse codebook, whose cell count must scale
+    // with the corpus at 100 TB exactly like the IVF families'.
     assert(spark.read.parquet(s"$root/ivf_seeded/centroids").count() == 4L)
     assert(spark.read.parquet(s"$root/ivf/centroids").count() == 4L)
+    assert(spark.read.parquet(s"$root/ivfpq/coarse").count() == 4L)
     // ensureBuilt at the DIFFERENT (default) geometry must rebuild, not
     // serve the 4-cell index; afterwards the marker reports the default.
     AnnIndex.resetValidationCacheForTest()
     AnnIndex.ensureBuilt(spark, sf(), root)
     assert(AnnIndex.buildParams(spark, root)
-      .contains((Similarity.NC, Similarity.KC)))
+      .contains((Similarity.NC, Similarity.KC, Similarity.PQ_K)))
     assert(rows(AnnIndex.probeIvfSeeded(spark, root))
       == rows(Similarity.s3Inline(spark, sf())))
+    // A non-default coarse count still yields a servable ivfpq family:
+    // the probe reads its geometry from the persisted coarse table, so
+    // it must return a full top-k answer (pc=4 changes WHICH neighbors
+    // — cells are coarser — but never the result shape or coverage).
+    AnnIndex.resetValidationCacheForTest()
+    AnnIndex.build(spark, sf(), root, pc = 4)
+    assert(spark.read.parquet(s"$root/ivfpq/coarse").count() == 4L)
+    val probe = AnnIndex.probeIvfPq(spark, sf(), root)
+    assert(probe.select("query_id").distinct().count() == Similarity.NQ.toLong,
+      "every query must be answered under a non-default coarse geometry")
   }
 
   test("oversized cells are salted across writer tasks without changing probe answers") {
