@@ -53,15 +53,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy long mode) and truncate to microseconds — exactly what
-    * DuckDB's `CAST(ts AS TIMESTAMP)` does, so oracles agree. Integer
-    * `div` (not `/`) because ns-since-epoch exceeds double's 2^53. */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos
+    * via legacy long mode — and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Both
+    * normalize to the SAME TimestampType micros column every downstream
+    * consumer (unix_micros, watermarks, date_format) and every DuckDB
+    * oracle (`CAST(ts AS TIMESTAMP)`) sees, so the storage layout never
+    * leaks past this loader. Nanos truncate with integer `div` (not `/`
+    * — ns-since-epoch exceeds double's 2^53); the NTZ cast interprets
+    * the naive value in the session time zone, which is pinned UTC by
+    * every entrypoint (Bench/Verify/Cli/specs), matching DuckDB's naive
+    * read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

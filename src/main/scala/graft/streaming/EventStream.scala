@@ -21,24 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** events schema as the streaming source sees it (ts arrives as raw
-    * nanos — parquet TIMESTAMP(NANOS) — and is truncated to micros,
-    * matching graft.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-based streaming read of an events directory. */
+  /** File-based streaming read of an events directory.
+    *
+    * Streaming sources need the schema up front, and events.ts has
+    * shipped in two physical layouts (TIMESTAMP(NANOS) read as raw
+    * longs under legacy mode, and TIMESTAMP(MICROS)/NTZ) — so take the
+    * schema from a one-footer batch read of the same directory and
+    * normalize ts to TimestampType micros exactly like
+    * [[graft.Tables.events]] does for batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val fileSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream
+      .schema(fileSchema)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    fileSchema("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Tumbling 1-hour windows × event_type with a 2-hour watermark.
