@@ -70,10 +70,18 @@ object Curation extends OpModule {
       .select(col("doc_id"), col("lang"), col("text"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") >= 20)
-    val keepers = base.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    base.join(keepers, Seq("doc_id"), "semi")
+    // Exact dedup as ONE min_by aggregate (not groupBy-min + semi-join
+    // back): the join shape reads and tokenizes the corpus twice and
+    // shuffles it twice; min_by keeps the whole winning row in a single
+    // map-side-combinable pass, so each hash group ships at most one
+    // candidate row per input partition. doc_id is unique, so the
+    // winner is deterministic.
+    base.groupBy(md5(col("text")).as("h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("text"), col("n_tokens")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.text").as("text"), col("r.n_tokens").as("n_tokens"))
       .join(nearDupDocs, Seq("doc_id"), "anti")
   }
 
@@ -140,10 +148,13 @@ object Curation extends OpModule {
     * with: a stage suddenly dropping 40% of one language is the
     * regression signal, and it's invisible in c1's end-state census.
     * n_dropped is a lag window over the stage axis (4 rows per lang —
-    * the window is over a BOUNDED key, not the corpus). Stage
-    * memberships are computed once each and reused down the funnel, so
-    * the cost is the same one quality scan + two hash aggregates + one
-    * banded self-join c1 pays. */
+    * the window is over a BOUNDED key, not the corpus). All four stage
+    * memberships come out of ONE corpus pass as per-row flags (the
+    * exact-dedup winner is a min-window over the text hash, computed on
+    * pre-projected (id, lang, flag, hash) rows so document text never
+    * enters a shuffle), then a single per-lang aggregate unpivots into
+    * the funnel — the staged-UNION shape would re-read and re-tokenize
+    * the corpus once per stage. */
   val c2CurationFunnel: Op = Op(
     "c2_curation_funnel",
     Some(s"""
@@ -187,22 +198,32 @@ object Curation extends OpModule {
       nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), col("text"),
-        size(TextFns.tokens(col("text"))).as("n_tokens"))
-    val raw = docs.select("doc_id", "lang")
-    val base = docs.filter(col("n_tokens") >= 20).select("doc_id", "lang", "text")
-    val keepers = base.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val exact = base.join(keepers, Seq("doc_id"), "semi").select("doc_id", "lang")
-    val nearDrop = exact.join(nearDupDocs, Seq("doc_id"), "anti")
-    def tag(df: org.apache.spark.sql.DataFrame, idx: Int, name: String) =
-      df.select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("lang"))
-    val census = tag(raw, 1, "raw")
-      .unionByName(tag(base.select("doc_id", "lang"), 2, "quality"))
-      .unionByName(tag(exact, 3, "exact_dedup"))
-      .unionByName(tag(nearDrop, 4, "near_dedup"))
-      .groupBy("lang", "stage_idx", "stage")
-      .agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), col("lang"),
+        (size(TextFns.tokens(col("text"))) >= 20).as("q"),
+        md5(col("text")).as("h"))
+    val flagged = docs
+      // Exact-dedup winner per text hash AMONG quality docs; rows with a
+      // false/null quality flag never win (when() maps them to null, and
+      // min ignores nulls).
+      .withColumn("mn",
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("h")))
+      .withColumn("exact", col("q") && col("doc_id") === col("mn"))
+      .join(nearDupDocs.withColumn("neardup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("near", col("exact") && col("neardup").isNull)
+    val perLang = flagged.groupBy("lang").agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("q").cast("long")).as("n_quality"),
+      sum(col("exact").cast("long")).as("n_exact"),
+      sum(col("near").cast("long")).as("n_near"))
+    // Unpivot to the funnel rows; a stage a language never reaches has
+    // no census row in the staged-UNION formulation (GROUP BY emits no
+    // empty groups), so drop the zero rows to match.
+    val census = perLang
+      .select(col("lang"), expr(
+        "stack(4, 1, 'raw', n_raw, 2, 'quality', n_quality, " +
+          "3, 'exact_dedup', n_exact, 4, 'near_dedup', n_near) " +
+          "AS (stage_idx, stage, n_docs)"))
+      .filter(col("n_docs") > 0)
     census
       .withColumn("n_dropped", coalesce(
         lag(col("n_docs"), 1).over(

@@ -844,11 +844,14 @@ object Dedup extends OpModule {
     * quality-filtering pipelines threshold on (t29 measures repetition
     * WITHIN a doc; this measures how much of a doc is boilerplate shared
     * ACROSS docs, which pair-level dedup like d2 only catches when
-    * whole documents align). Two hash aggregates and one equi-join, all
-    * keyed by the int64 gram hash: per-(doc, gram) occurrence counts,
-    * then gram document-frequency, then a per-doc rollup — every stage
-    * map-side combinable, nothing corpus-global. The fraction is one
-    * IEEE division of two exact counts. */
+    * whole documents align). One pass over the grams: per-(doc, gram)
+    * occurrence counts, gram document-frequency as a COUNT window over
+    * the gram hash (not a self-join — a join would re-derive the whole
+    * tokenize/explode/md5 subtree for the second branch), then a per-doc
+    * rollup. Every aggregate is map-side combinable, the window
+    * partitions by the int64 gram hash (max partition size = corpus doc
+    * count), nothing corpus-global. The fraction is one IEEE division of
+    * two exact counts. */
   val d10DupGramFraction: Op = Op(
     "d10_dup_gram_fraction",
     Some(s"""
@@ -884,8 +887,9 @@ object Dedup extends OpModule {
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-    val df = occ.groupBy("gh").agg(count(lit(1)).as("ndocs"))
-    occ.join(df, Seq("gh"))
+    occ
+      .withColumn("ndocs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(
         sum(col("c")).as("n_grams"),
