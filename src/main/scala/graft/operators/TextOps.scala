@@ -250,11 +250,14 @@ object TextOps extends OpModule {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-    // df and N both derive from the (doc, word) aggregate — the token
-    // stream is exploded and shuffled ONCE, not three times (tf rows
-    // are distinct per (doc, word), so counting them per word IS the
-    // document frequency).
+    // df and N both derive from the (doc, word) aggregate — tf rows are
+    // distinct per (doc, word), so counting them per word IS the
+    // document frequency. tf feeds THREE consumers (scored's join left,
+    // df, n); cache it so the token stream is exploded and aggregated
+    // once, not once per branch (same pattern as d2Pairs' shingle
+    // cache — Spark does not reuse uncached non-exchange subtrees).
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .cache()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
     // No broadcast HINT on df: a natural-language lexicon is small, but
