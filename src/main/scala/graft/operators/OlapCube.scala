@@ -154,12 +154,17 @@ object OlapCube extends OpModule {
     val ord = o
       .groupBy(col("c_nationkey").as("nk"), year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("order_value"))
+    // Aggregate lineitem per order BEFORE the orders join: the returned
+    // count is additive, so the join input shrinks from every returned
+    // line to one row per order and the orderkey shuffle carries a
+    // (key, count) pair instead of full fact rows.
     val ret = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("ret_cnt"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"), year(col("o_orderdate")).as("yr"))
-      .agg(count(lit(1)).as("n_returned"))
+      .agg(sum(col("ret_cnt")).as("n_returned"))
     ord.join(ret, Seq("nk", "yr"))
       .join(broadcast(Tables.nation(spark, dir)), col("nk") === col("n_nationkey"))
       .select("n_name", "yr", "n_orders", "order_value", "n_returned")
