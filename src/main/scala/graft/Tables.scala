@@ -68,16 +68,23 @@ object Tables {
     * read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** The ONE place that maps a physical events.ts layout to the
+    * TimestampType micros column consumers see — used by the batch
+    * loader above and the streaming reader
+    * ([[graft.streaming.EventStream.readEvents]]); a third generator
+    * layout extends THIS match and both surfaces follow. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
+        df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", raw("ts").cast("timestamp"))
-      case _ => raw
+        df.withColumn("ts", df("ts").cast("timestamp"))
+      case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

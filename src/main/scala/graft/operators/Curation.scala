@@ -208,7 +208,12 @@ object Curation extends OpModule {
       .withColumn("mn",
         min(when(col("q"), col("doc_id"))).over(Window.partitionBy("h")))
       .withColumn("exact", col("q") && col("doc_id") === col("mn"))
-      .join(nearDupDocs.withColumn("neardup", lit(true)), Seq("doc_id"), "left")
+      // distinct BEFORE the left join: survivors() tolerates duplicate
+      // doc_ids in the drop set (anti join is membership), so the funnel
+      // must too — a duplicated id would fan out its flagged row and
+      // inflate EVERY stage count, not just near_dedup.
+      .join(nearDupDocs.select("doc_id").distinct().withColumn("neardup", lit(true)),
+        Seq("doc_id"), "left")
       .withColumn("near", col("exact") && col("neardup").isNull)
     val perLang = flagged.groupBy("lang").agg(
       count(lit(1)).as("n_raw"),

@@ -21,25 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  /** events schema assumed when the directory has no files yet to sniff
+    * (a watcher started before the first drop): the CURRENT generator
+    * layout, micros/NTZ. */
+  private val defaultSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-based streaming read of an events directory.
     *
     * Streaming sources need the schema up front, and events.ts has
     * shipped in two physical layouts (TIMESTAMP(NANOS) read as raw
     * longs under legacy mode, and TIMESTAMP(MICROS)/NTZ) — so take the
-    * schema from a one-footer batch read of the same directory and
-    * normalize ts to TimestampType micros exactly like
-    * [[graft.Tables.events]] does for batch. */
+    * schema from a one-footer batch read of the same directory (falling
+    * back to the current generator layout when the directory is still
+    * empty) and normalize ts through the same single match batch uses
+    * ([[graft.Tables.normalizeEventTs]]). A directory mixing files from
+    * BOTH generations is not supported — one sniffed schema applies to
+    * every file, as with any fixed-schema streaming source. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
-    val stream = spark.readStream
-      .schema(fileSchema)
-      .parquet(dir)
-    fileSchema("ts").dataType match {
-      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => stream
-    }
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition != null && e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") =>
+        defaultSchema }
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour windows × event_type with a 2-hour watermark.

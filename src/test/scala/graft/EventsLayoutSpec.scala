@@ -42,6 +42,14 @@ class EventsLayoutSpec extends SparkSpecBase {
     assert(t > 0L)
   }
 
+  test("streaming reader starts against an empty directory (schema fallback)") {
+    val d = Files.createTempDirectory("graft-evlayout-empty").toString
+    val stream = streaming.EventStream.readEvents(spark, d)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming reader matches the batch loader on both layouts") {
     Seq("nanos", "ntz").foreach { v =>
       val d = forge(v)
