@@ -113,14 +113,22 @@ object OlapCube extends OpModule {
       ORDER BY o_year
     """
     })((spark, dir) => {
-    Tables.lineitem(spark, dir)
+    // Aggregate revenue per order BEFORE the orders join (decimal sums
+    // are associative, so per-order partials re-sum exactly): the
+    // orderkey shuffle carries one (key, sum) pair per order instead of
+    // every line — the q10/q9 aggregate-before-join shape.
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(27,6)")).as("rev"))
+    perOrder
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .pivot("r_name", regions)
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(27,6)")).cast("double"))
+      .agg(sum(col("rev")).cast("double"))
       .orderBy("o_year")
   })
 

@@ -339,8 +339,12 @@ object TextOps extends OpModule {
       ORDER BY lang
     """))((spark, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // words feeds both the sketch and the exact branch (the oracle
+    // defines n_exact over WORDS, not hashes, so the branches cannot
+    // merge) — cache it rather than exploding the corpus twice.
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
+      .cache()
     // 52-bit uniform hash: md5 prefix, so U_k = hk / 2^52.
     val h = words.select(col("lang"),
         conv(substring(md5(col("word")), 1, 13), 16, 10).cast("long").as("h"))
