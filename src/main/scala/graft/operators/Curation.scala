@@ -65,23 +65,26 @@ object Curation extends OpModule {
     * never diverge (a hand-copied stage list in the export is exactly
     * how the census and the shipped corpus drift apart). */
   private[graft] def survivors(spark: org.apache.spark.sql.SparkSession, dir: String,
-      nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      nearDupDocs: org.apache.spark.sql.DataFrame,
+      keep: Seq[String] = Seq("doc_id", "lang", "text", "n_tokens"))
+      : org.apache.spark.sql.DataFrame = {
     val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("text"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") >= 20)
     // Exact dedup as ONE min_by aggregate (not groupBy-min + semi-join
     // back): the join shape reads and tokenizes the corpus twice and
-    // shuffles it twice; min_by keeps the whole winning row in a single
+    // shuffles it twice; min_by keeps the winning row in a single
     // map-side-combinable pass, so each hash group ships at most one
     // candidate row per input partition. doc_id is unique, so the
-    // winner is deterministic.
+    // winner is deterministic. `keep` narrows the carried payload —
+    // the md5 group key is computed BEFORE the exchange, so a caller
+    // that doesn't need `text` downstream (c1's census) never ships
+    // document bodies through the shuffle; the STAGE LIST stays this
+    // one definition either way.
     base.groupBy(md5(col("text")).as("h"))
-      .agg(min_by(
-        struct(col("doc_id"), col("lang"), col("text"), col("n_tokens")),
-        col("doc_id")).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-        col("r.text").as("text"), col("r.n_tokens").as("n_tokens"))
+      .agg(min_by(struct(keep.map(col): _*), col("doc_id")).as("r"))
+      .select(keep.map(k => col(s"r.$k").as(k)): _*)
       .join(nearDupDocs, Seq("doc_id"), "anti")
   }
 
@@ -89,7 +92,7 @@ object Curation extends OpModule {
     * the inline oracle query (c1) and the persisted-pair-table path. */
   private def curate(spark: org.apache.spark.sql.SparkSession, dir: String,
       nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    survivors(spark, dir, nearDupDocs)
+    survivors(spark, dir, nearDupDocs, keep = Seq("doc_id", "lang", "n_tokens"))
       .select(col("lang"), col("n_tokens"), HashSplit.splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
