@@ -90,14 +90,23 @@ object Relational extends OpModule {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Aggregate per order BEFORE the orders join (revenue and the line
+    // count are both additive; decimal partials re-sum exactly): the
+    // orderkey shuffle carries one row per order, not per line — the
+    // q10/q9/q8 aggregate-before-join shape.
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(27,6)")).as("rev"),
+        count(lit(1)).as("n_li"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"), year(col("o_orderdate")).as("o_year"))
       .agg(
-        Exact.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_li")).as("n_items"))
       .orderBy("r_name", "n_name", "o_year")
   })
 
