@@ -286,9 +286,14 @@ object Extras extends OpModule {
     * key, and rows whose key resolves to no dim row (dangling) — the
     * cross-table conformance census q29's single-table profile can't
     * see, and the check every warehouse load gates on before exposing a
-    * partition. Each relationship is one LEFT ANTI join on the key
-    * (dims broadcast at dim scale; shuffle-join beyond) plus one scan
-    * count — no row ever carries more than the key column. */
+    * partition. ONE pass per fact: the dim-side relationships
+    * (part/supplier/customer) resolve as broadcast key-set left joins
+    * riding the same scan that counts rows and null keys, so lineitem
+    * is read once for all three of its audits (not once per
+    * relationship per statistic); only the fact→fact relationship
+    * (lineitem.l_orderkey→orders) pays a shuffled ANTI join — orders is
+    * not broadcastable at 100 TB. No row ever carries more than its key
+    * columns. */
   val q34FkAudit: Op = Op(
     "q34_fk_audit",
     Some("""
@@ -327,28 +332,54 @@ object Extras extends OpModule {
       FROM rel
       ORDER BY relationship
     """))((spark, dir) => {
-    def audit(name: String, fact: org.apache.spark.sql.DataFrame, key: String,
-        dim: org.apache.spark.sql.DataFrame, dimKey: String) = {
-      val keyed = fact.select(col(key))
-      val dangling = keyed.filter(col(key).isNotNull)
-        .join(broadcast(dim.select(col(dimKey).as(key))), Seq(key), "anti")
-      keyed.agg(
-        count(lit(1)).as("n_rows"),
-        // coalesce: SUM over an empty table is NULL, the oracle's
-        // subquery COUNT is 0 — keep both engines at 0.
-        coalesce(sum(when(col(key).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null_key"))
-        .crossJoin(broadcast(dangling.agg(count(lit(1)).as("n_dangling"))))
-        .select(lit(name).as("relationship"), col("n_rows"), col("n_null_key"),
-          col("n_dangling"))
-    }
-    audit("lineitem.l_orderkey->orders",
-      Tables.lineitem(spark, dir), "l_orderkey", Tables.orders(spark, dir), "o_orderkey")
-      .unionByName(audit("lineitem.l_partkey->part",
-        Tables.lineitem(spark, dir), "l_partkey", Tables.part(spark, dir), "p_partkey"))
-      .unionByName(audit("lineitem.l_suppkey->supplier",
-        Tables.lineitem(spark, dir), "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
-      .unionByName(audit("orders.o_custkey->customer",
-        Tables.orders(spark, dir), "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+    // coalesce everywhere a SUM could see an empty table: the oracle's
+    // subquery COUNT is 0 there — keep both engines at 0.
+    def nulls(key: String) =
+      coalesce(sum(when(col(key).isNull, 1L).otherwise(0L)), lit(0L))
+    def dangling(key: String, hitKey: String) =
+      coalesce(sum(when(col(key).isNotNull && col(hitKey).isNull, 1L)
+        .otherwise(0L)), lit(0L))
+    def keySet(dim: org.apache.spark.sql.DataFrame, dimKey: String, as: String) =
+      broadcast(dim.select(col(dimKey).as(as)))
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val liStats = li
+      .join(keySet(Tables.part(spark, dir), "p_partkey", "pk"),
+        col("l_partkey") === col("pk"), "left")
+      .join(keySet(Tables.supplier(spark, dir), "s_suppkey", "sk"),
+        col("l_suppkey") === col("sk"), "left")
+      .agg(
+        count(lit(1)).as("li_rows"),
+        nulls("l_orderkey").as("nul_ord"),
+        nulls("l_partkey").as("nul_part"),
+        nulls("l_suppkey").as("nul_supp"),
+        dangling("l_partkey", "pk").as("dang_part"),
+        dangling("l_suppkey", "sk").as("dang_supp"))
+    val dangOrd = li.select("l_orderkey").filter(col("l_orderkey").isNotNull)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "anti")
+      .agg(count(lit(1)).as("dang_ord"))
+    val oStats = Tables.orders(spark, dir).select("o_custkey")
+      .join(keySet(Tables.customer(spark, dir), "c_custkey", "ck"),
+        col("o_custkey") === col("ck"), "left")
+      .agg(
+        count(lit(1)).as("o_rows"),
+        nulls("o_custkey").as("nul_cust"),
+        dangling("o_custkey", "ck").as("dang_cust"))
+    // Three 1-row aggregates → one bounded collect → a local 4-row
+    // result (the same bounded-collect pattern as the ANN codebooks);
+    // unioning four projections of the joined stats row would re-run
+    // the fact scans once per branch.
+    val s = liStats.crossJoin(broadcast(dangOrd)).crossJoin(broadcast(oStats))
+      .collect()(0)
+    def g(n: String) = s.getLong(s.fieldIndex(n))
+    import spark.implicits._
+    Seq(
+      ("lineitem.l_orderkey->orders", g("li_rows"), g("nul_ord"), g("dang_ord")),
+      ("lineitem.l_partkey->part", g("li_rows"), g("nul_part"), g("dang_part")),
+      ("lineitem.l_suppkey->supplier", g("li_rows"), g("nul_supp"), g("dang_supp")),
+      ("orders.o_custkey->customer", g("o_rows"), g("nul_cust"), g("dang_cust")))
+      .toDF("relationship", "n_rows", "n_null_key", "n_dangling")
       .orderBy("relationship")
   })
 
