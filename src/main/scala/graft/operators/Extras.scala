@@ -339,8 +339,12 @@ object Extras extends OpModule {
     def dangling(key: String, hitKey: String) =
       coalesce(sum(when(col(key).isNotNull && col(hitKey).isNull, 1L)
         .otherwise(0L)), lit(0L))
+    // distinct() matters: a duplicated dim key (exactly the integrity
+    // defect an FK audit exists to surface) must not fan out fact rows
+    // through the left join and inflate the counts — EXISTS semantics,
+    // like the oracle.
     def keySet(dim: org.apache.spark.sql.DataFrame, dimKey: String, as: String) =
-      broadcast(dim.select(col(dimKey).as(as)))
+      broadcast(dim.select(col(dimKey).as(as)).distinct())
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey")
     val liStats = li
