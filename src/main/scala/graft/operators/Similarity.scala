@@ -826,22 +826,27 @@ object Similarity extends OpModule {
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("qv"))
-    val mx = vecs.select(posexplode(col("qv")).as(Seq("dim0", "x")))
+    // Per-dim max |x| as ONE broadcast 1-row array (dim-sorted struct
+    // collect), cross-joined onto every vector — no driver collect, no
+    // second job: the stats pass and the encode pass are one lazy DAG,
+    // and the exact integer maxes reach executors without a driver
+    // round-trip that could diverge from executor arithmetic.
+    val mxArr = vecs.select(posexplode(col("qv")).as(Seq("dim0", "x")))
       .groupBy("dim0").agg(max(abs(col("x"))).as("mx"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val mLit = typedLit(Array.tabulate(mx.size)(i => mx(i)))
+      .agg(transform(array_sort(collect_list(struct(col("dim0"), col("mx")))),
+        s => s.getField("mx")).as("mxs"))
     def codeOf(x: Column, m: Column): Column =
       when(m === 0L, lit(0L))
         .otherwise(round((x * lit(127L)).cast("double") / m.cast("double")).cast("long"))
     def reconOf(c: Column, m: Column): Column =
       when(m === 0L, lit(0L))
         .otherwise(round((c * m).cast("double") / lit(127.0)).cast("long"))
-    val per = vecs.select(col("label"),
+    val per = vecs.crossJoin(broadcast(mxArr)).select(col("label"),
       aggregate(
-        zip_with(col("qv"), mLit, (x, m) => x - reconOf(codeOf(x, m), m)),
+        zip_with(col("qv"), col("mxs"), (x, m) => x - reconOf(codeOf(x, m), m)),
         lit(0L), (acc, e) => acc + e * e).as("sq"),
       size(col("qv")).cast("long").as("nd"),
-      array_max(zip_with(col("qv"), mLit, (x, m) => abs(codeOf(x, m)))).as("mc"))
+      array_max(zip_with(col("qv"), col("mxs"), (x, m) => abs(codeOf(x, m)))).as("mc"))
     per.groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
