@@ -786,12 +786,14 @@ object Similarity extends OpModule {
     * division + half-up round per element — identical bit patterns in
     * both engines, so even the summed squared errors hash-match.
     *
-    * Scale shape: two scans and no joins — a map-side-combinable
-    * (dim, max|x|) aggregate whose dim-count-bounded result is
-    * collected and pushed back as literals (the codebook pattern), then
-    * a pure per-row encode + 10-row label census. At 100 TB the stats
-    * pass is the standard collect-stats-then-broadcast shape; the
-    * encode pass stays inside whole-stage codegen. */
+    * Scale shape: a map-side-combinable (dim, max|x|) aggregate whose
+    * dim-count-bounded result collapses to ONE broadcast row (a
+    * dim-sorted array), cross-joined onto the corpus for a pure
+    * per-row encode + 10-row label census — the stats never round-trip
+    * through the driver, and the encode pass stays inside whole-stage
+    * codegen. The broadcast exchange still materializes the stats
+    * aggregate before the encode scan (as any stats-then-broadcast
+    * shape must), but both passes live in one lazy DAG. */
   val s12Int8Quantize: Op = Op(
     "s12_int8_quantize",
     Some(s"""
@@ -827,10 +829,10 @@ object Similarity extends OpModule {
       .select(col("vec_id"), col("label"),
         VectorFns.quantize(col("embedding")).as("qv"))
     // Per-dim max |x| as ONE broadcast 1-row array (dim-sorted struct
-    // collect), cross-joined onto every vector — no driver collect, no
-    // second job: the stats pass and the encode pass are one lazy DAG,
-    // and the exact integer maxes reach executors without a driver
-    // round-trip that could diverge from executor arithmetic.
+    // collect), cross-joined onto every vector — no driver collect:
+    // the stats pass and the encode pass are one lazy DAG (the
+    // broadcast exchange still materializes the stats first), and the
+    // exact integer maxes reach executors without a driver round-trip.
     val mxArr = vecs.select(posexplode(col("qv")).as(Seq("dim0", "x")))
       .groupBy("dim0").agg(max(abs(col("x"))).as("mx"))
       .agg(transform(array_sort(collect_list(struct(col("dim0"), col("mx")))),
