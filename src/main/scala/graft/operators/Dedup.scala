@@ -74,7 +74,7 @@ object Dedup extends OpModule {
     * dropped all new-vs-old candidate pairs — the exact nightly-ingest
     * case the index exists for. */
   private[graft] val hashFamilyId: String =
-    s"minhash/2;shingle=word3;p=$MinhashP;mask=$MinhashMask;nh=$NH;bands=$BANDS;" +
+    s"minhash/3;shingle=word3h31;p=$MinhashP;mask=$MinhashMask;nh=$NH;bands=$BANDS;" +
       s"ab=${MinhashAB.map { case (a, b) => s"$a*h+$b" }.mkString(",")};t=$JACCARD_T"
 
   /** d8's LSH bucket width (sign-projection bits) and cosine keep
@@ -97,16 +97,20 @@ object Dedup extends OpModule {
     s"emblsh/1;quant=1e6;sign=popcount(b*1000003+i);bits=$EMB_BITS;probe=hamming1;cos_t=$EMB_COS_T"
 
   /** Shared DuckDB CTE chain producing the MinHash-LSH near-dup pairs
-    * (used by d2's oracle and d6's clustering oracle). MinHash values
-    * are int64: ONE md5 per shingle (first 15 hex chars parsed as a
-    * number, masked to 31 bits — fixed-width hex is order-preserving so
-    * both engines agree) re-mixed through the NH universal hashes above,
-    * and the signature/band shuffle carries 8 longs per doc instead of
-    * 8 32-char strings. Band keys are the raw (h,h) long pairs — no
-    * extra hash at all. */
+    * (used by d2's oracle and d6's clustering oracle). Shingles are
+    * carried as int64 HASHES from the shingle stage on: ONE md5 per
+    * distinct shingle string (first 15 hex chars parsed as a number,
+    * masked to 31 bits — fixed-width hex is order-preserving so both
+    * engines agree), then distinct'd again so downstream set math is
+    * over the hashed shingle SET. MinHash signatures are identical to
+    * the string-shingle formulation (a duplicate hash can't change a
+    * min); the exact re-score is Jaccard over the hashed sets — the
+    * standard 31-bit estimator, mirrored verbatim in this oracle so
+    * both engines move together on the rare in-pair collision. Band
+    * keys are the raw (h,h) long pairs — no extra hash at all. */
   private[operators] lazy val duckPairCtes: String = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
-      s"list_aggregate(list_transform(hb, h -> ($a * h + $b) % $MinhashP), 'min') AS h${i + 1}"
+      s"list_aggregate(list_transform(sh, h -> ($a * h + $b) % $MinhashP), 'min') AS h${i + 1}"
     }.mkString(",\n               ")
     val bandRows = (1 to BANDS).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b - 1} AS hx, h${2 * b} AS hy FROM hashed")
@@ -116,18 +120,16 @@ object Dedup extends OpModule {
         FROM documents
       ), sh AS (
         SELECT doc_id,
-               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              FOR i IN generate_series(1, len(w) - 2)]) AS sh
+               list_distinct(list_transform(
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                FOR i IN generate_series(1, len(w) - 2)]),
+                 s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+                        & $MinhashMask)) AS sh
         FROM toks WHERE len(w) >= 3
-      ), shb AS (
-        SELECT doc_id, sh,
-               list_transform(sh, s ->
-                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & $MinhashMask) AS hb
-        FROM sh
       ), hashed AS (
         SELECT doc_id, sh,
                $mins
-        FROM shb
+        FROM sh
       ), bands AS (
         $bandRows
       ), cand AS (
@@ -149,11 +151,23 @@ object Dedup extends OpModule {
     * banded self-join → exact-Jaccard threshold. The d2 operator adds
     * the presentation ORDER BY; internal consumers (d6's clustering,
     * c1's anti-join, the persisted pair table) take the pair SET and
-    * must not pay a total sort for it. */
+    * must not pay a total sort for it.
+    *
+    * Both caches release via storage-LRU by design: the pipeline
+    * returns a LAZY pair DataFrame (consumers decide when — and how
+    * often — to act on it), so an eager unpersist here would either
+    * force materialization or yank blocks a consumer is about to read.
+    * The band cache is what keeps the self-join from running the
+    * explode+md5+min aggregate once PER SIDE — a derived-DF self-join
+    * gets fresh expression ids, so Catalyst sees two distinct subtrees
+    * and exchange reuse never fires; the cache is the cross-subtree
+    * seam. 4 rows per doc, three longs each — negligible storage at any
+    * scale. */
   private[operators] def d2Pairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = shingled(Tables.spread(Tables.documents(spark, dir)))
       .cache() // reused for exact-Jaccard rescoring of the candidates
     val bands = minhashBands(toks)
+      .cache() // both sides of the self-join read this, not the agg
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
@@ -176,34 +190,37 @@ object Dedup extends OpModule {
     """))((spark, dir) =>
     d2Pairs(spark, dir).orderBy("doc_a", "doc_b"))
 
-  /** d2's per-document shingle stage: (doc_id, sh) with distinct word
-    * 3-grams; docs under 3 tokens drop. Shared with [[NearDupIndex]] so
-    * the incremental index is definitionally consistent with d2. */
+  /** d2's per-document shingle stage: (doc_id, sh) with the distinct
+    * word-3-gram set carried as 31-bit md5 HASHES (int64); docs under 3
+    * tokens drop. Hashing here — one md5 per distinct shingle string,
+    * before anything is cached or shuffled — means every downstream
+    * stage (the minhash aggregate, the cached re-score arrays, the
+    * persisted index shingle table) moves 8-byte longs instead of
+    * ~20-char strings, and the md5 is never re-evaluated per hash
+    * function. Shared with [[NearDupIndex]] so the incremental index is
+    * definitionally consistent with d2; the oracle mirror lives in
+    * [[duckPairCtes]]'s `sh` CTE. */
   private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(TextFns.wordShingles(col("w"), 3)).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(array_distinct(TextFns.wordShingles(col("w"), 3)),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+            .bitwiseAND(lit(MinhashMask)))).as("sh"))
 
   /** d2's signature stage: (doc_id, band, hx, hy) LSH band keys.
     *
-    * Min-hashes via explode + codegen'd md5 + ONE hash aggregate with 8
-    * MIN columns — not 8 interpreted array_min(transform(...)) lambdas
-    * over the shingle array. Identical values, but the md5 loop stays
-    * inside whole-stage codegen and the shuffle is a single partial-agg
-    * pass (the shape that scales: shingle rows, not per-doc arrays).
-    * Minhash values are int64 (15-hex prefix of the salted md5, parsed):
-    * the agg state and every downstream shuffle row carries longs, not
-    * 32-char strings; fixed-width hex keeps the MIN order-preserving so
-    * the DuckDB mirror lands on identical values. Band key = the raw
-    * (h, h) long pair — the join key is already fixed-width. */
+    * Min-hashes via explode + ONE hash aggregate with 8 MIN columns —
+    * not 8 interpreted array_min(transform(...)) lambdas over the
+    * shingle array. The shingle hashes are already int64 (computed once
+    * in [[shingled]]), so this stage is pure integer arithmetic: the
+    * NH universal-hash mixes are two integer ops each inside the min()
+    * aggregates, the agg state and every downstream shuffle row carries
+    * longs, and the whole explode→agg span stays inside whole-stage
+    * codegen. Band key = the raw (h, h) long pair — the join key is
+    * already fixed-width. */
   private[operators] def minhashBands(sh: DataFrame): DataFrame = {
-    // ONE md5 per shingle, projected before the aggregate so codegen
-    // can't re-evaluate it per hash function; the NH universal-hash
-    // mixes are two integer ops each inside the min() aggregates.
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-          .bitwiseAND(lit(MinhashMask)).as("hb"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("hb"))
     val minAggs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"h${i + 1}")
     }
