@@ -248,15 +248,30 @@ object TextOps extends OpModule {
       ORDER BY doc_id, rnk
     """))((spark, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    // ONE doc_id exchange carries the whole query, placed on the RAW
+    // (doc_id, text) rows so it moves ~5k strings, not ~1M exploded
+    // words, and the tokenize+explode runs 32-way AFTER the shuffle
+    // (it also replaces the usual Tables.spread round-robin — same
+    // exchange, useful key). Hashpartitioning on doc_id satisfies the
+    // tf aggregate's (doc_id, word) clustering (the subset rule),
+    // survives the aggregate and the broadcast df join, and is exactly
+    // the top-k window's required distribution — so the 650k-row scored
+    // exchange+sort the window used to pay disappears; only df's
+    // word-level rollup and the 15k-row presentation sort shuffle after
+    // this point. (Partitioning by (doc_id, word) instead would
+    // aggregate equally well but NOT satisfy the window, which is the
+    // superset direction the rule rejects.)
+    //
     // df and N both derive from the (doc, word) aggregate — tf rows are
     // distinct per (doc, word), so counting them per word IS the
     // document frequency. tf feeds THREE consumers (scored's join left,
     // df, n); cache it so the token stream is exploded and aggregated
     // once, not once per branch (same pattern as d2Pairs' shingle
     // cache — Spark does not reuse uncached non-exchange subtrees).
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .cache()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
