@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   * K²/2 new near-dup pairs per doc and the probe would measure the
   * forged data's quadratic pair growth, not the engine.
   *
-  * Usage: runMain graft.ScaleCheck [sfDir] [factor]
+  * Usage: runMain graft.ScaleCheck [sfDir] [factor] [deepFactor]
   * Output: one JSON line per op {op, base_s, scaled_s, ratio, data_ratio,
   * linear} plus a summary; also written to SCALECHECK.json.
+  *
+  * deepFactor (0 = off): a second, much larger replication (documents
+  * only) for the worst document-side ops — K× validates the plan shape,
+  * but a hidden driver-side cliff or skew wall shows up only when the
+  * corpus is millions of rows, so the heaviest three get one deep point
+  * each (single timed run; the code paths are already JIT'd by the K×
+  * probes, and at this size the job is minutes, not noise-bound).
   */
 object ScaleCheck {
 
@@ -116,6 +123,7 @@ object ScaleCheck {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val deepFactor = args.lift(2).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -206,7 +214,30 @@ object ScaleCheck {
       println(line)
       line
     }
-    val json = (lines ++ probeLines).mkString("[", ",\n", "]")
+    // Deep tier: documents-only replication at deepFactor for the three
+    // heaviest document ops (they read nothing but the documents table).
+    // Grading: scaled wall vs the 1× base measured above — no warm rep
+    // (single run; JIT is already paid by the K× probes).
+    val deepLines =
+      if (deepFactor <= 0) Seq.empty[String]
+      else {
+        val deepDir = s"$scaled/deep"
+        scaleDocuments(spark, sfDir, deepDir, deepFactor)
+        Seq("d4_dedup_ngram_jaccard", "d9_canonical_docs", "c1_corpus_curation")
+          .map { name =>
+            val fn = SparkEntry.queries(name)
+            val base = (1 to 2).map(_ => time(fn, sfDir)).min
+            val big = time(fn, deepDir)
+            val ratio = big / math.max(base, 1e-9)
+            val line =
+              s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
+                s""""ratio":${fmt(ratio)},"data_ratio":$deepFactor,""" +
+                s""""linear":${ratio <= 1.5 * deepFactor}}"""
+            println(line)
+            line
+          }
+      }
+    val json = (lines ++ probeLines ++ deepLines).mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
     } finally {
       // The scaled corpus is factor× the input — don't leak it in tmp,

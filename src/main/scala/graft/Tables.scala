@@ -82,6 +82,16 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The NTZ→Timestamp cast interprets the naive value in the
+        // SESSION time zone. Every entrypoint pins it to UTC; a session
+        // built without that config would silently shift every event by
+        // the JVM zone offset — fail loudly instead of skewing results.
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"events.ts is TIMESTAMP_NTZ and its cast to TIMESTAMP reads the naive value " +
+            s"in the session zone; set spark.sql.session.timeZone=UTC (got '$tz') " +
+            "so both engines read the same instants")
         df.withColumn("ts", df("ts").cast("timestamp"))
       case _ => df
     }

@@ -35,10 +35,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Append one ingest batch under `dt=$dt`. NOT replay-safe on its own
     * (a crashed run's partial files stay); the ingest paths use
-    * [[overwriteDay]] / [[appendUnit]] instead, which are. Kept for
-    * ad-hoc loads where the caller owns idempotency. Caller holds the
-    * table's scope lease. */
-  def append(table: String, df: DataFrame, dt: String): Unit =
+    * [[overwriteDay]] / [[appendUnit]] instead, which are. Restricted to
+    * this package so the bare-append shape cannot be reached from
+    * application code — every external fact write must go through the
+    * replay-idempotent pair ([[overwriteDay]]/[[appendUnit]] + manifest).
+    * Caller holds the table's scope lease and owns idempotency. */
+  private[olapsus] def append(table: String, df: DataFrame, dt: String): Unit =
     df.withColumn("dt", org.apache.spark.sql.functions.lit(dt))
       .write.mode("append").partitionBy("dt").parquet(path(table))
 

@@ -345,8 +345,20 @@ object Dedup extends OpModule {
       .distinct()
       .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
+    // Document-frequency pruning: a block-gram held by exactly ONE doc
+    // cannot produce a pair (grams are distinct per doc, and the
+    // a.doc_id < b.doc_id predicate excludes self-matches), so drop the
+    // df=1 long tail — the bulk of any 5-gram space — before the
+    // self-join. The count is a map-side-combinable hash aggregate on
+    // bg (tiny exchange: one row per distinct gram), and the filtered
+    // join input keeps the same bg partitioning the self-join needs.
+    // `sizes` stays over the FULL gram sets: union sizes in the Jaccard
+    // denominator must count unshared grams.
+    val dfg = grams.groupBy("bg").agg(count(lit(1)).as("dfb"))
+      .filter(col("dfb") > 1).select("bg")
+    val shared = grams.join(dfg, Seq("bg")).cache()
+    val inter = shared.as("a")
+      .join(shared.as("b"),
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -288,12 +288,12 @@ object Extras extends OpModule {
     * see, and the check every warehouse load gates on before exposing a
     * partition. ONE pass per fact: the dim-side relationships
     * (part/supplier/customer) resolve as broadcast key-set left joins
-    * riding the same scan that counts rows and null keys, so lineitem
-    * is read once for all three of its audits (not once per
-    * relationship per statistic); only the fact→fact relationship
-    * (lineitem.l_orderkey→orders) pays a shuffled ANTI join — orders is
-    * not broadcastable at 100 TB. No row ever carries more than its key
-    * columns. */
+    * riding the same scan that counts rows and null keys; the fact→fact
+    * relationship (lineitem.l_orderkey→orders) pays a shuffled ANTI
+    * join — orders is not broadcastable at 100 TB — reading the cached
+    * 3-column projection rather than re-scanning parquet, so lineitem
+    * is scanned once across all of its audits. No row ever carries
+    * more than its key columns. */
   val q34FkAudit: Op = Op(
     "q34_fk_audit",
     Some("""
@@ -345,8 +345,12 @@ object Extras extends OpModule {
     // like the oracle.
     def keySet(dim: org.apache.spark.sql.DataFrame, dimKey: String, as: String) =
       broadcast(dim.select(col(dimKey).as(as)).distinct())
+    // Projected once, cached: the stats pass and the orders anti join
+    // are the fact's only two consumers — the second reads the 3-column
+    // cache instead of re-scanning parquet.
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey")
+      .cache()
     val liStats = li
       .join(keySet(Tables.part(spark, dir), "p_partkey", "pk"),
         col("l_partkey") === col("pk"), "left")
@@ -370,20 +374,23 @@ object Extras extends OpModule {
         count(lit(1)).as("o_rows"),
         nulls("o_custkey").as("nul_cust"),
         dangling("o_custkey", "ck").as("dang_cust"))
-    // Three 1-row aggregates → one bounded collect → a local 4-row
-    // result (the same bounded-collect pattern as the ANN codebooks);
-    // unioning four projections of the joined stats row would re-run
-    // the fact scans once per branch.
-    val s = liStats.crossJoin(broadcast(dangOrd)).crossJoin(broadcast(oStats))
-      .collect()(0)
-    def g(n: String) = s.getLong(s.fieldIndex(n))
-    import spark.implicits._
-    Seq(
-      ("lineitem.l_orderkey->orders", g("li_rows"), g("nul_ord"), g("dang_ord")),
-      ("lineitem.l_partkey->part", g("li_rows"), g("nul_part"), g("dang_part")),
-      ("lineitem.l_suppkey->supplier", g("li_rows"), g("nul_supp"), g("dang_supp")),
-      ("orders.o_custkey->customer", g("o_rows"), g("nul_cust"), g("dang_cust")))
-      .toDF("relationship", "n_rows", "n_null_key", "n_dangling")
+    // Three 1-row aggregates → one cross-joined row → exploded into the
+    // four relationship rows IN THE PLAN (array of structs), so the op
+    // stays lazy like every other Op (no driver collect inside the query
+    // function) and each fact is still scanned once — unioning four
+    // projections of the joined row would re-run the scans per branch.
+    def rel(name: String, rows: String, nul: String, dang: String) =
+      struct(lit(name).as("relationship"), col(rows).as("n_rows"),
+        col(nul).as("n_null_key"), col(dang).as("n_dangling"))
+    liStats.crossJoin(broadcast(dangOrd)).crossJoin(broadcast(oStats))
+      .select(explode(array(
+        rel("lineitem.l_orderkey->orders", "li_rows", "nul_ord", "dang_ord"),
+        rel("lineitem.l_partkey->part", "li_rows", "nul_part", "dang_part"),
+        rel("lineitem.l_suppkey->supplier", "li_rows", "nul_supp", "dang_supp"),
+        rel("orders.o_custkey->customer", "o_rows", "nul_cust", "dang_cust")))
+        .as("r"))
+      .select(col("r.relationship").as("relationship"), col("r.n_rows").as("n_rows"),
+        col("r.n_null_key").as("n_null_key"), col("r.n_dangling").as("n_dangling"))
       .orderBy("relationship")
   })
 

@@ -268,6 +268,11 @@ object TextOps extends OpModule {
     // df, n); cache it so the token stream is exploded and aggregated
     // once, not once per branch (same pattern as d2Pairs' shingle
     // cache — Spark does not reuse uncached non-exchange subtrees).
+    // Release: Op functions return a LAZY frame, so there is no
+    // after-the-terminal-action point to unpersist inside the op;
+    // MEMORY_AND_DISK blocks are evicted LRU under executor-storage
+    // pressure, which is the intended release path (long-lived sessions:
+    // the bench additionally clearCache()s between reps).
     val tf = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
@@ -357,6 +362,8 @@ object TextOps extends OpModule {
     // words feeds both the sketch and the exact branch (the oracle
     // defines n_exact over WORDS, not hashes, so the branches cannot
     // merge) — cache it rather than exploding the corpus twice.
+    // Released by LRU eviction (see t26's cache note: lazy ops cannot
+    // unpersist after an action they never run).
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
       .cache()

@@ -45,10 +45,23 @@ object EventStream {
     * every file, as with any fixed-schema streaming source. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fall back to the current generator layout both when the directory
+    // exists but is empty (UNABLE_TO_INFER_SCHEMA) and when it does not
+    // exist yet (PATH_NOT_FOUND) — a watcher may legitimately start
+    // before the first drop. The streaming source itself also refuses a
+    // missing path at construction, so materialize the landing directory
+    // (what any watcher agent does on first watch; works for object
+    // stores via the path's own FileSystem).
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition != null && e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") =>
+        if e.getCondition != null &&
+          (e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+           e.getCondition.startsWith("PATH_NOT_FOUND")) =>
+        if (e.getCondition.startsWith("PATH_NOT_FOUND")) {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        }
         defaultSchema }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(fileSchema).parquet(dir))

@@ -50,6 +50,24 @@ class EventsLayoutSpec extends SparkSpecBase {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("streaming reader starts before the events directory is created (path fallback)") {
+    val d = Files.createTempDirectory("graft-evlayout-pre").toString + "/not-yet-created"
+    val stream = streaming.EventStream.readEvents(spark, d)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("NTZ layout refuses a non-UTC session instead of skewing instants") {
+    val d = forge("ntz")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+      val e = intercept[IllegalArgumentException] { Tables.events(spark, d) }
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("streaming reader matches the batch loader on both layouts") {
     Seq("nanos", "ntz").foreach { v =>
       val d = forge(v)
