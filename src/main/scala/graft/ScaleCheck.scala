@@ -47,15 +47,29 @@ object ScaleCheck {
   }
 
   /** K distinct replicas of documents: ids offset into disjoint ranges,
-    * every token prefixed with the replica tag (all shingle/gram spaces
-    * become replica-local, so cross-replica Jaccard is ~0). */
-  private def scaleDocuments(spark: SparkSession, dir: String, out: String,
+    * every token prefixed with the replica tag (all WORD-shingle spaces
+    * become replica-local, so cross-replica Jaccard is ~0), and `source`
+    * suffixed per replica so BLOCKED ops block replica-locally too.
+    *
+    * The source suffix matters for character-gram ops (d4): a token
+    * prefix only perturbs the first chars of each token, so any char
+    * 5-gram fully inside a token body ("hello" inside "r12hello") is
+    * IDENTICAL across all K replicas — without replica-local blocks the
+    * probe fabricates ~K² cross-replica pairs per shared gram and
+    * measures the forged data's quadratic pair growth, not the engine
+    * (the exact failure mode the header warns about; the round-9 8×
+    * d4 number was inflated by this artifact, and the 64× probe blew it
+    * up to ratio ~700). Blocking on a replica-local source mirrors the
+    * real 100 TB shape: a corpus 64× bigger has proportionally more
+    * sources, not 64×-deeper per-block cohorts. */
+  private[graft] def scaleDocuments(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.documents(spark, dir)
     val idOffset = offsetFor(base, Seq("doc_id"))
     val reps = (0 until k).map { r =>
       base
         .withColumn("doc_id", col("doc_id") + lit(r * idOffset))
+        .withColumn("source", concat(col("source"), lit(s"_r$r")))
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
             w => concat(lit(s"r$r"), w)), " "))
@@ -247,5 +261,27 @@ object ScaleCheck {
       sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
       spark.stop()
     }
+  }
+}
+
+/** Dev utility: materialize a K×-replicated documents table to a KEPT
+  * directory (ScaleCheck's own scaled corpus is a temp dir deleted on
+  * exit), so per-op iteration (QBench against the scaled dir) doesn't
+  * pay the replication write on every measurement.
+  *
+  *   runMain graft.ScaleGen <sfDir> <outDir> <k>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, k) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleCheck.scaleDocuments(spark, sfDir, outDir, k.toInt)
+    spark.stop()
   }
 }

@@ -343,20 +343,20 @@ object Dedup extends OpModule {
         conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
           expr("substring(text, i, 5)"))), 1, 15), 16, 10).cast("long").as("bg"))
       .distinct()
+      .withColumn("dfb",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
       .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     // Document-frequency pruning: a block-gram held by exactly ONE doc
     // cannot produce a pair (grams are distinct per doc, and the
     // a.doc_id < b.doc_id predicate excludes self-matches), so drop the
-    // df=1 long tail — the bulk of any 5-gram space — before the
-    // self-join. The count is a map-side-combinable hash aggregate on
-    // bg (tiny exchange: one row per distinct gram), and the filtered
-    // join input keeps the same bg partitioning the self-join needs.
-    // `sizes` stays over the FULL gram sets: union sizes in the Jaccard
+    // df=1 tail before the self-join. The count rides a window OVER THE
+    // SAME bg partitioning the self-join needs, and the cache holds the
+    // windowed rows — so both join sides read bg-partitioned cached
+    // blocks and the join plans with ZERO further exchanges. `sizes`
+    // stays over the FULL gram sets: union sizes in the Jaccard
     // denominator must count unshared grams.
-    val dfg = grams.groupBy("bg").agg(count(lit(1)).as("dfb"))
-      .filter(col("dfb") > 1).select("bg")
-    val shared = grams.join(dfg, Seq("bg")).cache()
+    val shared = grams.filter(col("dfb") > 1)
     val inter = shared.as("a")
       .join(shared.as("b"),
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
