@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * copy, and reporting wall-clock growth vs the data ratio.
   *
   * Replication keeps the workload's DUPLICATE STRUCTURE linear — each
-  * replica is made lexically/geometrically distinct (per-token replica
-  * prefix for text; a disjoint label space for vectors), so within-
-  * replica near-dup structure mirrors the original while replicas don't
+  * replica is made lexically/geometrically distinct (a per-replica
+  * alphabet bijection for text plus a replica-local `source`; a
+  * disjoint label space for vectors), so within-replica near-dup
+  * structure mirrors the original EXACTLY while replicas don't
   * cross-match. Without that, replicating a doc K times would fabricate
   * K²/2 new near-dup pairs per doc and the probe would measure the
   * forged data's quadratic pair growth, not the engine.
+  * ScaleSchemeSpec pins the premise (pair/join counts grow exactly K×).
   *
   * Usage: runMain graft.ScaleCheck [sfDir] [factor] [deepFactor]
   * Output: one JSON line per op {op, base_s, scaled_s, ratio, data_ratio,
@@ -46,33 +48,58 @@ object ScaleCheck {
     math.max(100000000L, maxes.max + 1L)
   }
 
+  /** Per-replica alphabet bijection: letters map through a distinct
+    * affine permutation i → (i·stride + shift) mod 26 (stride coprime to
+    * 26), digits through an affine permutation mod 10, case preserved.
+    * Distinct (stride, shift) pairs are distinct FUNCTIONS, so every
+    * replica pair r ≠ r' maps any letter-bearing token differently —
+    * 12 strides × 26 shifts = 312 distinct maps, far above any probe K.
+    * Replica 0 is the IDENTITY: replica 0 IS the base corpus. */
+  private def replicaAlphabet(r: Int): (String, String) = {
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val lStride = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((r / 26) % 12)
+    val lTo = letters.indices.map(i => letters((i * lStride + r) % 26)).mkString
+    val dStride = Seq(1, 3, 7, 9)((r / 10) % 4)
+    val dTo = digits.indices.map(i => digits((i * dStride + r) % 10)).mkString
+    (letters + letters.toUpperCase + digits,
+      lTo + lTo.toUpperCase + dTo)
+  }
+
   /** K distinct replicas of documents: ids offset into disjoint ranges,
-    * every token prefixed with the replica tag (all WORD-shingle spaces
-    * become replica-local, so cross-replica Jaccard is ~0), and `source`
-    * suffixed per replica so BLOCKED ops block replica-locally too.
+    * text mapped through a per-replica ALPHABET BIJECTION, and `source`
+    * suffixed per replica so blocked ops block replica-locally.
     *
-    * The source suffix matters for character-gram ops (d4): a token
-    * prefix only perturbs the first chars of each token, so any char
-    * 5-gram fully inside a token body ("hello" inside "r12hello") is
-    * IDENTICAL across all K replicas — without replica-local blocks the
-    * probe fabricates ~K² cross-replica pairs per shared gram and
-    * measures the forged data's quadratic pair growth, not the engine
-    * (the exact failure mode the header warns about; the round-9 8×
-    * d4 number was inflated by this artifact, and the 64× probe blew it
-    * up to ratio ~700). Blocking on a replica-local source mirrors the
-    * real 100 TB shape: a corpus 64× bigger has proportionally more
-    * sources, not 64×-deeper per-block cohorts. */
+    * Why a bijection and not a per-token replica prefix (the earlier
+    * scheme): the probe's premise is that each replica MIRRORS the base
+    * corpus's duplicate structure while replicas never cross-match, and
+    * a prefix breaks both halves for character grams. Token-body
+    * 5-grams stay identical ACROSS replicas (fabricating ~K²
+    * cross-replica pairs — d4 hit ratio ~700 at 64× before blocks went
+    * replica-local), while WITHIN a replica the shared prefix on every
+    * token manufactures common grams between unrelated documents
+    * (sf0.001: 1 base d4 pair became 184 per prefixed replica — the
+    * probe then measures a corpus ~100× denser in near-dup pairs than
+    * the one it claims to scale). A character bijection preserves gram
+    * and shingle structure EXACTLY — same set sizes, same Jaccard,
+    * same pairs per replica as base, text length and the n_chars
+    * column stay consistent — while distinct per-replica letter maps
+    * keep every letter-bearing token (hence every word-shingle space)
+    * replica-distinct. The `source` suffix keeps d4's (lang, source,
+    * lenb) blocks replica-local regardless, mirroring the real 100 TB
+    * shape: a bigger corpus has proportionally more sources, not
+    * deeper per-block cohorts. ScaleSchemeSpec machine-checks the
+    * premise: pair/join counts must grow EXACTLY K×. */
   private[graft] def scaleDocuments(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.documents(spark, dir)
     val idOffset = offsetFor(base, Seq("doc_id"))
     val reps = (0 until k).map { r =>
+      val (from, to) = replicaAlphabet(r)
       base
         .withColumn("doc_id", col("doc_id") + lit(r * idOffset))
         .withColumn("source", concat(col("source"), lit(s"_r$r")))
-        .withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            w => concat(lit(s"r$r"), w)), " "))
+        .withColumn("text", translate(col("text"), from, to))
     }
     reps.reduce(_ unionByName _).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
@@ -80,7 +107,7 @@ object ScaleCheck {
 
   /** K replicas of embeddings: ids offset, labels suffixed per replica
     * (d8 blocks on label equality, so replicas never pair). */
-  private def scaleEmbeddings(spark: SparkSession, dir: String, out: String,
+  private[graft] def scaleEmbeddings(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.embeddings(spark, dir)
     val idOffset = offsetFor(base, Seq("vec_id"))
@@ -99,7 +126,7 @@ object ScaleCheck {
     * stay as-is — the realistic 100 TB shape, where facts grow and
     * conformed dimensions don't. The dims themselves are copied through
     * unchanged. */
-  private def scaleRelational(spark: SparkSession, dir: String, out: String,
+  private[graft] def scaleRelational(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     def reps(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
         idOffset: Long): org.apache.spark.sql.DataFrame =
