@@ -255,28 +255,36 @@ object ScaleCheck {
       println(line)
       line
     }
-    // Deep tier: documents-only replication at deepFactor for the three
-    // heaviest document ops (they read nothing but the documents table).
-    // Grading: scaled wall vs the 1× base measured above — no warm rep
-    // (single run; JIT is already paid by the K× probes).
+    // Deep tier: replication at deepFactor for the heaviest document
+    // ops (documents-only table) and the relational heavies (facts
+    // replicated, dims copied through — the realistic big-corpus
+    // shape). Grading: scaled wall vs the 1× base measured above — no
+    // warm rep (single run; JIT is already paid by the K× probes).
     val deepLines =
       if (deepFactor <= 0) Seq.empty[String]
       else {
         val deepDir = s"$scaled/deep"
+        def deepProbe(name: String): String = {
+          val fn = SparkEntry.queries(name)
+          val base = (1 to 2).map(_ => time(fn, sfDir)).min
+          val big = time(fn, deepDir)
+          val ratio = big / math.max(base, 1e-9)
+          val line =
+            s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
+              s""""ratio":${fmt(ratio)},"data_ratio":$deepFactor,""" +
+              s""""linear":${ratio <= 1.5 * deepFactor}}"""
+          println(line)
+          line
+        }
         scaleDocuments(spark, sfDir, deepDir, deepFactor)
-        Seq("d4_dedup_ngram_jaccard", "d9_canonical_docs", "c1_corpus_curation")
-          .map { name =>
-            val fn = SparkEntry.queries(name)
-            val base = (1 to 2).map(_ => time(fn, sfDir)).min
-            val big = time(fn, deepDir)
-            val ratio = big / math.max(base, 1e-9)
-            val line =
-              s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
-                s""""ratio":${fmt(ratio)},"data_ratio":$deepFactor,""" +
-                s""""linear":${ratio <= 1.5 * deepFactor}}"""
-            println(line)
-            line
-          }
+        val docLines = Seq(
+          "d4_dedup_ngram_jaccard", "d9_canonical_docs", "c1_corpus_curation")
+          .map(deepProbe)
+        scaleRelational(spark, sfDir, deepDir, deepFactor)
+        val relLines = Seq(
+          "q3_star_join", "q10_topk_per_group", "q18_sessionize")
+          .map(deepProbe)
+        docLines ++ relLines
       }
     val json = (lines ++ probeLines ++ deepLines).mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
