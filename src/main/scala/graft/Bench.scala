@@ -127,24 +127,33 @@ object Bench {
     // medians on a different scale, and grading against it would flag
     // every query as drifted — burying the one real regression the list
     // exists to surface.
-    val priorText: String =
-      try new String(
-        Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
-      catch { case _: Throwable => "" }
-    val priorComparable = priorText.contains(s""""runs":$runs,"sf":"$sfDir"""")
-    val priorWarm: Map[String, Double] =
-      if (!priorComparable) Map.empty
-      else """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
-        .findAllMatchIn(priorText).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val priorTotal: Option[Double] =
-      if (!priorComparable) None
-      else """^\{"metric":"total_warm","value":([0-9.eE+-]+)""".r
-        .findFirstMatchIn(priorText).map(_.group(1).toDouble)
+    // The whole prior parse is best-effort: a prior run killed mid-write
+    // leaves a truncated file whose tokens the regex class can still
+    // match but toDouble can't parse ("-", "4.9E") — degrade to
+    // no-prior rather than abort the bench before any sweep runs.
+    val (priorWarm: Map[String, Double], priorTotal: Option[Double]) =
+      try {
+        val priorText = new String(
+          Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
+        if (!priorText.contains(s""""runs":$runs,"sf":"$sfDir""""))
+          (Map.empty[String, Double], None)
+        else (
+          """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
+            .findAllMatchIn(priorText).map(m => m.group(1) -> m.group(2).toDouble).toMap,
+          """^\{"metric":"total_warm","value":([0-9.eE+-]+)""".r
+            .findFirstMatchIn(priorText).map(_.group(1).toDouble))
+      } catch { case _: Throwable => (Map.empty[String, Double], None) }
 
+    // Gate total for sweep COMPARISON: a sweep in which any query
+    // errored (the -1.0 sentinel) must never win the keep-the-faster
+    // rule — a failure deflates the raw sum, so comparing raw totals
+    // would systematically select broken sweeps.
+    def gateTotal(rs: Seq[(String, Double, Double, Double)]): Double =
+      if (rs.exists(_._2 < 0)) Double.PositiveInfinity else rs.map(_._2).sum
     val first = runSweep()
     val total1 = first.map(_._2).sum
     // Noise gate on the committed total: >10% off the prior comparable
-    // total → re-sweep once and keep the faster sweep (ambient
+    // total → re-sweep once and keep the faster CLEAN sweep (ambient
     // contention only adds time; same-code spread on this box is ±15%,
     // and the gate number should reproduce within 10% — so anything
     // past 10% gets a second chance rather than shipping the noise).
@@ -155,9 +164,10 @@ object Bench {
         settle()
         val second = runSweep()
         val total2 = second.map(_._2).sum
-        val kept = if (total2 < total1) second else first
+        val keepSecond = gateTotal(second) < gateTotal(first)
+        val kept = if (keepSecond) second else first
         (kept,
-          s""","resweep":{"kept":"${if (total2 < total1) "second" else "first"}",""" +
+          s""","resweep":{"kept":"${if (keepSecond) "second" else "first"}",""" +
             s""""totals":[$total1,$total2],"prior_total":${priorTotal.get}}""")
       }
     val total = results.map(_._2).sum

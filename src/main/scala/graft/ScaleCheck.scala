@@ -48,22 +48,31 @@ object ScaleCheck {
     math.max(100000000L, maxes.max + 1L)
   }
 
-  /** Per-replica alphabet bijection: letters map through a distinct
-    * affine permutation i → (i·stride + shift) mod 26 (stride coprime to
-    * 26), digits through an affine permutation mod 10, case preserved.
-    * Distinct (stride, shift) pairs are distinct FUNCTIONS, so every
-    * replica pair r ≠ r' maps any letter-bearing token differently —
-    * 12 strides × 26 shifts = 312 distinct maps, far above any probe K.
+  /** Per-replica alphabet bijection: ONE affine permutation over the
+    * COMBINED 36-symbol alphabet (lowercase + digits), i → (i·stride +
+    * r) mod 36 with stride coprime to 36. Distinct (stride, shift)
+    * pairs are distinct FUNCTIONS that differ at EVERY point for
+    * same-stride pairs and at all but ≤1 point otherwise — 12 strides ×
+    * 36 shifts = 432 maps, so even digit-ONLY tokens stay
+    * replica-distinct up to K=432 (a per-class affine family over the
+    * 10 digits alone has just 40 members: at 64 replicas r and r+40
+    * would share the digit map and digit-only tokens would collide
+    * cross-replica). Letters may map to digits and vice versa; the map
+    * stays a bijection on the combined alphabet, which is what
+    * preserves gram/shingle structure exactly. Uppercase gets its own
+    * affine-over-26 cycle so case classes never merge. Non-ASCII
+    * symbols pass through untouched — fine for the ASCII synthetic
+    * corpus, and ScaleSchemeSpec checks the replica-locality OUTCOME
+    * against the actual data rather than trusting this reasoning.
     * Replica 0 is the IDENTITY: replica 0 IS the base corpus. */
   private def replicaAlphabet(r: Int): (String, String) = {
-    val letters = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
-    val lStride = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((r / 26) % 12)
-    val lTo = letters.indices.map(i => letters((i * lStride + r) % 26)).mkString
-    val dStride = Seq(1, 3, 7, 9)((r / 10) % 4)
-    val dTo = digits.indices.map(i => digits((i * dStride + r) % 10)).mkString
-    (letters + letters.toUpperCase + digits,
-      lTo + lTo.toUpperCase + dTo)
+    val combined = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val s36 = Seq(1, 5, 7, 11, 13, 17, 19, 23, 25, 29, 31, 35)((r / 36) % 12)
+    val cTo = combined.indices.map(i => combined((i * s36 + r) % 36)).mkString
+    val s26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((r / 26) % 12)
+    val uTo = upper.indices.map(i => upper((i * s26 + r) % 26)).mkString
+    (combined + upper, cTo + uTo)
   }
 
   /** K distinct replicas of documents: ids offset into disjoint ranges,
@@ -81,11 +90,14 @@ object ScaleCheck {
     * (sf0.001: 1 base d4 pair became 184 per prefixed replica — the
     * probe then measures a corpus ~100× denser in near-dup pairs than
     * the one it claims to scale). A character bijection preserves gram
-    * and shingle structure EXACTLY — same set sizes, same Jaccard,
-    * same pairs per replica as base, text length and the n_chars
-    * column stay consistent — while distinct per-replica letter maps
-    * keep every letter-bearing token (hence every word-shingle space)
-    * replica-distinct. The `source` suffix keeps d4's (lang, source,
+    * and shingle structure EXACTLY — same set sizes, same true Jaccard,
+    * text length and the n_chars column stay consistent — so
+    * exact-scoring ops (d4) produce the SAME pairs per replica as base,
+    * while hash-based candidate generation (d2's minhash banding) sees
+    * re-randomized hashes per replica and its banding RECALL may differ
+    * on borderline pairs; replica 0 is the identity, so its pairs equal
+    * base exactly for every op. Distinct per-replica maps keep every
+    * token (hence every word-shingle space) replica-distinct. The `source` suffix keeps d4's (lang, source,
     * lenb) blocks replica-local regardless, mirroring the real 100 TB
     * shape: a bigger corpus has proportionally more sources, not
     * deeper per-block cohorts. ScaleSchemeSpec machine-checks the
@@ -206,10 +218,17 @@ object ScaleCheck {
         s""""ratio":${fmt(ratio)},"data_ratio":$factor,""" +
         s""""linear":${ratio <= 1.5 * factor}$flat}"""
     }
+    // Base (1×) times are measured ONCE here, early, under controlled
+    // conditions, and REUSED by the deep tier below: re-measuring the
+    // base after the deep replication write would grade deep ratios
+    // against a denominator distorted by post-write JVM/page-cache
+    // pressure (observed 4× base swings either way).
+    val baseTimes = scala.collection.mutable.Map.empty[String, Double]
     val lines = heavy.map { name =>
       val fn = SparkEntry.queries(name)
       time(fn, sfDir) // warm (codegen/JIT)
       val base = (1 to 2).map(_ => time(fn, sfDir)).min
+      baseTimes(name) = base
       time(fn, scaled) // warm scaled file listing
       val big = (1 to 2).map(_ => time(fn, scaled)).min
       val line = probeLine(name, base, big, expectFlat = false)
@@ -266,7 +285,10 @@ object ScaleCheck {
         val deepDir = s"$scaled/deep"
         def deepProbe(name: String): String = {
           val fn = SparkEntry.queries(name)
-          val base = (1 to 2).map(_ => time(fn, sfDir)).min
+          // Controlled base from the K× tier (every deep op is in
+          // `heavy`); fall back to a fresh measure only if that ever
+          // stops holding.
+          val base = baseTimes.getOrElse(name, (1 to 2).map(_ => time(fn, sfDir)).min)
           val big = time(fn, deepDir)
           val ratio = big / math.max(base, 1e-9)
           val line =

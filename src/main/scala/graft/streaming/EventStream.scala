@@ -51,7 +51,11 @@ object EventStream {
     // before the first drop. The streaming source itself also refuses a
     // missing path at construction, so materialize the landing directory
     // (what any watcher agent does on first watch; works for object
-    // stores via the path's own FileSystem).
+    // stores via the path's own FileSystem). Contract note: this means a
+    // MISTYPED path is created and watched forever-empty rather than
+    // failing — the cost of supporting watch-before-first-drop; callers
+    // that want strictness should pre-create their landing dirs and
+    // treat an unexpectedly-created one as the misconfiguration signal.
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch { case e: org.apache.spark.sql.AnalysisException

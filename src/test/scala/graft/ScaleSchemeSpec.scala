@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * manufactured within-replica pairs — replaced by a per-replica
   * alphabet bijection plus a replica-local `source` (d4's block key).
   *
-  * Each case asserts an EXACT K× count, which only holds if replicas are
-  * pairwise non-interacting:
-  *   - d2 pair count (word-shingle MinHash space — per-replica alphabet
-  *     bijection keeps token spaces distinct)
+  * Each case asserts an EXACT count property, which only holds if
+  * replicas are pairwise non-interacting:
+  *   - d2 pairs never cross replicas, and replica 0 (identity) equals
+  *     the base pair set (exact-K× would be fragile for an LSH op:
+  *     banding recall may differ per replica on borderline pairs)
   *   - d4 pair count (char-5-gram × (lang, source, lenb) blocks — the
   *     bijection preserves per-replica gram structure EXACTLY and the
   *     source suffix keeps blocks replica-local; this case fails under
@@ -42,8 +43,29 @@ class ScaleSchemeSpec extends SparkSpecBase {
   private def q(name: String, dir: String): Long =
     SparkEntry.queries(name)(spark, dir).count()
 
-  test("d2 word-shingle pairs grow exactly Kx (alphabet bijection keeps shingle spaces replica-local)") {
-    assert(q("d2_dedup_minhash_lsh", scaled) == K * q("d2_dedup_minhash_lsh", sf()))
+  // d2 is LSH-based: the bijection preserves TRUE Jaccard but
+  // re-randomizes minhash values per replica, so banding recall on
+  // borderline pairs may differ between replicas — an exact-K× count
+  // would be fragile against the data. The deterministic assertions:
+  // no pair may cross replicas, and replica 0 (the identity transform)
+  // must reproduce the base pair set EXACTLY.
+  test("d2: no cross-replica pairs; identity replica reproduces base pairs exactly") {
+    val offset = {
+      val m = Tables.documents(spark, sf())
+        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
+      math.max(100000000L, m + 1L)
+    }
+    def pairSet(dir: String): Set[(Long, Long)] =
+      SparkEntry.queries("d2_dedup_minhash_lsh")(spark, dir)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaledPairs = pairSet(scaled)
+    assert(scaledPairs.nonEmpty)
+    assert(scaledPairs.forall { case (a, b) => a / offset == b / offset },
+      "a cross-replica near-dup pair means the replication scheme leaks a shared shingle space")
+    val rep0 = scaledPairs.filter { case (a, _) => a / offset == 0 }
+    assert(rep0 == pairSet(sf()),
+      "replica 0 is the identity transform and must reproduce the base pair set")
   }
 
   test("d4 char-gram pairs grow exactly Kx (bijection preserves gram structure; source suffix keeps blocks replica-local)") {
