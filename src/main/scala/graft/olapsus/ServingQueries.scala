@@ -111,6 +111,15 @@ object ServingQueries {
     """)
   }
 
+  /** Dropdown domain for the dashboard's tab 1: the distinct occupation
+    * families (dashboard/app.py:36-41, GET_OCUPACAO_FAMILIAS). */
+  def familiaOptions(wh: Warehouse): DataFrame = wh.spark.sql("""
+    SELECT DISTINCT descricao_familia
+    FROM dimocupacao
+    WHERE descricao_familia IS NOT NULL
+    ORDER BY descricao_familia
+  """)
+
   /** Grouped top-k: top-10 death causes within an occupation family
     * (app.py:44-68; primary cause only, unknown cause excluded). */
   def top10CausesByOccupation(wh: Warehouse, familia: String): DataFrame =
