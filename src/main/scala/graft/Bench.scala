@@ -150,6 +150,15 @@ object Bench {
     // would systematically select broken sweeps.
     def gateTotal(rs: Seq[(String, Double, Double, Double)]): Double =
       if (rs.exists(_._2 < 0)) Double.PositiveInfinity else rs.map(_._2).sum
+    // Session-global warm-up: the first query of the sweep otherwise
+    // absorbs the session's first-job costs (shuffle/broadcast infra,
+    // codegen bootstrap, per-table file listings) — round 10 measured
+    // c1 at 14.3 s cold in position 1 vs 1.2 s isolated, repeatedly
+    // tripping the drift list with noise. One throwaway action per
+    // input-table family pays those costs before anything is timed.
+    Seq("q1_agg", "t20_word_freq", "q17_hourly_window", "s1_ann_brute_topk")
+      .foreach(n => SparkEntry.queries.get(n).foreach(fn => once(fn)))
+    settle()
     val first = runSweep()
     val total1 = first.map(_._2).sum
     // Noise gate on the committed total: >10% off the prior comparable
