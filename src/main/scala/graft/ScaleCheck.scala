@@ -201,6 +201,7 @@ object ScaleCheck {
     val heavy = Seq(
       "c4_group_split", "c1_corpus_curation", "d9_canonical_docs",
       "d10_dup_gram_fraction", "d4_dedup_ngram_jaccard",
+      "d13_containment_pairs",
       "d2_dedup_minhash_lsh", "d8_dedup_embedding_multiprobe",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {

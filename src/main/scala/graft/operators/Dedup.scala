@@ -928,8 +928,88 @@ object Dedup extends OpModule {
       .orderBy("doc_id")
   })
 
+  private val ContainN = 5    // word-shingle width for containment
+  private val ContainT = 0.5  // keep pairs where max containment >= this
+
+  /** Asymmetric gram-CONTAINMENT pairs: for documents in the same
+    * (lang × source) block, c(A→B) = |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| — the directional complement to d4's symmetric
+    * Jaccard. Jaccard misses the quote/boilerplate case entirely: a
+    * short document fully contained in a long one has Jaccard
+    * |A|/|B| ≈ 0 but containment 1.0, which is why dedup pipelines run
+    * both (Broder's original resemblance/containment pair). Note the
+    * block deliberately has NO length bucket — short-in-long pairs are
+    * the point, and d4's lenb blocking would split them.
+    *
+    * Scale shape: identical to d4's — per-doc DISTINCT block-shingle
+    * hashes (block baked into the int64 key), document-frequency-1
+    * pruning via a window OVER THE SAME bg partitioning the self-join
+    * uses (df=1 grams cannot produce a pair; the cache holds the
+    * windowed rows so both join sides read bg-partitioned blocks and
+    * the join adds zero exchanges), gram-level equi-join → per-pair
+    * intersection counts, sizes re-attached by broadcast. Linear in
+    * total shingle occurrences, never O(pairs × array). */
+  val d13ContainmentPairs: Op = Op(
+    "d13_containment_pairs",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, lang, source,
+               list_distinct([CAST(('0x' || substring(md5(
+                                concat_ws(chr(1), lang, source,
+                                          array_to_string(w[i:i+${ContainN - 1}], ' '))), 1, 15)) AS BIGINT)
+                              FOR i IN generate_series(1, len(w) - ${ContainN - 1})]) AS gs
+        FROM toks WHERE len(w) >= $ContainN
+      ), p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.gs, b.gs)) AS inter,
+               len(a.gs) AS sza, len(b.gs) AS szb
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / sza AS cont_a_in_b,
+             CAST(inter AS DOUBLE) / szb AS cont_b_in_a
+      FROM p
+      WHERE greatest(CAST(inter AS DOUBLE) / sza, CAST(inter AS DOUBLE) / szb) >= $ContainT
+      ORDER BY doc_a, doc_b
+    """))((spark, dir) => {
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= ContainN)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextFns.wordShingles(col("w"), ContainN))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("g"))),
+          1, 15), 16, 10).cast("long").as("bg"))
+      .withColumn("dfb",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+      .cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val shared = grams.filter(col("dfb") > 1)
+    shared.as("a")
+      .join(shared.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sza"), Seq("doc_a"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("szb"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainT)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+      .orderBy("doc_a", "doc_b")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
-      d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors)
+      d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
+      d13ContainmentPairs)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -604,13 +605,7 @@ object TextOps extends OpModule {
       GROUP BY e.doc_id
       ORDER BY eval_doc_id
     """))((spark, dir) => {
-    val grams = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= DecontamN)
-      .select(col("doc_id"),
-        explode(array_distinct(TextFns.wordShingles(col("w"), DecontamN))).as("g"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val grams = decontamGrams(spark, dir)
     val evalG = grams.filter(col("doc_id") % 50 === 0)
     val trainG = grams.filter(col("doc_id") % 50 =!= 0)
     evalG.as("e").join(trainG.as("t"), col("e.gh") === col("t.gh"))
@@ -619,6 +614,86 @@ object TextOps extends OpModule {
         countDistinct(col("t.doc_id")).as("n_train_docs"),
         countDistinct(col("e.gh")).as("n_shared_grams"))
       .orderBy("eval_doc_id")
+  })
+
+  /** (doc_id, gh): one row per DISTINCT word-8-gram per document, hashed
+    * to int64 (15-hex md5 prefix, the repo's standard cross-engine key).
+    * Shared by the two decontamination views (t32 eval-side audit, t37
+    * train-side removal list). */
+  private def decontamGrams(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= DecontamN)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.wordShingles(col("w"), DecontamN))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+
+  // Bloom sizing for the t37 probe: fixed foldable constants (the
+  // aggregate requires them) — 2^22 bits (512 KiB) over ~300k distinct
+  // eval grams ≈ 14 bits/key ≈ sub-1% false positives at sf0.1. The
+  // bits are ALSO the per-task aggregation-buffer size (every partial
+  // allocates and serializes the full bitset), so oversizing is paid
+  // n_partitions times at build; size for the real eval corpus, and
+  // remember false positives only add rows to the confirming join,
+  // never to the result.
+  private val BloomEstItems = 1L * 1000 * 1000
+  private val BloomNumBits = 1L << 22
+
+  /** Train-side decontamination removal list — the other half of the
+    * t32 audit: for each TRAINING document that shares a word-8-gram
+    * with the eval slice, how many eval documents it collides with and
+    * how many of its grams leak. This is the list a pretraining
+    * pipeline actually acts on (drop/flag these docs before export);
+    * t32 is the eval-side severity view of the same join.
+    *
+    * Scale shape: the train side is the 100 TB side, and this op never
+    * shuffles it wholesale. A Bloom filter over the eval grams (built
+    * lazily as a scalar subquery via [[org.apache.spark.sql.graft.BloomProbe]]
+    * — Spark's own runtime-filter expression pair) is broadcast into
+    * the train-side SCAN, so only candidate grams (true leaks + the
+    * ~2% false-positive tail) flow into the exact confirming join that
+    * removes false positives. The oracle is the PLAIN exact join — the
+    * Bloom stage is pure pruning and must never change the answer,
+    * which is exactly what BloomDecontamSpec pins (including under a
+    * deliberately undersized, high-FP filter). */
+  val t37BloomDecontam: Op = Op(
+    "t37_bloom_decontamination",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), grams AS (
+        SELECT doc_id,
+               UNNEST(list_distinct([array_to_string(w[i:i+${DecontamN - 1}], ' ')
+                                     FOR i IN generate_series(1, len(w) - ${DecontamN - 1})])) AS g
+        FROM toks WHERE len(w) >= $DecontamN
+      ), hashed AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM grams
+      ), eval_g AS (SELECT doc_id, gh FROM hashed WHERE doc_id % 50 = 0),
+         train_g AS (SELECT doc_id, gh FROM hashed WHERE doc_id % 50 <> 0)
+      SELECT t.doc_id AS train_doc_id,
+             CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+             CAST(COUNT(DISTINCT t.gh) AS BIGINT) AS n_leaked_grams
+      FROM train_g t JOIN eval_g e ON t.gh = e.gh
+      GROUP BY t.doc_id
+      ORDER BY train_doc_id
+    """))((spark, dir) => {
+    val grams = decontamGrams(spark, dir)
+    val evalG = grams.filter(col("doc_id") % 50 === 0)
+    val trainG = grams.filter(col("doc_id") % 50 =!= 0)
+    val candidates = trainG.filter(
+      org.apache.spark.sql.graft.BloomProbe.mightContain(
+        evalG, col("gh"), BloomEstItems, BloomNumBits)(col("gh")))
+    candidates.as("t")
+      .join(broadcast(evalG.as("e")), col("t.gh") === col("e.gh"))
+      .groupBy(col("t.doc_id").as("train_doc_id"))
+      .agg(
+        countDistinct(col("e.doc_id")).as("n_eval_docs"),
+        countDistinct(col("t.gh")).as("n_leaked_grams"))
+      .orderBy("train_doc_id")
   })
 
   private val ChunkLen = 32    // tokens per chunk
@@ -864,5 +939,6 @@ object TextOps extends OpModule {
     Seq(t20WordFreq, t21DocSignature, t22LangId, t23Quality, t24TokenStats,
       t25Fingerprint, t26TfIdf, t27HashSplit, t28KmvDistinct, t29Repetition,
       t30SequencePacking, t31SourceMixture, t32Decontamination,
-      t33DocChunking, t34BlockPacking, t35StratifiedSample, t36PiiScrub)
+      t33DocChunking, t34BlockPacking, t35StratifiedSample, t36PiiScrub,
+      t37BloomDecontam)
 }

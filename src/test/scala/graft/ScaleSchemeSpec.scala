@@ -72,6 +72,10 @@ class ScaleSchemeSpec extends SparkSpecBase {
     assert(q("d4_dedup_ngram_jaccard", scaled) == K * q("d4_dedup_ngram_jaccard", sf()))
   }
 
+  test("d13 containment pairs grow exactly Kx (word-shingle spaces replica-distinct; source suffix keeps blocks replica-local)") {
+    assert(q("d13_containment_pairs", scaled) == K * q("d13_containment_pairs", sf()))
+  }
+
   test("d8 embedding pairs grow exactly Kx (label suffix keeps blocks replica-local)") {
     assert(q("d8_dedup_embedding_multiprobe", scaled) == K * q("d8_dedup_embedding_multiprobe", sf()))
   }
