@@ -301,7 +301,8 @@ object ScaleCheck {
         }
         scaleDocuments(spark, sfDir, deepDir, deepFactor)
         val docLines = Seq(
-          "d4_dedup_ngram_jaccard", "d9_canonical_docs", "c1_corpus_curation")
+          "d4_dedup_ngram_jaccard", "d13_containment_pairs",
+          "d9_canonical_docs", "c1_corpus_curation")
           .map(deepProbe)
         scaleRelational(spark, sfDir, deepDir, deepFactor)
         val relLines = Seq(
