@@ -50,25 +50,35 @@ object ScaleCheck {
 
   /** Per-replica alphabet bijection: ONE affine permutation over the
     * COMBINED 36-symbol alphabet (lowercase + digits), i → (i·stride +
-    * r) mod 36 with stride coprime to 36. Distinct (stride, shift)
-    * pairs are distinct FUNCTIONS that differ at EVERY point for
-    * same-stride pairs and at all but ≤1 point otherwise — 12 strides ×
-    * 36 shifts = 432 maps, so even digit-ONLY tokens stay
-    * replica-distinct up to K=432 (a per-class affine family over the
-    * 10 digits alone has just 40 members: at 64 replicas r and r+40
-    * would share the digit map and digit-only tokens would collide
-    * cross-replica). Letters may map to digits and vice versa; the map
-    * stays a bijection on the combined alphabet, which is what
-    * preserves gram/shingle structure exactly. Uppercase gets its own
-    * affine-over-26 cycle so case classes never merge. Non-ASCII
-    * symbols pass through untouched — fine for the ASCII synthetic
-    * corpus, and ScaleSchemeSpec checks the replica-locality OUTCOME
-    * against the actual data rather than trusting this reasoning.
-    * Replica 0 is the IDENTITY: replica 0 IS the base corpus. */
+    * r) mod 36 with stride a unit of Z36. Same-stride maps with
+    * different shifts are rows of a Latin square — they agree NOWHERE —
+    * so the first 36 replicas (stride 1, shifts 0..35) are pairwise
+    * collision-free on every symbol, and an everywhere-distinct family
+    * cannot exceed 36 members (for fixed c, the 37th map must repeat
+    * some π(c)), so that is the achievable optimum. Across stride
+    * groups, two maps agree on exactly gcd(Δstride, 36) symbols when
+    * the shift difference is divisible by that gcd (else nowhere); all
+    * units are odd so gcd ≥ 2, and the stride ORDER below puts the
+    * gcd-2 neighbors (1, 11, 23, 35) first — cross-group pairs up to
+    * K=72 share at most 2 symbols, so a cross-replica token collision
+    * needs a token composed ONLY of those ≤2 symbols, and a shingle
+    * needs a run of such tokens (mod-4 pigeonhole makes ≥4 shared
+    * symbols unavoidable once three stride groups are in play, i.e.
+    * K>72 — raise the deep factor past that and this analysis must be
+    * redone). Letters may map to digits and vice versa; the map stays
+    * a bijection on the combined alphabet, which is what preserves
+    * gram/shingle structure exactly. Uppercase gets its own
+    * affine-over-26 cycle (stride order likewise gcd-2-first) so case
+    * classes never merge. Non-ASCII symbols pass through untouched —
+    * fine for the ASCII synthetic corpus, and ScaleSchemeSpec checks
+    * the replica-locality OUTCOME against the actual data — including
+    * across the stride-group boundary — rather than trusting this
+    * reasoning. Replica 0 is the IDENTITY: replica 0 IS the base
+    * corpus. */
   private def replicaAlphabet(r: Int): (String, String) = {
     val combined = "abcdefghijklmnopqrstuvwxyz0123456789"
     val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    val s36 = Seq(1, 5, 7, 11, 13, 17, 19, 23, 25, 29, 31, 35)((r / 36) % 12)
+    val s36 = Seq(1, 11, 23, 35, 5, 17, 29, 7, 19, 31, 13, 25)((r / 36) % 12)
     val cTo = combined.indices.map(i => combined((i * s36 + r) % 36)).mkString
     val s26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((r / 26) % 12)
     val uTo = upper.indices.map(i => upper((i * s26 + r) % 26)).mkString

@@ -68,14 +68,29 @@ object Dashboard {
       val rows = df.toJSON.collect().mkString(",")
       s"""{"columns":[$cols],"rows":[$rows]}"""
     }
-    def jsonError(msg: String): String =
-      s"""{"error":"${msg.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    def jsonError(msg: String): String = {
+      // Exception messages routinely carry newlines (Spark embeds plans);
+      // a raw control char inside a JSON string literal is invalid JSON
+      // and turns the error body itself into a client-side parse error.
+      val escaped = String.valueOf(msg).flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s"""{"error":"$escaped"}"""
+    }
 
-    /** One JSON route: runs the query, 400s on missing/invalid params. */
+    /** One JSON route: runs the query, 400s on missing/invalid params.
+      * The JDK server matches contexts by string PREFIX (`/api/pivotfoo`
+      * lands on `/api/pivot`), so the handler re-checks the exact path
+      * and 404s anything that merely shares the prefix. */
     def route(path: String)(fn: Map[String, String] => DataFrame): Unit =
       server.createContext(path, (ex: HttpExchange) =>
         try {
-          if (ex.getRequestMethod != "GET")
+          if (ex.getRequestURI.getPath != path)
+            respond(ex, 404, "application/json", jsonError("not found"))
+          else if (ex.getRequestMethod != "GET")
             respond(ex, 405, "application/json", jsonError("GET only"))
           else respond(ex, 200, "application/json", dfJson(fn(params(ex))))
         } catch {
@@ -161,7 +176,7 @@ function select(i){
 select(0);
 function api(path,cb,svgId){
   fetch(path).then(function(r){return r.json();}).then(function(d){
-    if(d.error){msg(svgId,'Erro: '+d.error);}else{cb(d.rows);}})
+    if(d.error){msg(svgId,'Erro: '+d.error);}else{cb(d.rows,d.columns);}})
     .catch(function(e){msg(svgId,'Erro: '+e);});}
 function clearSvg(id){var s=document.getElementById(id);while(s.firstChild)s.removeChild(s.firstChild);return s;}
 function el(s,n,attrs,text){var e=document.createElementNS('http://www.w3.org/2000/svg',n);
@@ -229,10 +244,13 @@ function lineChart(id,rows,xKey,valKey,title){
       el(s,'text',{x:p[0],y:H-m.b+12,'font-size':'10','text-anchor':'end',
         transform:'rotate(-40 '+p[0]+' '+(H-m.b+12)+')'},String(p[2]));});
   el(s,'text',{x:8,y:m.t+10,'font-size':'10'},String(mx));}
-function heatmap(id,rows,rowKey,title){
+function heatmap(id,rows,rowKey,title,allCols){
   var s=clearSvg(id),W=+s.getAttribute('width'),H=+s.getAttribute('height');
   if(!rows.length){msg(id,'Sem dados');return;}
-  var cols=Object.keys(rows[0]).filter(function(k){return k!==rowKey;});
+  // Column list comes from the payload's schema: toJSON omits
+  // null-valued fields per row, so keys of the first row would drop
+  // any UF whose first-year cell is empty.
+  var cols=(allCols||Object.keys(rows[0])).filter(function(k){return k!==rowKey;});
   var m={l:60,r:10,t:40,b:20},cw=(W-m.l-m.r)/cols.length,ch=(H-m.t-m.b)/rows.length,mx=0;
   rows.forEach(function(r){cols.forEach(function(c){var v=+r[c]||0;if(v>mx)mx=v;});});
   el(s,'text',{x:m.l,y:18,'font-weight':'bold'},title);
@@ -271,8 +289,8 @@ function loadSlice(){
       lineChart('svg2',rows,'mes_ano','obitos','Obitos em '+c+' entre '+st+' e '+en);},
     'svg2');}
 function loadPivot(){
-  api('/api/pivot',function(rows){
-    heatmap('svg3',rows,'ANO','Quantidade de Obitos por Estado por Ano');},'svg3');}
+  api('/api/pivot',function(rows,cols){
+    heatmap('svg3',rows,'ANO','Quantidade de Obitos por Estado por Ano',cols);},'svg3');}
 function loadDrill(){
   api('/api/drill',function(rows){
     rows.forEach(function(r){

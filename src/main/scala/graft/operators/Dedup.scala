@@ -343,28 +343,7 @@ object Dedup extends OpModule {
         conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
           expr("substring(text, i, 5)"))), 1, 15), 16, 10).cast("long").as("bg"))
       .distinct()
-      .withColumn("dfb",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
-      .cache()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    // Document-frequency pruning: a block-gram held by exactly ONE doc
-    // cannot produce a pair (grams are distinct per doc, and the
-    // a.doc_id < b.doc_id predicate excludes self-matches), so drop the
-    // df=1 tail before the self-join. The count rides a window OVER THE
-    // SAME bg partitioning the self-join needs, and the cache holds the
-    // windowed rows — so both join sides read bg-partitioned cached
-    // blocks and the join plans with ZERO further exchanges. `sizes`
-    // stays over the FULL gram sets: union sizes in the Jaccard
-    // denominator must count unshared grams.
-    val shared = grams.filter(col("dfb") > 1)
-    val inter = shared.as("a")
-      .join(shared.as("b"),
-        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), Seq("doc_a"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), Seq("doc_b"))
-    inter
+    gramIntersections(grams)
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.5)
@@ -928,6 +907,40 @@ object Dedup extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** Shared scaffolding of the gram-level pair ops (d4's Jaccard, d13's
+    * containment): per-pair intersection counts with both set sizes
+    * attached, from (doc_id, bg) rows that are DISTINCT per document
+    * (the caller guarantees that — it's what makes the per-pair row
+    * count equal |A ∩ B|).
+    *
+    * Document-frequency pruning: a block-gram held by exactly ONE doc
+    * cannot produce a pair (grams are distinct per doc, and the
+    * a.doc_id < b.doc_id predicate excludes self-matches), so drop the
+    * df=1 tail before the self-join. The count rides a window OVER THE
+    * SAME bg partitioning the self-join needs, and the cache holds the
+    * windowed rows — so both join sides read bg-partitioned cached
+    * blocks and the join plans with ZERO further exchanges. (A separate
+    * aggregate+join re-derivation measured 2.5× worse at 64×; no
+    * pruning ~1.3× worse.) `sizes` stays over the FULL gram sets:
+    * Jaccard/containment denominators must count unshared grams too. */
+  private def gramIntersections(gramRows: DataFrame): DataFrame = {
+    val grams = gramRows
+      .withColumn("dfb",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+      .cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val shared = grams.filter(col("dfb") > 1)
+    shared.as("a")
+      .join(shared.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sza"), Seq("doc_a"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+  }
+
   private val ContainN = 5    // word-shingle width for containment
   private val ContainT = 0.5  // keep pairs where max containment >= this
 
@@ -986,20 +999,7 @@ object Dedup extends OpModule {
       .select(col("doc_id"),
         conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("g"))),
           1, 15), 16, 10).cast("long").as("bg"))
-      .withColumn("dfb",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
-      .cache()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-    val shared = grams.filter(col("dfb") > 1)
-    shared.as("a")
-      .join(shared.as("b"),
-        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sza"), Seq("doc_a"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+    gramIntersections(grams)
       .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza"))
       .withColumn("cont_b_in_a", col("inter").cast("double") / col("szb"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainT)

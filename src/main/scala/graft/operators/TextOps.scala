@@ -682,7 +682,14 @@ object TextOps extends OpModule {
       ORDER BY train_doc_id
     """))((spark, dir) => {
     val grams = decontamGrams(spark, dir)
-    val evalG = grams.filter(col("doc_id") % 50 === 0)
+    // evalG feeds TWO independent subtrees (the Bloom-build scalar
+    // subquery and the confirming join's broadcast side), each of which
+    // would otherwise re-run the full tokenize+8-gram+md5 corpus pass;
+    // cache the eval slice (1/50th of the docs — the small side at any
+    // scale) so the op pays the corpus scan twice (eval fill + train),
+    // not three times. Released by storage LRU like the module's other
+    // caches.
+    val evalG = grams.filter(col("doc_id") % 50 === 0).cache()
     val trainG = grams.filter(col("doc_id") % 50 =!= 0)
     val candidates = trainG.filter(
       org.apache.spark.sql.graft.BloomProbe.mightContain(

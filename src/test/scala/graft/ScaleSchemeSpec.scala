@@ -88,4 +88,39 @@ class ScaleSchemeSpec extends SparkSpecBase {
         .count()
     assert(joined(scaled) == K * joined(sf()))
   }
+
+  // The affine-map family is only pairwise everywhere-distinct WITHIN a
+  // stride group (36 shifts); replicas 36+ switch stride and cross-group
+  // map pairs agree on gcd(Δstride, 36) symbols — the deep tier (64×)
+  // spans that boundary, so the premise needs checking ACROSS it, not
+  // just at K=2. K=38 is the cheapest spanning factor (replicas 36, 37
+  // sit in the second stride group).
+  private val KDeep = 38
+
+  private lazy val scaledDeep: String = {
+    val out = Files.createTempDirectory("graft-scalescheme-deep").toString
+    ScaleCheck.scaleDocuments(spark, sf(), out, KDeep)
+    out
+  }
+
+  test("d4 char-gram pairs grow exactly Kx across the stride-group boundary") {
+    assert(q("d4_dedup_ngram_jaccard", scaledDeep) == KDeep * q("d4_dedup_ngram_jaccard", sf()))
+  }
+
+  test("d13 containment pairs grow exactly Kx across the stride-group boundary") {
+    assert(q("d13_containment_pairs", scaledDeep) == KDeep * q("d13_containment_pairs", sf()))
+  }
+
+  test("d2: no cross-replica pairs across the stride-group boundary") {
+    val offset = {
+      val m = Tables.documents(spark, sf())
+        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
+      math.max(100000000L, m + 1L)
+    }
+    val crossers = SparkEntry.queries("d2_dedup_minhash_lsh")(spark, scaledDeep)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().filter(r => r.getLong(0) / offset != r.getLong(1) / offset)
+    assert(crossers.isEmpty,
+      s"cross-replica near-dup pairs leak a shared shingle space across stride groups: ${crossers.take(5).mkString(",")}")
+  }
 }

@@ -96,6 +96,10 @@ class DashboardSpec extends SparkSpecBase {
 
   test("unknown path 404s; concurrent clients get identical bodies") {
     assert(get("/no/such/route")._1 == 404)
+    // JDK contexts match by string prefix — the handler must re-check
+    // the exact path, or /api/pivotfoo would serve the pivot payload.
+    assert(get("/api/pivotfoo")._1 == 404)
+    assert(get("/api/familias2")._1 == 404)
     val want = get("/api/rollup2")._2
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
