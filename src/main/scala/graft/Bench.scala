@@ -102,11 +102,15 @@ object Bench {
     // Recorded in the detail file only; the stdout gate line stays
     // byte-stable. Compare totals as total/calib before calling a
     // cross-session delta a regression.
+    // XOR of hashes, not SUM of products: the session runs ANSI mode,
+    // where a long SUM over 2e9 squares overflows and kills the run
+    // before the first sweep (the repo-wide bit_xor-for-checksums rule
+    // applies to the bench's own machinery too).
     def calibrate(): Double = {
       def one(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0L, 2000000000L, 1L, cpus.toInt)
-          .selectExpr("sum(id * id) as s").collect()
+        spark.range(0L, 500000000L, 1L, cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id)) as s").collect()
         (System.nanoTime() - t0) / 1e9
       }
       one() // JIT/codegen warm-up

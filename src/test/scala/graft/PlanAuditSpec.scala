@@ -57,6 +57,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Generate"), "expected explode(sequence) generator")
   }
 
+  test("d13: containment shares d4's gram-join shape — windowed df prune, no nested loop") {
+    val p = plan("d13_containment_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "d13 degraded to an all-pairs comparison:\n" + p.take(1500))
+    // The df=1 prune must ride a window over the join's own bg
+    // partitioning (a separate aggregate+join re-derivation measured
+    // 2.5x worse at 64x).
+    assert(p.contains("Window"), "expected the df-prune window over bg")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash-based join on the gram key:\n" + p.take(1500))
+  }
+
+  test("t37: Bloom probe prunes the train side in the scan stage before the exact join") {
+    val p = plan("t37_bloom_decontamination")
+    // The sketch membership test must sit in a Filter ABOVE the
+    // train-side scan (below the join), not be optimized away — it is
+    // what keeps the 100 TB side from reaching the shuffle wholesale.
+    assert(p.contains("might_contain"),
+      "Bloom probe missing from the physical plan:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the confirming eval join to broadcast:\n" + p.take(1500))
+  }
+
   test("s5: k-means assignment is inline — no join, no cartesian, no assignment window") {
     val p = plan("s5_ann_ivf_trained")
     assert(!p.contains("CartesianProduct"), "assignment degraded to a shuffled cartesian")
