@@ -1007,9 +1007,96 @@ object Dedup extends OpModule {
       .orderBy("doc_a", "doc_b")
   })
 
+  private val SpanN = 8          // span gram width (tokens)
+  private val SpanMinTokens = 16 // report maximal spans of at least this
+
+  /** Exact repeated-substring SPANS: maximal runs of ≥[[SpanMinTokens]]
+    * consecutive tokens shared verbatim between two documents, located
+    * by start position in both — the actionable artifact of
+    * exact-substring deduplication (cf. Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": the duplicated SPAN
+    * gets cut, not the document). The hash ops report that duplication
+    * exists (d10's gram fraction) or which docs pair up (d2/d4/d13);
+    * this one says exactly WHERE, so a trimmer can act per span.
+    *
+    * Mechanics: word-[[SpanN]]-gram occurrences with their token
+    * position, df-pruned the same way as d4/d13 (a gram occurring once
+    * corpus-wide cannot match; the count rides a window on the join's
+    * own gh partitioning), equi-joined across documents, then matches
+    * are grouped into maximal runs by the DIAGONAL trick: consecutive
+    * shared grams advance both positions together, so a run lives on
+    * one diagonal d = pos_a − pos_b and is an island of consecutive
+    * pos_a values there (island id = pos_a − row_number). A run of k
+    * grams covers k + [[SpanN]] − 1 tokens.
+    *
+    * Scale shape: linear in total gram occurrences up to the matched
+    * pairs; the islands windows partition by (doc_a, doc_b, diag) over
+    * the MATCHED stream only (bounded by shared-gram occurrences, not
+    * the corpus). At 100 TB the join blocks like d4 (lang/source baked
+    * into the gram key) and the df-prune drops the unique-gram long
+    * tail — boilerplate-heavy shards additionally cap per-gram fanout
+    * by dropping stopword-only grams at tokenize. */
+  val d14RepeatedSpans: Op = Op(
+    "d14_repeated_spans",
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), occ0 AS (
+        SELECT doc_id,
+               [{'p': i, 'gh': CAST(('0x' || substring(md5(
+                     array_to_string(w[i:i+${SpanN - 1}], ' ')), 1, 15)) AS BIGINT)}
+                FOR i IN generate_series(1, len(w) - ${SpanN - 1})] AS gs
+        FROM toks WHERE len(w) >= $SpanN
+      ), occ AS (
+        SELECT doc_id, u.p AS p, u.gh AS gh FROM occ0, UNNEST(gs) AS t(u)
+      ), m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
+               a.p - b.p AS diag
+        FROM occ a JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      ), isl AS (
+        SELECT da, db, diag, pa, pb,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        FROM m
+      ), sp AS (
+        SELECT da, db, MIN(pa) AS sa, MIN(pb) AS sb,
+               COUNT(*) + ${SpanN - 1} AS span_tokens
+        FROM isl GROUP BY da, db, diag, grp
+      )
+      SELECT da AS doc_a, db AS doc_b, sa AS start_a, sb AS start_b, span_tokens
+      FROM sp WHERE span_tokens >= $SpanMinTokens
+      ORDER BY doc_a, doc_b, start_a, start_b
+    """))((spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val occ = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanN)
+      .select(col("doc_id"), posexplode(TextFns.wordShingles(col("w"), SpanN)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
+      .withColumn("dfg", count(lit(1)).over(w.partitionBy("gh")))
+      .cache()
+    val shared = occ.filter(col("dfg") > 1).select("doc_id", "p", "gh")
+    val m = shared.as("a")
+      .join(shared.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.p").as("pa"), col("b.p").as("pb"),
+        (col("a.p") - col("b.p")).as("diag"))
+    m.withColumn("grp",
+        col("pa") - row_number().over(w.partitionBy("da", "db", "diag").orderBy("pa")))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + lit(SpanN - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= SpanMinTokens)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
       d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
-      d13ContainmentPairs)
+      d13ContainmentPairs, d14RepeatedSpans)
 }

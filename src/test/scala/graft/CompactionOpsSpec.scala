@@ -152,6 +152,34 @@ class CompactionOpsSpec extends SparkSpecBase {
     assert(forged == Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0), forged.toString)
   }
 
+  test("d14: maximal spans land at exact positions; short runs and intra-doc repeats drop") {
+    // Forged corpus with token-exact expectations (1-based positions):
+    //   doc 0  a1..a30 f1..f5            — 30-token run shared with 1 and (twice) 4
+    //   doc 1  g1..g8 a1..a30            — same run at offset 9
+    //   doc 2  c1..c8 ×3                 — internal repetition ONLY: no partner, no rows
+    //   doc 3  a1..a10 h1..h10           — 10-token shared run: under the 16-token floor
+    //   doc 4  a1..a20 x1..x10 a1..a20   — the 20-token run TWICE: two spans per pair,
+    //                                      tie on start_a broken by start_b in the sort
+    import spark.implicits._
+    def toks(ps: (String, Int)*): String =
+      ps.flatMap { case (p, n) => (1 to n).map(i => s"$p$i") }.mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    Seq(
+      (0L, toks("a" -> 30, "f" -> 5)),
+      (1L, toks("g" -> 8) + " " + toks("a" -> 30)),
+      (2L, (toks("c" -> 8) + " ") * 2 + toks("c" -> 8)),
+      (3L, toks("a" -> 10, "h" -> 10)),
+      (4L, toks("a" -> 20, "x" -> 10) + " " + toks("a" -> 20)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d14RepeatedSpans.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L, 9L, 30L),
+      (0L, 4L, 1L, 1L, 20L), (0L, 4L, 1L, 31L, 20L),
+      (1L, 4L, 9L, 1L, 20L), (1L, 4L, 9L, 31L, 20L)), got.mkString(","))
+  }
+
   test("q31: funnel counts shrink monotonically and step 1 counts exactly the viewers") {
     val f = EventOps.q31Funnel.run(spark, sf()).collect().sortBy(_.getInt(0))
     assert(f.length == 3)
