@@ -211,7 +211,7 @@ object ScaleCheck {
     val heavy = Seq(
       "c4_group_split", "c1_corpus_curation", "d9_canonical_docs",
       "d10_dup_gram_fraction", "d4_dedup_ngram_jaccard",
-      "d13_containment_pairs",
+      "d13_containment_pairs", "d14_repeated_spans",
       "d2_dedup_minhash_lsh", "d8_dedup_embedding_multiprobe",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
@@ -312,7 +312,7 @@ object ScaleCheck {
         scaleDocuments(spark, sfDir, deepDir, deepFactor)
         val docLines = Seq(
           "d4_dedup_ngram_jaccard", "d13_containment_pairs",
-          "d9_canonical_docs", "c1_corpus_curation")
+          "d14_repeated_spans", "d9_canonical_docs", "c1_corpus_curation")
           .map(deepProbe)
         scaleRelational(spark, sfDir, deepDir, deepFactor)
         val relLines = Seq(

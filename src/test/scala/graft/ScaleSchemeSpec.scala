@@ -76,6 +76,10 @@ class ScaleSchemeSpec extends SparkSpecBase {
     assert(q("d13_containment_pairs", scaled) == K * q("d13_containment_pairs", sf()))
   }
 
+  test("d14 repeated spans grow exactly Kx (bijection preserves span geometry)") {
+    assert(q("d14_repeated_spans", scaled) == K * q("d14_repeated_spans", sf()))
+  }
+
   test("d8 embedding pairs grow exactly Kx (label suffix keeps blocks replica-local)") {
     assert(q("d8_dedup_embedding_multiprobe", scaled) == K * q("d8_dedup_embedding_multiprobe", sf()))
   }
@@ -109,6 +113,10 @@ class ScaleSchemeSpec extends SparkSpecBase {
 
   test("d13 containment pairs grow exactly Kx across the stride-group boundary") {
     assert(q("d13_containment_pairs", scaledDeep) == KDeep * q("d13_containment_pairs", sf()))
+  }
+
+  test("d14 repeated spans grow exactly Kx across the stride-group boundary") {
+    assert(q("d14_repeated_spans", scaledDeep) == KDeep * q("d14_repeated_spans", sf()))
   }
 
   test("d2: no cross-replica pairs across the stride-group boundary") {
