@@ -1039,34 +1039,18 @@ object Dedup extends OpModule {
   val d14RepeatedSpans: Op = Op(
     "d14_repeated_spans",
     Some(s"""
-      WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
-        FROM documents
-      ), occ0 AS (
-        SELECT doc_id,
-               [{'p': i, 'gh': CAST(('0x' || substring(md5(
-                     array_to_string(w[i:i+${SpanN - 1}], ' ')), 1, 15)) AS BIGINT)}
-                FOR i IN generate_series(1, len(w) - ${SpanN - 1})] AS gs
-        FROM toks WHERE len(w) >= $SpanN
-      ), occ AS (
-        SELECT doc_id, u.p AS p, u.gh AS gh FROM occ0, UNNEST(gs) AS t(u)
-      ), m AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
-               a.p - b.p AS diag
-        FROM occ a JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
-      ), isl AS (
-        SELECT da, db, diag, pa, pb,
-               pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
-        FROM m
-      ), sp AS (
-        SELECT da, db, MIN(pa) AS sa, MIN(pb) AS sb,
-               COUNT(*) + ${SpanN - 1} AS span_tokens
-        FROM isl GROUP BY da, db, diag, grp
-      )
+      $duckSpanCtes
       SELECT da AS doc_a, db AS doc_b, sa AS start_a, sb AS start_b, span_tokens
-      FROM sp WHERE span_tokens >= $SpanMinTokens
+      FROM sp
       ORDER BY doc_a, doc_b, start_a, start_b
-    """))((spark, dir) => {
+    """))((spark, dir) =>
+    spanTable(spark, dir).orderBy("doc_a", "doc_b", "start_a", "start_b"))
+
+  /** d14's span table without the presentation sort: one row per
+    * maximal ≥[[SpanMinTokens]]-token shared run, (doc_a, doc_b,
+    * start_a, start_b, span_tokens) with doc_a < doc_b. Shared with
+    * d15's trim census so the cut plan is definitionally the spans. */
+  private def spanTable(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val occ = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
@@ -1091,12 +1075,128 @@ object Dedup extends OpModule {
       .filter(col("span_tokens") >= SpanMinTokens)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("start_a"), col("start_b"), col("span_tokens"))
-      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  /** The shared span-CTE chain (mirror of [[spanTable]]) reused by the
+    * d14 and d15 oracles: ends with `sp(da, db, sa, sb, span_tokens)`
+    * already thresholded. */
+  private lazy val duckSpanCtes: String = s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), occ0 AS (
+        SELECT doc_id,
+               [{'p': i, 'gh': CAST(('0x' || substring(md5(
+                     array_to_string(w[i:i+${SpanN - 1}], ' ')), 1, 15)) AS BIGINT)}
+                FOR i IN generate_series(1, len(w) - ${SpanN - 1})] AS gs
+        FROM toks WHERE len(w) >= $SpanN
+      ), occ AS (
+        SELECT doc_id, u.p AS p, u.gh AS gh FROM occ0, UNNEST(gs) AS t(u)
+      ), m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
+               a.p - b.p AS diag
+        FROM occ a JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      ), isl AS (
+        SELECT da, db, diag, pa, pb,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        FROM m
+      ), sp AS (
+        SELECT da, db, sa, sb, span_tokens FROM (
+          SELECT da, db, MIN(pa) AS sa, MIN(pb) AS sb,
+                 COUNT(*) + ${SpanN - 1} AS span_tokens
+          FROM isl GROUP BY da, db, diag, grp)
+        WHERE span_tokens >= $SpanMinTokens
+      )"""
+
+  /** Span-trim census: what an exact-substring trimmer would actually
+    * cut, per document. The deterministic keep-rule is "the lower
+    * doc_id keeps its copy": every d14 span is cut from its doc_b side,
+    * so a document's cut set is the UNION of its incoming span
+    * intervals [start_b, start_b + span_tokens), merged by the
+    * classic sweep (sort by start; running max of prior ends; a new
+    * merged region starts where start exceeds it) — overlapping cuts
+    * from different partners must not double-count. Census covers ALL
+    * documents (zero-cut docs included: the export gate needs the
+    * full ledger).
+    *
+    * Scale shape: [[spanTable]]'s join plus one (doc_id)-partitioned
+    * sweep over the SPAN list (bounded by found spans, not the corpus)
+    * and a broadcast-joined per-doc token count. */
+  val d15SpanTrimCensus: Op = Op(
+    "d15_span_trim_census",
+    Some(s"""
+      $duckSpanCtes, iv AS (
+        SELECT db AS doc_id, sb AS s, sb + span_tokens - 1 AS e FROM sp
+      ), swept AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv
+      ), gisl AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+        FROM swept
+      ), merged AS (
+        SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov FROM gisl GROUP BY doc_id, gid
+      ), cuts AS (
+        SELECT doc_id, SUM(cov) AS cut_tokens FROM merged GROUP BY doc_id
+      ), nsp AS (
+        SELECT db AS doc_id, COUNT(*) AS n_spans FROM sp GROUP BY db
+      ), lens AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT l.doc_id, l.n_tokens,
+             CAST(COALESCE(n.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(COALESCE(c.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+             l.n_tokens - CAST(COALESCE(c.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+             CASE WHEN l.n_tokens = 0 THEN 0.0
+                  ELSE CAST(COALESCE(c.cut_tokens, 0) AS DOUBLE) / l.n_tokens END AS cut_fraction
+      FROM lens l
+      LEFT JOIN cuts c ON l.doc_id = c.doc_id
+      LEFT JOIN nsp n ON l.doc_id = n.doc_id
+      ORDER BY l.doc_id
+    """))((spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+    // The span table feeds both the interval sweep and the per-doc span
+    // count; cache it (tiny — found spans only) so the gram join runs
+    // once, not once per consumer.
+    val spans = spanTable(spark, dir).cache()
+    val sp = spans
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens") - 1).as("e"))
+    val swept = sp.withColumn("pmax",
+      max(col("e")).over(w.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+    val gisl = swept.withColumn("gid",
+      sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .over(w.partitionBy("doc_id").orderBy("s", "e")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val cuts = gisl.groupBy("doc_id", "gid")
+      .agg((max(col("e")) - min(col("s")) + 1).as("cov"))
+      .groupBy("doc_id").agg(sum("cov").as("cut_tokens"))
+    val nsp = spans
+      .groupBy(col("doc_b").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val lens = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    lens
+      .join(broadcast(cuts), Seq("doc_id"), "left")
+      .join(broadcast(nsp), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).as("kept_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("cut_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("cut_fraction"))
+      .orderBy("doc_id")
   })
 
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
       d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
-      d13ContainmentPairs, d14RepeatedSpans)
+      d13ContainmentPairs, d14RepeatedSpans, d15SpanTrimCensus)
 }

@@ -180,6 +180,38 @@ class CompactionOpsSpec extends SparkSpecBase {
       (1L, 4L, 9L, 1L, 20L), (1L, 4L, 9L, 31L, 20L)), got.mkString(","))
   }
 
+  test("d15: trim census unions overlapping cuts and charges the higher doc_id") {
+    // Same forged corpus as the d14 test. Expected cuts (lower doc_id
+    // keeps its copy; intervals are [start_b, start_b+len-1]):
+    //   doc 0: never doc_b                        → cut 0 of 35
+    //   doc 1: [9,38] from (0,1)                  → cut 30 of 38
+    //   doc 2: internal repetition only           → cut 0 of 24
+    //   doc 3: only sub-threshold runs            → cut 0 of 20
+    //   doc 4: [1,20],[31,50] from BOTH 0 and 1   → 4 spans but the
+    //          union is 40 of 50 (overlaps must not double-count)
+    import spark.implicits._
+    def toks(ps: (String, Int)*): String =
+      ps.flatMap { case (p, n) => (1 to n).map(i => s"$p$i") }.mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d15").toString
+    Seq(
+      (0L, toks("a" -> 30, "f" -> 5)),
+      (1L, toks("g" -> 8) + " " + toks("a" -> 30)),
+      (2L, (toks("c" -> 8) + " ") * 2 + toks("c" -> 8)),
+      (3L, toks("a" -> 10, "h" -> 10)),
+      (4L, toks("a" -> 20, "x" -> 10) + " " + toks("a" -> 20)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d15SpanTrimCensus.run(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 35L, 0L, 0L, 35L),
+      (1L, 38L, 1L, 30L, 8L),
+      (2L, 24L, 0L, 0L, 24L),
+      (3L, 20L, 0L, 0L, 20L),
+      (4L, 50L, 4L, 40L, 10L)), got.mkString(","))
+  }
+
   test("q31: funnel counts shrink monotonically and step 1 counts exactly the viewers") {
     val f = EventOps.q31Funnel.run(spark, sf()).collect().sortBy(_.getInt(0))
     assert(f.length == 3)
