@@ -1009,6 +1009,15 @@ object Dedup extends OpModule {
 
   private val SpanN = 8          // span gram width (tokens)
   private val SpanMinTokens = 16 // report maximal spans of at least this
+  // Occurrence cap per gram: a gram appearing more than this many times
+  // corpus-wide is ubiquitous boilerplate whose pair fanout is
+  // quadratic (n occurrences → ~n²/2 matched rows) — list-prune it, in
+  // BOTH engines (visible semantics, unlike the df=1 prune). Sized for
+  // the target scale: testdata maxes out at df=4, so the cap never
+  // triggers at test SFs; at 100 TB it is the lever that keeps the
+  // corpus-global join linear. The spec forges a 130-doc boilerplate
+  // cohort to prove the capped path.
+  private val SpanMaxDf = 128
 
   /** Exact repeated-substring SPANS: maximal runs of ≥[[SpanMinTokens]]
     * consecutive tokens shared verbatim between two documents, located
@@ -1029,13 +1038,15 @@ object Dedup extends OpModule {
     * pos_a values there (island id = pos_a − row_number). A run of k
     * grams covers k + [[SpanN]] − 1 tokens.
     *
-    * Scale shape: linear in total gram occurrences up to the matched
-    * pairs; the islands windows partition by (doc_a, doc_b, diag) over
-    * the MATCHED stream only (bounded by shared-gram occurrences, not
-    * the corpus). At 100 TB the join blocks like d4 (lang/source baked
-    * into the gram key) and the df-prune drops the unique-gram long
-    * tail — boilerplate-heavy shards additionally cap per-gram fanout
-    * by dropping stopword-only grams at tokenize. */
+    * Scale shape: the join is deliberately CORPUS-GLOBAL — no
+    * lang/source blocking, unlike d4/d13, because cross-source
+    * boilerplate is precisely the target. What keeps it linear: the
+    * df=1 prune drops the unique-gram long tail (most of the corpus),
+    * and the [[SpanMaxDf]] occurrence cap drops ubiquitous grams whose
+    * pair fanout would be quadratic — capped identically in the oracle
+    * (visible semantics). The islands windows partition by (doc_a,
+    * doc_b, diag) over the MATCHED stream only (bounded by shared-gram
+    * occurrences between the two prunes, not the corpus). */
   val d14RepeatedSpans: Op = Op(
     "d14_repeated_spans",
     Some(s"""
@@ -1060,7 +1071,9 @@ object Dedup extends OpModule {
         conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
       .withColumn("dfg", count(lit(1)).over(w.partitionBy("gh")))
       .cache()
-    val shared = occ.filter(col("dfg") > 1).select("doc_id", "p", "gh")
+    val shared = occ
+      .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
+      .select("doc_id", "p", "gh")
     val m = shared.as("a")
       .join(shared.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -1092,10 +1105,14 @@ object Dedup extends OpModule {
         FROM toks WHERE len(w) >= $SpanN
       ), occ AS (
         SELECT doc_id, u.p AS p, u.gh AS gh FROM occ0, UNNEST(gs) AS t(u)
+      ), occf AS (
+        SELECT doc_id, p, gh FROM (
+          SELECT doc_id, p, gh, COUNT(*) OVER (PARTITION BY gh) AS dfg FROM occ)
+        WHERE dfg <= $SpanMaxDf
       ), m AS (
         SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
                a.p - b.p AS diag
-        FROM occ a JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        FROM occf a JOIN occf b ON a.gh = b.gh AND a.doc_id < b.doc_id
       ), isl AS (
         SELECT da, db, diag, pa, pb,
                pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp

@@ -212,6 +212,27 @@ class CompactionOpsSpec extends SparkSpecBase {
       (4L, 50L, 4L, 40L, 10L)), got.mkString(","))
   }
 
+  test("d14: ubiquitous-gram cohorts are capped out; genuine spans survive alongside them") {
+    // 130 byte-identical boilerplate docs (every gram at df=130 > the
+    // 128 cap) would otherwise fan out into 130*129/2 = 8385 pairs of
+    // 20-token spans; the cap must drop ALL of them while the one
+    // genuine pair (docs 0 and 1 sharing a unique 20-token run at
+    // df=2) still reports its span.
+    import spark.implicits._
+    def toks(p: String, n: Int): String = (1 to n).map(i => s"$p$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d14cap").toString
+    val boiler = toks("boiler", 20)
+    (Seq(
+      (0L, toks("u", 20) + " " + toks("x", 5)),
+      (1L, toks("y", 8) + " " + toks("u", 20))) ++
+      (10L until 140L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d14RepeatedSpans.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 1L, 1L, 9L, 20L)), got.mkString(","))
+  }
+
   test("q31: funnel counts shrink monotonically and step 1 counts exactly the viewers") {
     val f = EventOps.q31Funnel.run(spark, sf()).collect().sortBy(_.getInt(0))
     assert(f.length == 3)
