@@ -99,9 +99,10 @@ object Bench {
     // contention invisible to the guest: steal stays 0 while identical
     // code runs at half speed), so absolute cross-SESSION comparisons —
     // a judge re-run, next round's drift grading — need a denominator.
-    // Recorded in the detail file only; the stdout gate line stays
-    // byte-stable. Compare totals as total/calib before calling a
-    // cross-session delta a regression.
+    // WIRED IN (r11): the resweep trigger and the drift grading both
+    // compare against calib-normalized priors (prior × calib/priorCalib);
+    // the stdout gate line stays byte-stable, the detail file records
+    // calib_s, prior_calib_s and the applied speed_ratio.
     // XOR of hashes, not SUM of products: the session runs ANSI mode,
     // where a long SUM over 2e9 squares overflows and kills the run
     // before the first sweep (the repo-wide bit_xor-for-checksums rule
@@ -156,18 +157,36 @@ object Bench {
     // leaves a truncated file whose tokens the regex class can still
     // match but toDouble can't parse ("-", "4.9E") — degrade to
     // no-prior rather than abort the bench before any sweep runs.
-    val (priorWarm: Map[String, Double], priorTotal: Option[Double]) =
+    val (priorWarm: Map[String, Double], priorTotal: Option[Double],
+        priorCalib: Option[Double]) =
       try {
         val priorText = new String(
           Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
         if (!priorText.contains(s""""runs":$runs,"sf":"$sfDir""""))
-          (Map.empty[String, Double], None)
+          (Map.empty[String, Double], None, None)
         else (
+          // Error sentinels (-1.0) from a prior errored query must not
+          // enter any comparison sum — a negative prior deflates the
+          // comparable total and skews the 10% resweep gate.
           """"([a-z0-9_]+)":\{"warm_median":([0-9.eE+-]+)""".r
-            .findAllMatchIn(priorText).map(m => m.group(1) -> m.group(2).toDouble).toMap,
+            .findAllMatchIn(priorText).map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 >= 0).toMap,
           """^\{"metric":"total_warm","value":([0-9.eE+-]+)""".r
+            .findFirstMatchIn(priorText).map(_.group(1).toDouble),
+          """"calib_s":([0-9.eE+-]+)""".r
             .findFirstMatchIn(priorText).map(_.group(1).toDouble))
-      } catch { case _: Throwable => (Map.empty[String, Double], None) }
+      } catch { case _: Throwable => (Map.empty[String, Double], None, None) }
+    // Machine-speed normalization for every cross-SESSION comparison:
+    // the prior round's numbers came off a box window whose ambient
+    // speed differs up to 2-3× from this run's (measured live in r10:
+    // identical code, steal 0, every query 1.4-2.7× slower). A prior
+    // warm median is made comparable to THIS run by scaling it with the
+    // calib ratio (this run's calib / prior run's calib) — both probes
+    // time the same fixed CPU-bound workload. No prior calib (pre-r10
+    // detail file) → ratio 1.0, the old raw comparison.
+    val speedRatio: Double =
+      priorCalib.filter(c => c > 0 && calib > 0).map(calib / _).getOrElse(1.0)
+    def norm(prior: Double): Double = prior * speedRatio
 
     // Gate total for sweep COMPARISON: a sweep in which any query
     // errored (the -1.0 sentinel) must never win the keep-the-faster
@@ -198,10 +217,13 @@ object Bench {
     // query (-1.0 sentinel) also forces the resweep — a deflated raw sum
     // could otherwise land inside the 10% band and ship a broken sweep
     // as the gate number.
+    // The prior side of the comparison is calib-NORMALIZED: a 1.5×
+    // machine-speed swing between sessions must not read as a 50%
+    // regression (or mask a real one of the same size).
     def comparableTotals(rs: Seq[(String, Double, Double, Double)]): Option[(Double, Double)] = {
       val common = rs.filter { case (n, _, _, _) => priorWarm.contains(n) }
       if (common.isEmpty) None
-      else Some((common.map(_._2).sum, common.map(t => priorWarm(t._1)).sum))
+      else Some((common.map(_._2).sum, common.map(t => norm(priorWarm(t._1))).sum))
     }
     val needResweep = first.exists(_._2 < 0) ||
       comparableTotals(first).exists { case (cur, p) =>
@@ -216,7 +238,8 @@ object Bench {
         val kept = if (keepSecond) second else first
         (kept,
           s""","resweep":{"kept":"${if (keepSecond) "second" else "first"}",""" +
-            s""""totals":[$total1,$total2],"prior_total":${priorTotal.getOrElse(-1.0)}}""")
+            s""""totals":[$total1,$total2],"prior_total":${priorTotal.getOrElse(-1.0)},""" +
+            s""""prior_total_norm":${priorTotal.map(norm).getOrElse(-1.0)}}""")
       }
     val total = results.map(_._2).sum
     // Ratio AND absolute floor: 1.5x of a 0.2 s prior is 0.1 s — inside
@@ -230,8 +253,12 @@ object Bench {
     // JVM and record both numbers — `cleared` = the controlled number is
     // back under the threshold, i.e. the sweep flag was ambient noise.
     // Adjudicate on `isolated`, never on the sweep number.
+    // Drift is graded against the calib-NORMALIZED prior (`prior_norm`
+    // in the entry; `prior` stays the raw committed number for
+    // traceability) so a slower machine window doesn't flag the whole
+    // suite and a faster one doesn't hide a real regression.
     val drift = results.collect {
-      case (name, warm, _, _) if priorWarm.get(name).exists(trips(warm, _)) =>
+      case (name, warm, _, _) if priorWarm.get(name).exists(p => trips(warm, norm(p))) =>
         val prior = priorWarm(name)
         settle()
         val fn = SparkEntry.queries(name)
@@ -239,8 +266,8 @@ object Bench {
         val iso = median((1 to runs).map(_ => once(fn)))
         val isoFields =
           if (iso < 0) ""
-          else s""","isolated":$iso,"cleared":${!trips(iso, prior)}"""
-        s"""{"query":"$name","warm":$warm,"prior":$prior$isoFields}"""
+          else s""","isolated":$iso,"cleared":${!trips(iso, norm(prior))}"""
+        s"""{"query":"$name","warm":$warm,"prior":$prior,"prior_norm":${norm(prior)}$isoFields}"""
     }
     val detail = results
       .map { case (k, w, c, i) =>
@@ -250,7 +277,8 @@ object Bench {
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total_warm","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir",""" +
-        s""""calib_s":${fmt(calib)},""" +
+        s""""calib_s":${fmt(calib)},"prior_calib_s":${priorCalib.map(fmt).getOrElse("null")},""" +
+        s""""speed_ratio":${fmt(speedRatio)},""" +
         s""""drift":${drift.mkString("[", ",", "]")}$resweepJson,"queries":$detail}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

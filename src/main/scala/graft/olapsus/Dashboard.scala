@@ -84,11 +84,14 @@ object Dashboard {
     /** One JSON route: runs the query, 400s on missing/invalid params.
       * The JDK server matches contexts by string PREFIX (`/api/pivotfoo`
       * lands on `/api/pivot`), so the handler re-checks the exact path
-      * and 404s anything that merely shares the prefix. */
+      * and 404s anything that merely shares the prefix. A single
+      * trailing slash is tolerated (`/api/pivot/` serves the route —
+      * the prefix matcher always accepted it, so clients may rely on
+      * it). */
     def route(path: String)(fn: Map[String, String] => DataFrame): Unit =
       server.createContext(path, (ex: HttpExchange) =>
         try {
-          if (ex.getRequestURI.getPath != path)
+          if (ex.getRequestURI.getPath.stripSuffix("/") != path)
             respond(ex, 404, "application/json", jsonError("not found"))
           else if (ex.getRequestMethod != "GET")
             respond(ex, 405, "application/json", jsonError("GET only"))

@@ -374,10 +374,14 @@ object Dedup extends OpModule {
       FROM p WHERE cos >= 0.3
       ORDER BY vec_a, vec_b
     """))((spark, dir) => {
+    // Cached: the self-join otherwise re-runs the scan + quantize +
+    // norm + bucket subtree once PER SIDE (fresh expression ids defeat
+    // exchange reuse — the same family as the r9 c4 regression).
     val n = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .withColumn("bucket", VectorFns.lshBucket8("qv"))
+      .cache()
     val p = n.as("a")
       .join(n.as("b"),
         col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")
@@ -430,10 +434,15 @@ object Dedup extends OpModule {
     * pattern): internal consumers take the pair SET. */
   private[operators] def d8Pairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
+    // Cached: the probe side AND the build side both derive from this
+    // subtree, and uncached the scan + quantize + norm + bucket work
+    // runs once per side (d11/d12 then pay it again through their own
+    // consumers — fresh expression ids defeat exchange reuse).
     val n = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .withColumn("bucket", VectorFns.lshBucketInt(col("qv"), EMB_BITS))
+      .cache()
     val probes = n.select(
       col("vec_id"), col("label"), col("qv"), col("nrm"),
       explode(array(col("bucket") +: (0 until EMB_BITS).map(j =>
@@ -922,7 +931,16 @@ object Dedup extends OpModule {
     * blocks and the join plans with ZERO further exchanges. (A separate
     * aggregate+join re-derivation measured 2.5× worse at 64×; no
     * pruning ~1.3× worse.) `sizes` stays over the FULL gram sets:
-    * Jaccard/containment denominators must count unshared grams too. */
+    * Jaccard/containment denominators must count unshared grams too.
+    *
+    * `sizes` carries one row PER DOCUMENT, so it must never be
+    * broadcast-HINTED: the hint is unconditional, and at 100 TB a
+    * billions-of-rows build side blows the 8 GB broadcast limit and
+    * fails the job outright. The joins are left unhinted — AQE
+    * broadcasts from the RUNTIME size when sizes actually is small,
+    * and degrades to a shuffle join (on the already-aggregated,
+    * LSH-small pair side) when it is not. PlanAuditSpec pins the
+    * no-hint invariant. */
   private def gramIntersections(gramRows: DataFrame): DataFrame = {
     val grams = gramRows
       .withColumn("dfb",
@@ -935,9 +953,9 @@ object Dedup extends OpModule {
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sz", "sza"), Seq("doc_a"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sz", "szb"), Seq("doc_b"))
   }
 
@@ -960,8 +978,10 @@ object Dedup extends OpModule {
     * uses (df=1 grams cannot produce a pair; the cache holds the
     * windowed rows so both join sides read bg-partitioned blocks and
     * the join adds zero exchanges), gram-level equi-join → per-pair
-    * intersection counts, sizes re-attached by broadcast. Linear in
-    * total shingle occurrences, never O(pairs × array). */
+    * intersection counts, sizes re-attached unhinted (AQE broadcasts
+    * when actually small — sizes is per-document, so a hint would be a
+    * 100 TB failure). Linear in total shingle occurrences, never
+    * O(pairs × array). */
   val d13ContainmentPairs: Op = Op(
     "d13_containment_pairs",
     Some(s"""
@@ -1017,6 +1037,18 @@ object Dedup extends OpModule {
   // triggers at test SFs; at 100 TB it is the lever that keeps the
   // corpus-global join linear. The spec forges a 130-doc boilerplate
   // cohort to prove the capped path.
+  //
+  // Maximality caveat (visible in both engines, so gates still agree):
+  // the cap counts a gram's occurrences CORPUS-wide, so a genuine long
+  // span between ONE pair of documents fragments (or, if shorter than
+  // SpanMinTokens + the gap, drops) when an INTERIOR gram happens to be
+  // common via unrelated documents. Reported spans are therefore
+  // maximal runs of surviving (df ≤ cap) grams, not of all shared
+  // grams. Acceptable by design: a gram that common is itself
+  // boilerplate, and the trimmer's near-miss is bounded by the gram
+  // width. Counting df as DISTINCT DOCS per gram would narrow (not
+  // close) the gap at extra cost — revisit only if strict maximality
+  // between surviving pairs becomes a contract.
   private val SpanMaxDf = 128
 
   /** Exact repeated-substring SPANS: maximal runs of ≥[[SpanMinTokens]]
@@ -1137,8 +1169,11 @@ object Dedup extends OpModule {
     * full ledger).
     *
     * Scale shape: [[spanTable]]'s join plus one (doc_id)-partitioned
-    * sweep over the SPAN list (bounded by found spans, not the corpus)
-    * and a broadcast-joined per-doc token count. */
+    * sweep over the SPAN list (bounded by found spans, not the corpus).
+    * The census joins (lens ⋈ cuts ⋈ nsp) are left UNHINTED: cuts/nsp
+    * are one row per document-with-spans — unbounded on a heavily
+    * duplicated corpus — so a broadcast hint would be a 100 TB failure
+    * mode; AQE broadcasts from the runtime size when they are small. */
   val d15SpanTrimCensus: Op = Op(
     "d15_span_trim_census",
     Some(s"""
@@ -1199,8 +1234,8 @@ object Dedup extends OpModule {
     val lens = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
     lens
-      .join(broadcast(cuts), Seq("doc_id"), "left")
-      .join(broadcast(nsp), Seq("doc_id"), "left")
+      .join(cuts, Seq("doc_id"), "left")
+      .join(nsp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),

@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected a hash-based join on the gram key:\n" + p.take(1500))
   }
 
+  test("d4/d13/d15: no broadcast hints — every join side is per-document-cardinality") {
+    // A broadcast HINT is unconditional: at 100 TB a per-document build
+    // side (gram-set sizes, span cut/count tables) is billions of rows
+    // and would blow the broadcast limit outright. These plans must stay
+    // unhinted — AQE may still broadcast from the RUNTIME size when a
+    // side is actually small, which is the wanted behavior.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("d4_dedup_ngram_jaccard", "d13_containment_pairs",
+        "d15_span_trim_census")) {
+      val hints = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.hints.toString
+      }
+      assert(hints.isEmpty, s"$name carries join hints: ${hints.mkString(", ")}")
+    }
+  }
+
   test("t37: Bloom probe prunes the train side in the scan stage before the exact join") {
     val p = plan("t37_bloom_decontamination")
     // The sketch membership test must sit in a Filter ABOVE the

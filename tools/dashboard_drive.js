@@ -53,7 +53,22 @@ async function main() {
   const pageFetch = (p, ...rest) => fetch(p.startsWith('http') ? p : BASE + p, ...rest);
   const fn = new Function('document', 'fetch', script);
   fn(document, pageFetch);
-  await new Promise(r => setTimeout(r, 4000)); // let all api() fetches land
+  // Poll until every chart svg has rendered children (all api() fetches
+  // landed) instead of a fixed sleep: a cold DashServe can take longer
+  // than any constant (flaky false failures), and a warm one finishes in
+  // well under a second (wasted wall). Hard timeout keeps a dead route
+  // from hanging the drive.
+  {
+    const deadline = Date.now() + 30000;
+    const ids = ['svg0', 'svg1', 'svg2', 'svg3', 'svg4'];
+    while (ids.some(id => getEl(id).children.length === 0)) {
+      if (Date.now() > deadline) {
+        const empty = ids.filter(id => getEl(id).children.length === 0);
+        throw new Error('charts never rendered: ' + empty.join());
+      }
+      await new Promise(r => setTimeout(r, 100));
+    }
+  }
 
   const pivot = await (await fetch(BASE + '/api/pivot')).json();
   const wantCols = pivot.columns.filter(c => c !== 'ANO');
