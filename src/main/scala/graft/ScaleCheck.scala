@@ -212,6 +212,7 @@ object ScaleCheck {
       "c4_group_split", "c1_corpus_curation", "d9_canonical_docs",
       "d10_dup_gram_fraction", "d4_dedup_ngram_jaccard",
       "d13_containment_pairs", "d14_repeated_spans",
+      "d16_lsh_recall_audit", "d17_dedup_action_plan",
       "d2_dedup_minhash_lsh", "d8_dedup_embedding_multiprobe",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {

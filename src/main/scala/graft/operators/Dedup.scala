@@ -108,7 +108,11 @@ object Dedup extends OpModule {
     * standard 31-bit estimator, mirrored verbatim in this oracle so
     * both engines move together on the rare in-pair collision. Band
     * keys are the raw (h,h) long pairs — no extra hash at all. */
-  private[operators] lazy val duckPairCtes: String = {
+  private[operators] lazy val duckPairCtes: String = duckPairCtesFrom("documents")
+
+  /** [[duckPairCtes]] parameterized by the source relation, so audits
+    * over a filtered corpus (d16's sample) reuse the exact chain. */
+  private[operators] def duckPairCtesFrom(docsRel: String): String = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"list_aggregate(list_transform(sh, h -> ($a * h + $b) % $MinhashP), 'min') AS h${i + 1}"
     }.mkString(",\n               ")
@@ -117,7 +121,7 @@ object Dedup extends OpModule {
       .mkString("\n        UNION ALL ")
     s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
-        FROM documents
+        FROM $docsRel
       ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -432,7 +436,17 @@ object Dedup extends OpModule {
 
   /** d8's full pair pipeline, UNSORTED (see [[d2Pairs]] for the
     * pattern): internal consumers take the pair SET. */
-  private[operators] def d8Pairs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def d8Pairs(spark: SparkSession, dir: String): DataFrame =
+    d8PairsAndNorms(spark, dir)._1
+
+  /** d8's pairs PLUS the cached per-vector (vec_id, nrm) projection the
+    * pair join already computed — d12 re-attaching norms through this
+    * seam reads the cache instead of paying a second scan + quantize +
+    * norm pass over the full embeddings table (the same
+    * fresh-expression-ids-defeat-exchange-reuse family as the r9 c4
+    * regression, one level up). */
+  private[operators] def d8PairsAndNorms(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.VectorFns
     // Cached: the probe side AND the build side both derive from this
     // subtree, and uncached the scan + quantize + norm + bucket work
@@ -456,7 +470,7 @@ object Dedup extends OpModule {
         VectorFns.cosine(
           VectorFns.dot(col("a.qv"), col("b.qv")), col("a.nrm"), col("b.nrm")).as("cos"))
       .distinct()
-    p.filter(col("cos") >= EMB_COS_T)
+    (p.filter(col("cos") >= EMB_COS_T), n.select(col("vec_id"), col("nrm")))
   }
 
   val d8EmbeddingMultiProbe: Op = Op(
@@ -826,20 +840,29 @@ object Dedup extends OpModule {
              CAST(csize - 1 AS BIGINT) AS n_dropped
       FROM r WHERE rnk = 1
       ORDER BY cluster_id
-    """))((spark, dir) =>
-    canonicalVectorsFrom(spark, dir, d8Pairs(spark, dir)))
+    """))((spark, dir) => {
+    // Both the pair set AND the norms come from d8's one cached
+    // quantize pass — a separate norms derivation re-scanned and
+    // re-quantized the full embeddings table for a column the cache
+    // already holds.
+    val (pairs, norms) = d8PairsAndNorms(spark, dir)
+    canonicalVectorsFrom(spark, dir, pairs, Some(norms))
+  })
 
   /** d12's canonical-vector selection parameterized by the embedding
-    * pair SET — the vector-side twin of [[canonicalDocsFrom]]. */
+    * pair SET — the vector-side twin of [[canonicalDocsFrom]]. Pass
+    * `normsOpt` when the caller already has a (vec_id, nrm) projection
+    * (d12 reuses d8's cached quantize subtree); persisted-pair callers
+    * leave it None and pay the one table scan. */
   private[operators] def canonicalVectorsFrom(spark: SparkSession, dir: String,
-      epairs: DataFrame): DataFrame = {
+      epairs: DataFrame, normsOpt: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFns
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(epairs.select("vec_a", "vec_b"))
       .withColumnRenamed("doc_id", "vec_id")
-    val norms = Tables.embeddings(spark, dir)
+    val norms = normsOpt.getOrElse(Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        VectorFns.norm2(VectorFns.quantize(col("embedding"))).as("nrm"))
+        VectorFns.norm2(VectorFns.quantize(col("embedding"))).as("nrm")))
     val j = comp.join(norms, Seq("vec_id"))
     val byCluster = Window.partitionBy("cluster_id")
     val r = j
@@ -1093,19 +1116,58 @@ object Dedup extends OpModule {
     * maximal ≥[[SpanMinTokens]]-token shared run, (doc_a, doc_b,
     * start_a, start_b, span_tokens) with doc_a < doc_b. Shared with
     * d15's trim census so the cut plan is definitionally the spans. */
-  private def spanTable(spark: SparkSession, dir: String): DataFrame = {
+  private def spanTable(spark: SparkSession, dir: String): DataFrame =
+    spanTableWith(spark, dir, "aggshj")
+
+  /** [[spanTable]] with the df-filter strategy selectable — the
+    * `windowDf = true` form exists ONLY for [[graft.SpanSkewProbe]]'s
+    * side-by-side measurement and must not be shipped in an operator.
+    *
+    * df filter via PARTIAL-AGG COUNT + SEMI-JOIN, not a count window
+    * over gh: d14's join is deliberately corpus-GLOBAL (no lang/source
+    * block in the key, unlike d4/d13), so a `count().over(partitionBy
+    * "gh"))` window puts EVERY occurrence of one gram into one task —
+    * and the SpanMaxDf cap prunes ubiquitous boilerplate only AFTER
+    * that window has sorted/buffered its whole partition. A 10M-
+    * occurrence gram at 100 TB is then a single-task hotspot the cap
+    * never saves. The aggregate form has no such wall: the per-gram
+    * count collapses hot keys MAP-SIDE (partial agg), the surviving
+    * 2..SpanMaxDf gram list is keys-only, and the one full-occ
+    * exchange happens in the semi-join, where AQE's skew-join split
+    * CAN spread a hot gram across tasks (a window partition cannot be
+    * split). d4's agg-vs-window measurement does not transfer here:
+    * d4's window rides a BLOCKED key that cannot concentrate, and
+    * saves an exchange its join needs anyway. */
+  private[graft] def spanTableWith(spark: SparkSession, dir: String,
+      dfStrategy: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val occ = Tables.spread(Tables.documents(spark, dir))
+    val occ0 = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= SpanN)
       .select(col("doc_id"), posexplode(TextFns.wordShingles(col("w"), SpanN)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
-      .withColumn("dfg", count(lit(1)).over(w.partitionBy("gh")))
-      .cache()
-    val shared = occ
-      .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
-      .select("doc_id", "p", "gh")
+    val shared = dfStrategy match {
+      case "window" =>
+        // Measurement-only historical form: single-task per hot gram.
+        occ0.withColumn("dfg", count(lit(1)).over(w.partitionBy("gh")))
+          .cache()
+          .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
+          .select("doc_id", "p", "gh")
+      case "agg" | "aggshj" =>
+        val occ = occ0.cache()
+        val good = occ.groupBy("gh").agg(count(lit(1)).as("dfg"))
+          .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
+          .select("gh")
+        val build = if (dfStrategy == "aggshj") good.hint("shuffle_hash") else good
+        // Cached post-join: both self-join sides read gh-partitioned
+        // blocks (the semi-join's output partitioning), so the pair
+        // join adds no exchange — the same zero-extra-exchange property
+        // the window form had via its cached window partitioning.
+        occ.join(build, Seq("gh"), "leftsemi")
+          .select("doc_id", "p", "gh")
+          .cache()
+    }
     val m = shared.as("a")
       .join(shared.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -1211,24 +1273,11 @@ object Dedup extends OpModule {
       LEFT JOIN nsp n ON l.doc_id = n.doc_id
       ORDER BY l.doc_id
     """))((spark, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
     // The span table feeds both the interval sweep and the per-doc span
     // count; cache it (tiny — found spans only) so the gram join runs
     // once, not once per consumer.
     val spans = spanTable(spark, dir).cache()
-    val sp = spans
-      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
-        (col("start_b") + col("span_tokens") - 1).as("e"))
-    val swept = sp.withColumn("pmax",
-      max(col("e")).over(w.partitionBy("doc_id").orderBy("s", "e")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
-    val gisl = swept.withColumn("gid",
-      sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
-        .over(w.partitionBy("doc_id").orderBy("s", "e")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val cuts = gisl.groupBy("doc_id", "gid")
-      .agg((max(col("e")) - min(col("s")) + 1).as("cov"))
-      .groupBy("doc_id").agg(sum("cov").as("cut_tokens"))
+    val cuts = spanCuts(spans)
     val nsp = spans
       .groupBy(col("doc_b").as("doc_id")).agg(count(lit(1)).as("n_spans"))
     val lens = Tables.spread(Tables.documents(spark, dir))
@@ -1246,9 +1295,249 @@ object Dedup extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** Per-document cut totals from a span table: each doc_b's incoming
+    * span intervals [start_b, start_b + span_tokens), merged by the
+    * running-max sweep so overlapping cuts from different partners never
+    * double-count. One (doc_id)-partitioned window pass over FOUND spans
+    * only. Shared by d15's census and d17's action plan. */
+  private def spanCuts(spans: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sp = spans
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens") - 1).as("e"))
+    val swept = sp.withColumn("pmax",
+      max(col("e")).over(w.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+    val gisl = swept.withColumn("gid",
+      sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .over(w.partitionBy("doc_id").orderBy("s", "e")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    gisl.groupBy("doc_id", "gid")
+      .agg((max(col("e")) - min(col("s")) + 1).as("cov"))
+      .groupBy("doc_id").agg(sum("cov").as("cut_tokens"))
+  }
+
+  // d16's corpus sample: keep documents whose md5(doc_id) int64 is
+  // ≡ 0 mod this. 2 here so the small-SF oracle gate has pairs to
+  // grade; a 100 TB audit sets this ~10⁵-10⁶ — the audit's exact
+  // all-shared-shingle join is quadratic ONLY within the sample, which
+  // is the knob that bounds it.
+  private val AuditMod = 2
+
+  /** LSH-recall audit: how much does d2's banding MISS? The 100 TB
+    * dedup path depends on banded candidate generation (8 minhashes ×
+    * 4 bands), which trades recall for linearity — this op measures
+    * that trade on a deterministic corpus sample, the way a pipeline
+    * tunes band geometry before committing to it. Ground truth inside
+    * the sample: EXACT hashed-shingle Jaccard (d2's own estimator) over
+    * a df-pruned shingle-level equi-join — every true pair ≥ the d2
+    * threshold, found without banding. Each truth pair is then flagged
+    * with whether d2's band keys would have surfaced it (band keys are
+    * per-document, so sample-restricted banding equals full-corpus
+    * banding restricted to sample pairs). Recall = flagged fraction;
+    * the unflagged rows are the pairs banding loses.
+    *
+    * Scale shape: linear in corpus size for the sampling scan; the
+    * exact truth join is quadratic only WITHIN the sample (shared-
+    * shingle equi-join, df=1 pruned, shuffled-hash so no hot-shingle
+    * single-task sort) — [[AuditMod]] is the knob. */
+  val d16LshRecallAudit: Op = Op(
+    "d16_lsh_recall_audit",
+    Some(s"""
+      WITH sdocs AS (
+        SELECT * FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % $AuditMod = 0
+      ), ${duckPairCtesFrom("sdocs")},
+      truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(a.sh) + len(b.sh)
+                    - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      )
+      SELECT t.doc_a, t.doc_b, t.jac AS jaccard,
+             (c.doc_a IS NOT NULL) AS lsh_found
+      FROM truth t
+      LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      WHERE t.jac >= $JACCARD_T
+      ORDER BY t.doc_a, t.doc_b
+    """))((spark, dir) => {
+    val sampled = Tables.spread(Tables.documents(spark, dir))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % AuditMod === 0)
+    val sh = shingled(sampled).cache()
+    // Exact truth via the shingle-level equi-join (the d4/d13 shape):
+    // one matched row per shared shingle, count per pair = |A ∩ B|.
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val good = g.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("h")
+    val shared = g.join(good.hint("shuffle_hash"), Seq("h"), "leftsemi").cache()
+    val inter = shared.as("a")
+      .join(shared.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val truth = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"),
+        Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"),
+        Seq("doc_b"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= JACCARD_T)
+    val bands = minhashBands(sh).cache()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
+          && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    truth
+      .join(cand.withColumn("f", lit(true)), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("f"), lit(false)).as("lsh_found"))
+      .orderBy("doc_a", "doc_b")
+  })
+
+  /** The capstone: one row per document with the dedup ACTION the
+    * pipeline executes — the merge of every dedup decision this module
+    * makes, in the priority order a trimmer applies them:
+    *
+    *   - `drop_exact`: a non-canonical byte-identical copy (d1's
+    *     groups; the minimum doc_id keeps the text)
+    *   - `drop_near`:  a non-canonical member of a d2 near-dup cluster
+    *     (d9's keep-rule: longest text, ties to the lowest doc_id)
+    *   - `trim`:       survives whole-document dedup but carries d14
+    *     repeated spans to cut (d15's keep-rule: the lower doc_id keeps
+    *     its copy, so cuts land on the doc_b side)
+    *   - `keep`:       untouched
+    *
+    * The ledger (n_tokens / cut_tokens / kept_tokens) is what an export
+    * gate budgets with: dropped docs cut everything, trimmed docs cut
+    * their merged span union, kept docs cut nothing.
+    *
+    * Scale shape: composes the already-scale-shaped subtrees (d2's
+    * banded pairs, components, the df-pruned span join, one window over
+    * found spans) plus one hash-agg + shuffled-hash join for the exact
+    * groups — no new corpus-global window (an md5(text) window would
+    * put a 10M-copy boilerplate text in one task; the agg collapses it
+    * map-side). */
+  val d17DedupActionPlan: Op = Op(
+    "d17_dedup_action_plan",
+    Some {
+      // duckSpanCtes' own `toks` is byte-identical to duckPairCtes' —
+      // reuse the latter's and splice the span chain from occ0 on.
+      val spanTail = duckSpanCtes.substring(duckSpanCtes.indexOf("occ0 AS"))
+      s"""
+      WITH RECURSIVE $duckPairCtes,
+      pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= $JACCARD_T),
+      ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM ed
+        UNION
+        SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a WHERE ed.b <> r.a
+      ),
+      comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+      ),
+      rr AS (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+        FROM comp c JOIN documents d USING (doc_id)
+      ),
+      nearloser AS (SELECT doc_id FROM rr WHERE rnk > 1),
+      exactloser AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn
+          FROM documents)
+        WHERE doc_id > mn
+      ),
+      $spanTail,
+      iv AS (
+        SELECT db AS doc_id, sb AS s, sb + span_tokens - 1 AS e FROM sp
+      ), swept AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv
+      ), gisl AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+        FROM swept
+      ), merged AS (
+        SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov FROM gisl GROUP BY doc_id, gid
+      ), cuts AS (
+        SELECT doc_id, SUM(cov) AS cut_tokens FROM merged GROUP BY doc_id
+      ),
+      ntok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+      SELECT d.doc_id,
+             CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+                  WHEN nl.doc_id IS NOT NULL THEN 'drop_near'
+                  WHEN COALESCE(c.cut_tokens, 0) > 0 THEN 'trim'
+                  ELSE 'keep' END AS action,
+             nt.n_tokens,
+             CAST(CASE WHEN ex.doc_id IS NOT NULL OR nl.doc_id IS NOT NULL
+                       THEN nt.n_tokens
+                       ELSE COALESCE(c.cut_tokens, 0) END AS BIGINT) AS cut_tokens,
+             nt.n_tokens - CAST(CASE WHEN ex.doc_id IS NOT NULL OR nl.doc_id IS NOT NULL
+                                     THEN nt.n_tokens
+                                     ELSE COALESCE(c.cut_tokens, 0) END AS BIGINT)
+               AS kept_tokens
+      FROM documents d
+      JOIN ntok nt USING (doc_id)
+      LEFT JOIN exactloser ex USING (doc_id)
+      LEFT JOIN nearloser nl USING (doc_id)
+      LEFT JOIN cuts c USING (doc_id)
+      ORDER BY d.doc_id
+    """
+    })((spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .cache()
+    // Exact groups: hash-agg (map-side combine collapses a hot text) +
+    // shuffled-hash join back — never an md5(text) window.
+    val mins = docs.groupBy("th").agg(min("doc_id").as("mn"))
+    val exactLoser = docs.join(mins.hint("shuffle_hash"), Seq("th"))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id"), lit(true).as("ex"))
+    val comp = connectedComponents(d2Pairs(spark, dir).select("doc_a", "doc_b"))
+    val nearLoser = comp
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rnk") > 1)
+      .select(col("doc_id"), lit(true).as("nr"))
+    val cuts = spanCuts(spanTable(spark, dir))
+    val dropped = col("ex").isNotNull || col("nr").isNotNull
+    val cut = when(dropped, col("n_tokens"))
+      .otherwise(coalesce(col("cut_tokens"), lit(0L)))
+    docs
+      .join(exactLoser, Seq("doc_id"), "left")
+      .join(nearLoser, Seq("doc_id"), "left")
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex").isNotNull, "drop_exact")
+          .when(col("nr").isNotNull, "drop_near")
+          .when(coalesce(col("cut_tokens"), lit(0L)) > 0, "trim")
+          .otherwise("keep").as("action"),
+        col("n_tokens"),
+        cut.as("cut_tokens"),
+        (col("n_tokens") - cut).as("kept_tokens"))
+      .orderBy("doc_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
       d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
-      d13ContainmentPairs, d14RepeatedSpans, d15SpanTrimCensus)
+      d13ContainmentPairs, d14RepeatedSpans, d15SpanTrimCensus,
+      d16LshRecallAudit, d17DedupActionPlan)
 }

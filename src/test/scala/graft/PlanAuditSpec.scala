@@ -69,20 +69,46 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected a hash-based join on the gram key:\n" + p.take(1500))
   }
 
-  test("d4/d13/d15: no broadcast hints — every join side is per-document-cardinality") {
+  test("gram/span/audit family: no BROADCAST hints — every join side is per-document-cardinality") {
     // A broadcast HINT is unconditional: at 100 TB a per-document build
-    // side (gram-set sizes, span cut/count tables) is billions of rows
-    // and would blow the broadcast limit outright. These plans must stay
-    // unhinted — AQE may still broadcast from the RUNTIME size when a
-    // side is actually small, which is the wanted behavior.
+    // side (gram-set sizes, span cut/count tables, exact-group minima)
+    // is billions of rows and would blow the broadcast limit outright.
+    // These plans must carry no broadcast hint — AQE may still broadcast
+    // from the RUNTIME size when a side is actually small, which is the
+    // wanted behavior. SHUFFLE_HASH hints are allowed (and used on the
+    // df/semi-join build sides): a shuffled hash join never collects to
+    // the driver, streams its hot probe partitions without sorting, and
+    // stays AQE-skew-splittable.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
     for (name <- Seq("d4_dedup_ngram_jaccard", "d13_containment_pairs",
-        "d15_span_trim_census")) {
+        "d14_repeated_spans", "d15_span_trim_census", "d16_lsh_recall_audit",
+        "d17_dedup_action_plan")) {
       val hints = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed.collect {
-        case h: ResolvedHint => h.hints.toString
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.hints.toString
       }
-      assert(hints.isEmpty, s"$name carries join hints: ${hints.mkString(", ")}")
+      assert(hints.isEmpty, s"$name carries broadcast hints: ${hints.mkString(", ")}")
     }
+  }
+
+  test("d14: df prune is an aggregate + shuffled-hash semi-join, never a gram-partitioned window") {
+    // d14's join key is corpus-GLOBAL (no lang/source block), so a
+    // count().over(Window.partitionBy("gh")) would sort/buffer every
+    // occurrence of one boilerplate gram in ONE task — and the SpanMaxDf
+    // cap only prunes AFTER that window has materialized its partition.
+    // The shipped shape: partial-agg count (hot keys collapse map-side)
+    // + a SHUFFLE_HASH semi-join (stream side never sorts; AQE can
+    // split a skewed probe partition — a window partition cannot be
+    // split). SpanSkewProbe measures the two forms side by side.
+    val p = plan("d14_repeated_spans")
+    val dfWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("gh")).toSeq
+    assert(dfWindows.isEmpty,
+      "d14 regressed to the gram-partitioned count window:\n" + dfWindows.mkString("\n"))
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      "expected the df semi-join to plan as a shuffled hash join:\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "df count lost its map-side partial phase:\n" + p.take(1500))
   }
 
   test("t37: Bloom probe prunes the train side in the scan stage before the exact join") {

@@ -80,6 +80,58 @@ class ScaleSchemeSpec extends SparkSpecBase {
     assert(q("d14_repeated_spans", scaled) == K * q("d14_repeated_spans", sf()))
   }
 
+  // The bijection preserves gram structure, so spans must not just
+  // COUNT K× — every base span must reappear in every replica with the
+  // SAME start positions and length, and no span may cross replicas.
+  test("d14 span geometry replicates exactly: K copies of each base span, none cross-replica") {
+    val offset = {
+      val m = Tables.documents(spark, sf())
+        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
+      math.max(100000000L, m + 1L)
+    }
+    def spans(dir: String): Seq[(Long, Long, Long, Long, Long)] =
+      SparkEntry.queries("d14_repeated_spans")(spark, dir)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+          col("start_a").cast("long"), col("start_b").cast("long"),
+          col("span_tokens").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val base = spans(sf())
+    assert(base.nonEmpty, "the premise check needs base spans to replicate")
+    val big = spans(scaled)
+    assert(big.forall { case (a, b, _, _, _) => a / offset == b / offset },
+      "a cross-replica span means the replication scheme leaks a shared gram space")
+    val folded = big.groupBy { case (a, b, sa, sb, n) => (a % offset, b % offset, sa, sb, n) }
+      .view.mapValues(_.size).toMap
+    val baseMap = base.groupBy(identity).view.mapValues(_.size).toMap
+    assert(folded == baseMap.map { case (k, v) => (k, v * K) },
+      "every base span must appear exactly K times with identical geometry")
+  }
+
+  // d15's census is per-document, so its replication premise is
+  // row-level: each replica doc must carry ITS base doc's exact ledger
+  // (token count, span count, cut tokens) — the interval-union sweep is
+  // deterministic given identical span geometry.
+  test("d15 trim census replicates exactly per document") {
+    val offset = {
+      val m = Tables.documents(spark, sf())
+        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
+      math.max(100000000L, m + 1L)
+    }
+    def census(dir: String): Map[Long, (Long, Long, Long)] =
+      SparkEntry.queries("d15_span_trim_census")(spark, dir)
+        .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+          col("n_spans").cast("long"), col("cut_tokens").cast("long"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = census(sf())
+    assert(base.values.exists(_._3 > 0), "the premise check needs base cuts to replicate")
+    val big = census(scaled)
+    assert(big.size == K * base.size)
+    big.foreach { case (id, ledger) =>
+      assert(ledger == base(id % offset),
+        s"replica doc $id must mirror base doc ${id % offset}'s ledger exactly")
+    }
+  }
+
   test("d8 embedding pairs grow exactly Kx (label suffix keeps blocks replica-local)") {
     assert(q("d8_dedup_embedding_multiprobe", scaled) == K * q("d8_dedup_embedding_multiprobe", sf()))
   }

@@ -77,4 +77,38 @@ class FullCardinalitySpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "full-cardinality dims should still plan as broadcast joins:\n" + plan.take(2000))
   }
+
+  // DashboardSpec drives the HTTP layer against the 5-row demo seeds;
+  // this case serves the WIDEST payloads (pivot = one column per UF,
+  // drill-across) from the full-cardinality warehouse through a real
+  // HTTP round-trip — the response a browser would render at reference
+  // dimension size.
+  test("dashboard serves pivot + drill from the full-cardinality warehouse over HTTP") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val port = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val server = Dashboard.start(wh, port)
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val (ps, pivotBody) = get("/api/pivot")
+      assert(ps == 200, s"pivot -> $ps: ${pivotBody.take(200)}")
+      // All 27 real UFs (plus ANO and the IG sentinel) must survive the
+      // HTTP serialization — toJSON drops null fields per row, so the
+      // column LIST is what the client renders from.
+      val pivot = ServingQueries.pivotYearUf(wh)
+      assert(pivot.columns.length == 1 + 28)
+      pivot.columns.foreach(c =>
+        assert(pivotBody.contains("\"" + c + "\""), s"pivot payload lost column $c"))
+      val (ds, drillBody) = get("/api/drill")
+      assert(ds == 200 && drillBody.contains("\"rows\":["))
+      Seq("quantidade_obitos", "quantidade_nascimentos").foreach(c =>
+        assert(drillBody.contains(c), s"drill payload lost column $c"))
+    } finally server.stop(0)
+  }
 }
