@@ -1349,12 +1349,22 @@ object Dedup extends OpModule {
         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                 % $AuditMod = 0
       ), ${duckPairCtesFrom("sdocs")},
-      truth AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(a.sh) + len(b.sh)
-                    - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      occ AS (
+        SELECT doc_id, UNNEST(sh) AS h FROM sh
+      ), shocc AS (
+        SELECT doc_id, h FROM occ
+        WHERE h IN (SELECT h FROM occ GROUP BY h HAVING COUNT(*) > 1)
+      ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shocc a JOIN shocc b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), truth AS (
+        SELECT doc_a, doc_b,
+               CAST(i.inter AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - i.inter) AS jac
+        FROM inter i
+        JOIN sh sa ON sa.doc_id = i.doc_a
+        JOIN sh sb ON sb.doc_id = i.doc_b
       )
       SELECT t.doc_a, t.doc_b, t.jac AS jaccard,
              (c.doc_a IS NOT NULL) AS lsh_found
