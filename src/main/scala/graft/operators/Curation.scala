@@ -423,6 +423,13 @@ object Curation extends OpModule {
     /** d12: canonical-vector selection over the stored embedding pairs. */
     def canonicalVectors: org.apache.spark.sql.DataFrame =
       Dedup.canonicalVectorsFrom(spark, dir, embPairs)
+    /** d17: the per-document action plan (drop_exact > drop_near > trim
+      * > keep + token ledger) with the near-dup decisions served from
+      * the stored text pairs; exact groups and span cuts compute inline
+      * (one cheap agg / the df-pruned span join — neither is a persisted
+      * artifact). */
+    def actionPlan: org.apache.spark.sql.DataFrame =
+      Dedup.actionPlanFrom(spark, dir, textPairs)
   }
 
   /** Index-backed curation over stored pair tables — see

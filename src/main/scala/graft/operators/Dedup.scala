@@ -1506,7 +1506,17 @@ object Dedup extends OpModule {
       LEFT JOIN cuts c USING (doc_id)
       ORDER BY d.doc_id
     """
-    })((spark, dir) => {
+    })((spark, dir) => actionPlanFrom(spark, dir, d2Pairs(spark, dir)))
+
+  /** d17's action-plan assembly parameterized by the near-dup pair SET —
+    * the seam that lets [[Curation.FromPersisted.actionPlan]] serve the
+    * same per-document decisions from a stored pair table (the nightly
+    * 100 TB shape) instead of re-deriving the banded self-join per run.
+    * Exact groups and the span-cut union always compute inline: exact
+    * hashing is one cheap agg, and span tables are not persisted
+    * artifacts (yet). */
+  private[graft] def actionPlanFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"),
@@ -1518,7 +1528,7 @@ object Dedup extends OpModule {
     val exactLoser = docs.join(mins.hint("shuffle_hash"), Seq("th"))
       .filter(col("doc_id") > col("mn"))
       .select(col("doc_id"), lit(true).as("ex"))
-    val comp = connectedComponents(d2Pairs(spark, dir).select("doc_a", "doc_b"))
+    val comp = connectedComponents(pairs.select("doc_a", "doc_b"))
     val nearLoser = comp
       .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
       .withColumn("rnk", row_number().over(
@@ -1542,7 +1552,7 @@ object Dedup extends OpModule {
         cut.as("cut_tokens"),
         (col("n_tokens") - cut).as("kept_tokens"))
       .orderBy("doc_id")
-  })
+  }
 
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,

@@ -105,6 +105,8 @@ class CurationSpec extends SparkSpecBase {
       == rows(graft.operators.Dedup.d9CanonicalDocs.run(spark, sf())))
     assert(rows(fp.canonicalVectors)
       == rows(graft.operators.Dedup.d12CanonicalVectors.run(spark, sf())))
+    assert(rows(fp.actionPlan)
+      == rows(graft.operators.Dedup.d17DedupActionPlan.run(spark, sf())))
     assert(rows(fp.canonicalDocs).nonEmpty && rows(fp.canonicalVectors).nonEmpty)
   }
 
