@@ -172,12 +172,7 @@ object Dedup extends OpModule {
       .cache() // reused for exact-Jaccard rescoring of the candidates
     val bands = minhashBands(toks)
       .cache() // both sides of the self-join read this, not the agg
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
-          && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(bands)
     exactJaccard(cand, toks)
       .filter(col("jac") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
@@ -238,6 +233,19 @@ object Dedup extends OpModule {
         col("bb.hx").as("hx"), col("bb.hy").as("hy"))
   }
 
+  /** d2's candidate stage: the banded self-join producing DISTINCT
+    * (doc_a, doc_b) pairs that collide on at least one band key. ONE
+    * definition shared by d2 and the d16 recall audit — the audit's
+    * premise is that it measures exactly the banding d2 ships, so a
+    * drifted copy would silently measure something else. */
+  private[operators] def bandedCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
+          && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
   /** d2's rescoring stage: exact Jaccard over candidate (doc_a, doc_b)
     * pairs, shingle sets attached from `sh`. Returns (doc_a, doc_b, jac). */
   private[operators] def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
@@ -249,7 +257,7 @@ object Dedup extends OpModule {
         (size(col("sha")) + size(col("shb")) - col("uni")).cast("double") / col("uni"))
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
-  private[operators] def jaccardThreshold: Double = JACCARD_T
+  private[graft] def jaccardThreshold: Double = JACCARD_T
 
   /** 16-bit SimHash fingerprint per document (occurrence-weighted). */
   val d3SimHash: Op = Op(
@@ -1322,7 +1330,7 @@ object Dedup extends OpModule {
   // grade; a 100 TB audit sets this ~10⁵-10⁶ — the audit's exact
   // all-shared-shingle join is quadratic ONLY within the sample, which
   // is the knob that bounds it.
-  private val AuditMod = 2
+  private[graft] val AuditMod = 2
 
   /** LSH-recall audit: how much does d2's banding MISS? The 100 TB
     * dedup path depends on banded candidate generation (8 minhashes ×
@@ -1398,12 +1406,7 @@ object Dedup extends OpModule {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= JACCARD_T)
     val bands = minhashBands(sh).cache()
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.hx") === col("b.hx")
-          && col("a.hy") === col("b.hy") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(bands)
     truth
       .join(cand.withColumn("f", lit(true)), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
@@ -1421,7 +1424,11 @@ object Dedup extends OpModule {
     *     (d9's keep-rule: longest text, ties to the lowest doc_id)
     *   - `trim`:       survives whole-document dedup but carries d14
     *     repeated spans to cut (d15's keep-rule: the lower doc_id keeps
-    *     its copy, so cuts land on the doc_b side)
+    *     its copy, so cuts land on the doc_b side) — restricted to
+    *     spans whose KEEPER itself survives: a span whose doc_a is an
+    *     exact/near loser must not cut doc_b, or the plan would delete
+    *     every copy of the span content (doc_a's with the drop, doc_b's
+    *     with the trim)
     *   - `keep`:       untouched
     *
     * The ledger (n_tokens / cut_tokens / kept_tokens) is what an export
@@ -1462,14 +1469,23 @@ object Dedup extends OpModule {
       ),
       nearloser AS (SELECT doc_id FROM rr WHERE rnk > 1),
       exactloser AS (
+        -- text IS NOT NULL: a SQL window groups all NULL hashes into one
+        -- partition, but null-text docs are not copies of each other —
+        -- and the Spark side's equi-join never matches null keys, so the
+        -- filter keeps the two engines on the same semantics.
         SELECT doc_id FROM (
           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
         WHERE doc_id > mn
+      ),
+      losers AS (
+        SELECT doc_id FROM exactloser UNION SELECT doc_id FROM nearloser
       ),
       $spanTail,
       iv AS (
-        SELECT db AS doc_id, sb AS s, sb + span_tokens - 1 AS e FROM sp
+        -- only spans whose keeper (da) survives whole-doc dedup may cut
+        SELECT db AS doc_id, sb AS s, sb + span_tokens - 1 AS e
+        FROM sp WHERE da NOT IN (SELECT doc_id FROM losers)
       ), swept AS (
         SELECT doc_id, s, e,
                MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1535,7 +1551,17 @@ object Dedup extends OpModule {
         Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
       .filter(col("rnk") > 1)
       .select(col("doc_id"), lit(true).as("nr"))
-    val cuts = spanCuts(spanTable(spark, dir))
+    // A span may cut doc_b ONLY if its keeper (doc_a) survives
+    // whole-document dedup: trimming against a dropped keeper would
+    // delete every copy of the span content (doc_a's copy goes with the
+    // drop, doc_b's with the trim). The cut set is therefore the spans
+    // whose doc_a is in neither loser set — an anti-join against the
+    // (tiny relative to spans) drop list.
+    val losers = exactLoser.select("doc_id")
+      .union(nearLoser.select("doc_id")).distinct()
+    val liveSpans = spanTable(spark, dir)
+      .join(losers.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+    val cuts = spanCuts(liveSpans)
     val dropped = col("ex").isNotNull || col("nr").isNotNull
     val cut = when(dropped, col("n_tokens"))
       .otherwise(coalesce(col("cut_tokens"), lit(0L)))

@@ -19,11 +19,11 @@ class DedupAuditSpec extends SparkSpecBase {
   test("d16: flagged pairs are exactly d2's pairs with both endpoints sampled; truth is thresholded") {
     val audit = SparkEntry.queries("d16_lsh_recall_audit")(spark, sf()).cache()
     assert(audit.count() > 0, "the audit needs truth pairs at this SF to mean anything")
-    assert(audit.filter(col("jaccard") < 0.5).isEmpty,
+    assert(audit.filter(col("jaccard") < graft.operators.Dedup.jaccardThreshold).isEmpty,
       "truth rows below the d2 threshold leaked into the audit")
     val sampledIds = Tables.documents(spark, sf())
       .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 2 === 0)
+        .cast("long") % graft.operators.Dedup.AuditMod === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val d2pairs = SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf())
       .select("doc_a", "doc_b").collect()
@@ -57,7 +57,10 @@ class DedupAuditSpec extends SparkSpecBase {
       (10L, e20),                             // exact canonical → keep
       (11L, e20),                             // byte-identical    → drop_exact (beats near/trim)
       (20L, b30),                             // near loser        → drop_near (21 is longer)
-      (21L, b30sp),                           // near canonical with a 30-token incoming span → trim
+      (21L, b30sp),                           // near canonical: its only incoming span's keeper
+                                              // (20) is DROPPED, so the span must NOT cut → keep
+                                              // (an unconditional cut would leave the b-content
+                                              // in no kept document: 20 dropped + 21 trimmed to 0)
       (30L, toks("u", 40) + " " + toks("s", 20)), // span donor     → keep (never doc_b in its pair)
       (31L, toks("v", 40) + " " + toks("s", 20)), // jac 18/98 < 0.5 → trim (20-token span only)
       (40L, toks("w", 20)))                   // untouched         → keep
@@ -71,10 +74,12 @@ class DedupAuditSpec extends SparkSpecBase {
       (10L, "keep", 20L, 0L, 20L),
       (11L, "drop_exact", 20L, 20L, 0L),
       (20L, "drop_near", 30L, 30L, 0L),
-      (21L, "trim", 30L, 30L, 0L),
+      (21L, "keep", 30L, 0L, 30L),
       (30L, "keep", 60L, 0L, 60L),
       (31L, "trim", 60L, 20L, 40L),
       (40L, "keep", 20L, 0L, 20L)), got.mkString(","))
+    // Every token of shared content survives in at least one kept doc:
+    // the b-run lives on in 21, the s-run in 30, the e-run in 10.
   }
 
   test("d17: every document appears exactly once and the ledger is internally consistent") {

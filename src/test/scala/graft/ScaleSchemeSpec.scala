@@ -43,6 +43,15 @@ class ScaleSchemeSpec extends SparkSpecBase {
   private def q(name: String, dir: String): Long =
     SparkEntry.queries(name)(spark, dir).count()
 
+  // Mirrors ScaleCheck.offsetFor's rule in ONE place — four tests fold
+  // replica ids back with it, and a hand-copied drift would grade the
+  // folding against the wrong offset.
+  private lazy val docOffset: Long = {
+    val m = Tables.documents(spark, sf())
+      .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
+    math.max(100000000L, m + 1L)
+  }
+
   // d2 is LSH-based: the bijection preserves TRUE Jaccard but
   // re-randomizes minhash values per replica, so banding recall on
   // borderline pairs may differ between replicas — an exact-K× count
@@ -50,11 +59,7 @@ class ScaleSchemeSpec extends SparkSpecBase {
   // no pair may cross replicas, and replica 0 (the identity transform)
   // must reproduce the base pair set EXACTLY.
   test("d2: no cross-replica pairs; identity replica reproduces base pairs exactly") {
-    val offset = {
-      val m = Tables.documents(spark, sf())
-        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
-      math.max(100000000L, m + 1L)
-    }
+    val offset = docOffset
     def pairSet(dir: String): Set[(Long, Long)] =
       SparkEntry.queries("d2_dedup_minhash_lsh")(spark, dir)
         .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
@@ -84,11 +89,7 @@ class ScaleSchemeSpec extends SparkSpecBase {
   // COUNT K× — every base span must reappear in every replica with the
   // SAME start positions and length, and no span may cross replicas.
   test("d14 span geometry replicates exactly: K copies of each base span, none cross-replica") {
-    val offset = {
-      val m = Tables.documents(spark, sf())
-        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
-      math.max(100000000L, m + 1L)
-    }
+    val offset = docOffset
     def spans(dir: String): Seq[(Long, Long, Long, Long, Long)] =
       SparkEntry.queries("d14_repeated_spans")(spark, dir)
         .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
@@ -112,11 +113,7 @@ class ScaleSchemeSpec extends SparkSpecBase {
   // (token count, span count, cut tokens) — the interval-union sweep is
   // deterministic given identical span geometry.
   test("d15 trim census replicates exactly per document") {
-    val offset = {
-      val m = Tables.documents(spark, sf())
-        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
-      math.max(100000000L, m + 1L)
-    }
+    val offset = docOffset
     def census(dir: String): Map[Long, (Long, Long, Long)] =
       SparkEntry.queries("d15_span_trim_census")(spark, dir)
         .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
@@ -172,11 +169,7 @@ class ScaleSchemeSpec extends SparkSpecBase {
   }
 
   test("d2: no cross-replica pairs across the stride-group boundary") {
-    val offset = {
-      val m = Tables.documents(spark, sf())
-        .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
-      math.max(100000000L, m + 1L)
-    }
+    val offset = docOffset
     val crossers = SparkEntry.queries("d2_dedup_minhash_lsh")(spark, scaledDeep)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .collect().filter(r => r.getLong(0) / offset != r.getLong(1) / offset)

@@ -51,16 +51,23 @@ async function main() {
 
   // the page uses relative URLs; node's fetch needs absolute ones
   const pageFetch = (p, ...rest) => fetch(p.startsWith('http') ? p : BASE + p, ...rest);
-  const fn = new Function('document', 'fetch', script);
-  fn(document, pageFetch);
-  // Poll until every chart svg has rendered children (all api() fetches
-  // landed) instead of a fixed sleep: a cold DashServe can take longer
-  // than any constant (flaky false failures), and a warm one finishes in
-  // well under a second (wasted wall). Hard timeout keeps a dead route
-  // from hanging the drive.
-  {
+  // Return loadSlice out of the page-script scope: the slice tab is the
+  // ONE chart the page renders only on a button click (startup calls
+  // loadRollup2/loadPivot/loadDrill, and the familias fetch chains into
+  // the donut), and the DOM shim never parses inline onclick handlers —
+  // so the drive must invoke the handler itself to cover svg2.
+  const fn = new Function('document', 'fetch',
+    script + '\n;return typeof loadSlice === "function" ? loadSlice : null;');
+  const loadSlice = fn(document, pageFetch);
+  if (!loadSlice) throw new Error('loadSlice not found in page script');
+  // Poll until the auto-loaded chart svgs have rendered children (all
+  // startup api() fetches landed) instead of a fixed sleep: a cold
+  // DashServe can take longer than any constant (flaky false failures),
+  // and a warm one finishes in well under a second (wasted wall). Hard
+  // timeout keeps a dead route from hanging the drive. svg2 (slice) is
+  // NOT in this list — it renders only via the click path driven below.
+  async function waitFor(ids) {
     const deadline = Date.now() + 30000;
-    const ids = ['svg0', 'svg1', 'svg2', 'svg3', 'svg4'];
     while (ids.some(id => getEl(id).children.length === 0)) {
       if (Date.now() > deadline) {
         const empty = ids.filter(id => getEl(id).children.length === 0);
@@ -69,6 +76,18 @@ async function main() {
       await new Promise(r => setTimeout(r, 100));
     }
   }
+  await waitFor(['svg0', 'svg1', 'svg3', 'svg4']);
+
+  // Drive the slice tab's click path with a real municipio (the drill
+  // payload carries one); a city with no rows still renders the
+  // 'Sem dados' message, so svg2 must get children either way.
+  const drill = await (await fetch(BASE + '/api/drill')).json();
+  getEl('city').value =
+    (drill.rows[0] && drill.rows[0].municipio) || 'no-such-city';
+  loadSlice();
+  await waitFor(['svg2']);
+  const sliceDrewLine = getEl('svg2').children.some(c => c.tag === 'polyline');
+  console.log(`slice city: ${getEl('city').value}; drew line chart: ${sliceDrewLine}`);
 
   const pivot = await (await fetch(BASE + '/api/pivot')).json();
   const wantCols = pivot.columns.filter(c => c !== 'ANO');
