@@ -1332,6 +1332,14 @@ object Dedup extends OpModule {
   // is the knob that bounds it.
   private[graft] val AuditMod = 2
 
+  /** d16's deterministic sample predicate over a doc_id column — ONE
+    * definition shared with the spec that re-derives the sample set
+    * (a hand-copied hash expression drifting from this one would grade
+    * the audit against a different sample). */
+  private[graft] def auditSampled(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
+      .cast("long") % AuditMod === 0
+
   /** LSH-recall audit: how much does d2's banding MISS? The 100 TB
     * dedup path depends on banded candidate generation (8 minhashes ×
     * 4 bands), which trades recall for linearity — this op measures
@@ -1382,8 +1390,7 @@ object Dedup extends OpModule {
       ORDER BY t.doc_a, t.doc_b
     """))((spark, dir) => {
     val sampled = Tables.spread(Tables.documents(spark, dir))
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % AuditMod === 0)
+      .filter(auditSampled(col("doc_id")))
     val sh = shingled(sampled).cache()
     // Exact truth via the shingle-level equi-join (the d4/d13 shape):
     // one matched row per shared shingle, count per pair = |A ∩ B|.
@@ -1557,8 +1564,8 @@ object Dedup extends OpModule {
     // drop, doc_b's with the trim). The cut set is therefore the spans
     // whose doc_a is in neither loser set — an anti-join against the
     // (tiny relative to spans) drop list.
-    val losers = exactLoser.select("doc_id")
-      .union(nearLoser.select("doc_id")).distinct()
+    // No distinct: an anti-join is duplicate-insensitive on its build side.
+    val losers = exactLoser.select("doc_id").union(nearLoser.select("doc_id"))
     val liveSpans = spanTable(spark, dir)
       .join(losers.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
     val cuts = spanCuts(liveSpans)

@@ -22,8 +22,7 @@ class DedupAuditSpec extends SparkSpecBase {
     assert(audit.filter(col("jaccard") < graft.operators.Dedup.jaccardThreshold).isEmpty,
       "truth rows below the d2 threshold leaked into the audit")
     val sampledIds = Tables.documents(spark, sf())
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % graft.operators.Dedup.AuditMod === 0)
+      .filter(graft.operators.Dedup.auditSampled(col("doc_id")))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val d2pairs = SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf())
       .select("doc_a", "doc_b").collect()

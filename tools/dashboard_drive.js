@@ -82,12 +82,16 @@ async function main() {
   // payload carries one); a city with no rows still renders the
   // 'Sem dados' message, so svg2 must get children either way.
   const drill = await (await fetch(BASE + '/api/drill')).json();
-  getEl('city').value =
-    (drill.rows[0] && drill.rows[0].municipio) || 'no-such-city';
+  const realCity = drill.rows[0] && drill.rows[0].municipio;
+  getEl('city').value = realCity || 'no-such-city';
   loadSlice();
   await waitFor(['svg2']);
   const sliceDrewLine = getEl('svg2').children.some(c => c.tag === 'polyline');
   console.log(`slice city: ${getEl('city').value}; drew line chart: ${sliceDrewLine}`);
+  // With a real municipio the slice MUST render the line chart — an
+  // error payload or a renamed field also leaves a child in svg2 (the
+  // msg() text), so children-nonempty alone would mask a regression.
+  if (realCity && !sliceDrewLine) throw new Error('slice rendered no polyline for ' + realCity);
 
   const pivot = await (await fetch(BASE + '/api/pivot')).json();
   const wantCols = pivot.columns.filter(c => c !== 'ANO');
