@@ -204,12 +204,16 @@ object Curation extends OpModule {
       .select(col("doc_id"), col("lang"),
         (size(TextFns.tokens(col("text"))) >= 20).as("q"),
         md5(col("text")).as("h"))
+      .cache()
+    // Exact-dedup winner per text hash AMONG quality docs; rows with a
+    // false/null quality flag never win (when() maps them to null, and
+    // min ignores nulls). Hash-agg + SHUFFLE_HASH join back, never an
+    // md5(text) window: a 10M-copy boilerplate text would sort/buffer
+    // in ONE unsplittable window task, while the agg collapses it
+    // map-side and the join streams (the d14/d17 hot-key rule).
+    val mins = docs.groupBy("h").agg(min(when(col("q"), col("doc_id"))).as("mn"))
     val flagged = docs
-      // Exact-dedup winner per text hash AMONG quality docs; rows with a
-      // false/null quality flag never win (when() maps them to null, and
-      // min ignores nulls).
-      .withColumn("mn",
-        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("h")))
+      .join(mins.hint("shuffle_hash"), Seq("h"))
       .withColumn("exact", col("q") && col("doc_id") === col("mn"))
       // distinct BEFORE the left join: survivors() tolerates duplicate
       // doc_ids in the drop set (anti join is membership), so the funnel
