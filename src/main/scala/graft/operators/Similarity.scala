@@ -406,6 +406,7 @@ object Similarity extends OpModule {
     ivfCosineTopK(cells)
   })
 
+
   private[operators] val PQ_M = 4    // sub-vector blocks
   private[operators] val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)
   private[graft] val PQ_K = 8    // codes per block (seeded: first PQ_K vectors); also the DEFAULT ivfpq coarse cell count — builds size it to the corpus
@@ -947,7 +948,57 @@ object Similarity extends OpModule {
       .orderBy("method", "query_id")
   })
 
+  /** Filtered ANN: exact cosine top-k restricted by a metadata
+    * predicate — each query retrieves only among candidates sharing ITS
+    * label, the tenant-isolation / category-restricted retrieval every
+    * vector store names "filtered search". PRE-filter semantics by
+    * construction: the predicate is the join key, so filtering happens
+    * BEFORE ranking (post-filtering an unfiltered top-k under-returns
+    * whenever the filter is selective — the classic filtered-search
+    * recall bug this op's shape cannot exhibit).
+    *
+    * Scale shape: s1's broadcast-probe scan with the label equality
+    * replacing the cross product — candidates cut by label selectivity
+    * inside one codegen'd pass, no shuffle of the big side; a
+    * label-partitioned table turns the same plan into partition pruning
+    * (the lever the persisted IVF probe uses for cells). */
+  val s14FilteredTopK: Op = Op(
+    "s14_ann_filtered_topk",
+    Some(s"""
+      WITH ${duckVecs()},
+      pairs AS (
+        SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM n q JOIN n c
+          ON q.vec_id < $NQ AND c.label = q.label AND c.vec_id <> q.vec_id
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, label, neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+             cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val pairs = vecs.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  })
+
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
-      s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize, s13RecallCensus)
+      s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize, s13RecallCensus,
+      s14FilteredTopK)
 }

@@ -49,6 +49,54 @@ class SimilaritySpec extends SparkSpecBase {
         "the full candidate set into #groups tasks:\n" + plan.take(1500))
   }
 
+  test("s14 filtered top-k has PRE-filter semantics (never under-returns)") {
+    // The classic filtered-search bug: rank globally, THEN filter — any
+    // query whose global top-k contains cross-label neighbors comes back
+    // with fewer than k results. s14 filters before ranking, so every
+    // query with ≥k same-label candidates must return exactly k rows
+    // with contiguous ranks, and every neighbor must share the query's
+    // label. The spec also proves the distinction is live on testdata:
+    // post-filtering s1's global top-k would under-return somewhere.
+    import spark.implicits._
+    val dir = sf()
+    val s14 = Similarity.s14FilteredTopK.run(spark, dir).cache()
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("nb_label"))
+
+    val mismatched = s14.join(labels, s14("neighbor_id") === labels("vec_id"))
+      .filter(col("label") =!= col("nb_label")).count()
+    assert(mismatched == 0, s"$mismatched neighbors outside the query's label")
+
+    // Contiguous ranks 1..n per query; n == k wherever the label has
+    // enough candidates (label size - 1 >= k).
+    val labelSizes = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("lsz"))
+    val perQuery = s14.groupBy("query_id", "label")
+      .agg(count(lit(1)).as("n"), max("rnk").as("maxr"))
+      .join(labelSizes, "label")
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      val (n, maxr, lsz) = (r.getAs[Long]("n"), r.getAs[Int]("maxr"), r.getAs[Long]("lsz"))
+      assert(n == maxr, s"ranks not contiguous for query ${r.getAs[Long]("query_id")}")
+      val expect = math.min(5L, lsz - 1)
+      assert(n == expect,
+        s"query ${r.getAs[Long]("query_id")}: $n results, expected $expect (label size $lsz)")
+    }
+
+    // The filter must be doing real work: at least one query's GLOBAL
+    // top-k (s1) crosses labels, i.e. post-filtering would under-return.
+    val s1 = Similarity.s1BruteTopK.run(spark, dir)
+    val qLabels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val crossLabel = s1.join(labels, s1("neighbor_id") === labels("vec_id"))
+      .join(qLabels, "query_id")
+      .filter(col("nb_label") =!= col("q_label")).count()
+    assert(crossLabel > 0,
+      "every global top-k is already label-pure — the spec corpus cannot distinguish pre- from post-filtering")
+    s14.unpersist()
+  }
+
   test("lshBucket fails fast on vectors wider than LshMaxDim") {
     import spark.implicits._
     val wide = Seq((1L, Array.fill(5000)(1L))).toDF("vec_id", "qv")
