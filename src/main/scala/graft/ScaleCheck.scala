@@ -276,7 +276,13 @@ object ScaleCheck {
           if (root == baseRoot) sfDir else scaled, root), false),
       ("s11_ann_ivfpq_probe",
         root => AnnIndex.probeIvfPq(spark,
-          if (root == baseRoot) sfDir else scaled, root), true))
+          if (root == baseRoot) sfDir else scaled, root), true),
+      // Filtered search: label equality inside the cell-pruned probe.
+      // The per-replica label suffix keeps filter spaces replica-local,
+      // so the scaled probe answers the same-sized question K times —
+      // expect ~flat like the other index probes.
+      ("s15_ann_filtered_probe",
+        root => AnnIndex.probeIvfFiltered(spark, root), true))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))
       val base = (1 to 2).map(_ => timeDf(mk(baseRoot))).min

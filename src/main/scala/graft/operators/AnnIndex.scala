@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   *
   * Tables under `root` (all parquet):
   *   - `ivf/centroids` (cid, cv)             — s5's Lloyd-trained codebook
-  *   - `ivf/codes`     (vec_id, qv, nrm) / cid=…  — full vectors,
-  *     PARTITIONED BY the coarse cell: a probe reads only the query
-  *     cells' directories (partition pruning — the IVF "inverted list")
+  *   - `ivf/codes`     (vec_id, label, qv, nrm) / cid=…  — full vectors
+  *     plus the row's metadata label (filtered search reads it from
+  *     here, never the raw corpus), PARTITIONED BY the coarse cell: a
+  *     probe reads only the query cells' directories (partition pruning
+  *     — the IVF "inverted list")
   *   - `pq/codebook`   (m, code, csub)       — s7's refined codebook
   *   - `pq/codes`      (vec_id, code0..3)    — 4 longs per vector (the
   *     compressed corpus; at scale this is the only full-width table)
@@ -49,8 +51,12 @@ object AnnIndex extends OpModule {
     * serving stale geometry. v2: added the `ivf_seeded` family (s3).
     * v3: the commit marker records the cell geometry (`nc`/`kc`) the
     * root was built with. v4: the IVF+PQ coarse cell count (`pc`) is a
-    * build parameter too, recorded in the marker alongside nc/kc. */
-  private val BuildVersion = 4
+    * build parameter too, recorded in the marker alongside nc/kc.
+    * v5: the inverted-list code tables (`ivf/codes`, `ivf_seeded/codes`)
+    * carry the row's metadata `label`, so filtered search (s15) is
+    * served index-only — an old root would silently return zero rows
+    * for every filtered probe. */
+  private val BuildVersion = 5
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -214,7 +220,16 @@ object AnnIndex extends OpModule {
     // writer lease just acquired.
     Seq("ivf", "ivf_seeded", "pq", "ivfpq", "_built")
       .foreach(t => f.delete(new Path(s"$root/$t"), true))
-    val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
+    // The labeled twin of Similarity.quantizedQvNrm: the metadata label
+    // rides the build scan so the inverted-list tables can serve
+    // filtered search (s15) without ever touching the raw corpus. The
+    // extra column is inert for training (trainIvf/pqEncode project
+    // what they need) and is dropped from the PQ family writes below.
+    val vecs = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", VectorFns.norm2(col("qv")))
+      .cache()
     try {
       // IVF (s5's geometry): Lloyd-trained centroids, full vectors
       // partitioned by cell — the inverted-list layout.
@@ -342,8 +357,12 @@ object AnnIndex extends OpModule {
     if (!ok) throw new IllegalStateException(
       s"index at $root has no v$BuildVersion commit marker (unbuilt, crashed " +
         "build, or an older build layout) — run build() before append().")
+    // label is part of the v5 inverted-list layout — an append without
+    // it would write null-labeled rows that silently vanish from every
+    // filtered probe, so the batch must carry (vec_id, label, embedding).
     val nv = newVecs
-      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("label"),
+        VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .cache()
     try {
@@ -414,6 +433,24 @@ object AnnIndex extends OpModule {
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
 
+  /** Filtered-search probe: exact cosine top-k within the query's cell
+    * AND the query's label — the tenant-isolation / category-restricted
+    * retrieval of s14 served from the inverted lists. PRE-filter
+    * semantics exactly as s14 (the label equality is part of the join
+    * condition, so ranking happens after filtering), and the label is
+    * read from `ivf/codes` itself (the v5 layout), so the plan touches
+    * only the index: same partition-pruned cell read as [[probeIvf]],
+    * with the label predicate cutting candidates inside the codegen'd
+    * join. On a label-partitioned production layout the same plan
+    * prunes on (cid, label) directories. */
+  def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
+    val codes = spark.read.parquet(s"$root/ivf/codes")
+      .withColumn("cid", col("cid").cast("long"))
+    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    Similarity.ivfCosineTopKFiltered(codes.filter(col("cid").isin(qcells: _*)))
+  }
+
   /** Seeded-IVF probe (s3's geometry): identical plan shape to
     * [[probeIvf]] — partition-pruned cell read, no assignment scan. */
   def probeIvfSeeded(spark: SparkSession, root: String): DataFrame = {
@@ -480,5 +517,18 @@ object AnnIndex extends OpModule {
     probeIvfPq(spark, dir, root)
   })
 
-  override def ops: Seq[Op] = Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe)
+  /** Filtered search from the index (s14's question answered the way a
+    * vector store answers it at scale): unlike s9-s11 this is not a
+    * build/probe split of an existing inline op — the cell gate changes
+    * the candidate set, so the oracle is its own Lloyd-mirror chain with
+    * the label predicate in the pair join (cell ∩ label). */
+  val s15FilteredProbe: Op = Op(
+    "s15_ann_filtered_probe", Similarity.filteredIvfOracleSql)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeIvfFiltered(spark, root)
+  })
+
+  override def ops: Seq[Op] =
+    Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe)
 }

@@ -136,6 +136,28 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   }
 
+  /** [[ivfCosineTopK]] with a metadata predicate: candidates must share
+    * the query's label as well as its cell — s14's PRE-filter semantics
+    * (the predicate is part of the join condition, so ranking happens
+    * after filtering) composed with the inverted-list read. Input must
+    * carry a `label` column; the s15 probe supplies it from the index
+    * codes table, never the raw corpus. */
+  private[operators] def ivfCosineTopKFiltered(cells: DataFrame): DataFrame = {
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+    val pairs = cells
+      .join(broadcast(q), col("cid") === col("q_cid") &&
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+    topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")))
+      .select(
+        col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("cid").as("cell"), col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   private def duckVecs(extra: String = ""): String =
     s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
        |      FROM embeddings$extra),
@@ -406,6 +428,38 @@ object Similarity extends OpModule {
     ivfCosineTopK(cells)
   })
 
+  /** Oracle for the s15 filtered-index probe (defined here because the
+    * Lloyd-mirror CTE helpers are file-private): s5's trained-IVF chain
+    * with the label predicate joined into the pair condition — the
+    * DuckDB mirror of cell ∩ label candidate generation. `af` carries no
+    * label, so both sides re-join `n` (which does) on vec_id. */
+  private[operators] val filteredIvfOracleSql: Option[String] = {
+    val ctes = Seq(
+      s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $KC)") ++
+      (1 to KM_ITERS).flatMap(i => Seq(
+        duckAssign(s"a$i", s"c${i - 1}"), duckUpdate(s"c$i", s"a$i"))) ++
+      Seq(duckAssign("af", s"c$KM_ITERS"))
+    Some(s"""
+      WITH ${duckVecs()},
+      ${ctes.mkString(",\n      ")},
+      pairs AS (
+        SELECT q.vec_id AS query_id, nq.label, c.vec_id AS neighbor_id, q.cid,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM af q
+        JOIN n nq ON nq.vec_id = q.vec_id
+        JOIN af c ON q.cid = c.cid AND q.vec_id < $NQ AND c.vec_id <> q.vec_id
+        JOIN n nc ON nc.vec_id = c.vec_id AND nc.label = nq.label
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, label, neighbor_id, CAST(cid AS BIGINT) AS cell,
+             CAST(rnk AS INTEGER) AS rnk, cos AS cosine
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+  }
 
   private[operators] val PQ_M = 4    // sub-vector blocks
   private[operators] val PQ_SUB = 16 // dims per block (4 × 16 = the 64-dim testdata)

@@ -52,7 +52,7 @@ object DocStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           graft.operators.AnnIndex.append(
-            batch.sparkSession, indexRoot, batch.select("vec_id", "embedding"))
+            batch.sparkSession, indexRoot, batch.select("vec_id", "label", "embedding"))
         }
       }
       .start()

@@ -169,6 +169,18 @@ class PlanAuditSpec extends SparkSpecBase {
       "seeded inverted-list read lost its cell partition filter:\n" + p.take(1500))
   }
 
+  test("s15 probe: filtered search is index-only — label from codes, cell-pruned") {
+    val p = plan("s15_ann_filtered_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "filtered probe read the raw corpus for labels instead of the codes table:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "probe plan contains an aggregate (Lloyd training crept back in):\n" + p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "inverted-list read lost its cell partition filter:\n" + p.take(1500))
+    assert(p.contains("label"),
+      "label predicate vanished from the probe plan:\n" + p.take(1500))
+  }
+
   test("s10 probe: joinless ADC over the codes table only") {
     val p = plan("s10_ann_pq_probe")
     assert(!p.contains("embeddings.parquet"),

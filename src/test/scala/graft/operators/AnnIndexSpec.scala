@@ -26,6 +26,29 @@ class AnnIndexSpec extends SparkSpecBase {
       == rows(Similarity.s7PqTopK.run(spark, sf())))
     assert(rows(AnnIndex.probeIvfPq(spark, sf(), root))
       == rows(Similarity.s8IvfPqTopK.run(spark, sf())))
+
+    // Filtered probe ≡ the same cells scored inline with the label
+    // predicate — and the results respect it: every neighbor shares its
+    // query's label (pre-filter semantics from the inverted list).
+    val labeled = Tables.spread(Tables.embeddings(spark, sf()))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", graft.functions.VectorFns.norm2(col("qv")))
+      .cache()
+    try {
+      val cent = Similarity.trainIvf(spark, sf(), labeled)
+      val exp = Similarity.ivfCosineTopKFiltered(
+        labeled.withColumn("cid", Similarity.nearestId(col("qv"), cent)))
+      val got = rows(AnnIndex.probeIvfFiltered(spark, root))
+      assert(got == rows(exp))
+      val nbLabels = Tables.embeddings(spark, sf())
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      got.foreach { r =>
+        assert(r(1) == nbLabels(r(2).asInstanceOf[Long]),
+          s"neighbor ${r(2)} outside query label ${r(1)}")
+      }
+    } finally { labeled.unpersist(); () }
   }
 
   test("append extends the corpus under frozen codebooks; replay is a no-op") {
@@ -40,7 +63,7 @@ class AnnIndexSpec extends SparkSpecBase {
     // …then append the second half: codebooks stay frozen at the
     // half-corpus training.
     AnnIndex.append(spark, root,
-      all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+      all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding"))
     // Expected = the SAME half-trained codebooks applied to the full
     // corpus in one shot, via Similarity's own stages.
     val vecsA = Similarity.quantizedQvNrm(spark, dirA).cache()
@@ -78,7 +101,7 @@ class AnnIndexSpec extends SparkSpecBase {
       val tables = Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
       val before = tables.map(t => spark.read.parquet(s"$root/$t").count())
       AnnIndex.append(spark, root,
-        all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+        all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding"))
       val after = tables.map(t => spark.read.parquet(s"$root/$t").count())
       assert(before == after)
     } finally vecsA.unpersist()
@@ -97,7 +120,7 @@ class AnnIndexSpec extends SparkSpecBase {
     (0 until 4).foreach { i =>
       AnnIndex.append(spark, root, all
         .filter(col("vec_id") >= n / 2 && col("vec_id") % 4 === i)
-        .select("vec_id", "embedding"))
+        .select("vec_id", "label", "embedding"))
     }
     val ivf = rows(AnnIndex.probeIvf(spark, root))
     val pq = rows(AnnIndex.probePq(spark, sf(), root))
@@ -129,7 +152,7 @@ class AnnIndexSpec extends SparkSpecBase {
     val counts = Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
       .map(t => spark.read.parquet(s"$root/$t").count())
     AnnIndex.append(spark, root,
-      all.filter(col("vec_id") >= n / 2).select("vec_id", "embedding"))
+      all.filter(col("vec_id") >= n / 2).select("vec_id", "label", "embedding"))
     assert(Seq("ivf/codes", "ivf_seeded/codes", "pq/codes", "ivfpq/codes")
       .map(t => spark.read.parquet(s"$root/$t").count()) == counts)
   }
@@ -161,7 +184,7 @@ class AnnIndexSpec extends SparkSpecBase {
       .map(t => spark.read.parquet(s"$root/$t").count())
     intercept[IllegalStateException] {
       AnnIndex.append(spark, root,
-        Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding")))
+        Tables.embeddings(spark, sf()).select(col("vec_id"), col("label"), col("embedding")))
     }
     assert(Seq("ivf/codes", "pq/codes", "ivfpq/codes")
       .map(t => spark.read.parquet(s"$root/$t").count()) == countsBefore)
@@ -235,13 +258,13 @@ class AnnIndexSpec extends SparkSpecBase {
     val rootBatch = Files.createTempDirectory("ann-idx-b").toString
     AnnIndex.build(spark, dirA, rootBatch)
     AnnIndex.append(spark, rootBatch,
-      all.filter(col("vec_id") >= split).select("vec_id", "embedding"))
+      all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding"))
     // Streaming path: same build, then the second half arrives as a
     // 3-file landing directory drained one file per micro-batch.
     val rootStream = Files.createTempDirectory("ann-idx-s").toString
     AnnIndex.build(spark, dirA, rootStream)
     val landing = Files.createTempDirectory("ann-landing").toString
-    val rest = all.filter(col("vec_id") >= split).select("vec_id", "embedding")
+    val rest = all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding")
     rest.repartition(3).write.mode("overwrite").parquet(s"$landing/vecs")
     val q = graft.streaming.DocStream.indexEmbeddings(
       spark, s"$landing/vecs", rootStream, rest.schema)
