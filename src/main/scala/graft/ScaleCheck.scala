@@ -214,6 +214,9 @@ object ScaleCheck {
       "d13_containment_pairs", "d14_repeated_spans",
       "d16_lsh_recall_audit", "d17_dedup_action_plan",
       "d2_dedup_minhash_lsh", "d8_dedup_embedding_multiprobe",
+      // Hybrid search: the fixed query set probes a K× corpus — the
+      // token scan and the cosine scan grow, the fused pools don't.
+      "s16_hybrid_rrf_search",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.sharedState.cacheManager.clearCache()

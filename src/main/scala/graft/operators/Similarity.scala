@@ -1051,8 +1051,134 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   })
 
+  private[operators] val RrfK = 60     // the standard RRF dampening constant
+  private[operators] val HybridPool = 20 // per-modality candidate pool fused
+
+  /** Hybrid retrieval: lexical matching and vector similarity fused by
+    * reciprocal-rank fusion — the "hybrid search" every search stack
+    * ships (keyword recall catches what embeddings miss and vice
+    * versa). Queries are the first [[NQ]] documents (doc_id ≡ vec_id in
+    * the corpus).
+    *
+    * Lexical side: candidates share a distinct word with the query,
+    * scored by an integer idf surrogate Σ (N − df(term)) over the shared
+    * distinct terms — rarer terms dominate, ubiquitous terms contribute
+    * ~0, and the score stays in exact integer arithmetic (no log; the
+    * ordering is what matters and both engines must rank identically).
+    * Vector side: exact cosine ranks, s1's broadcast-probe shape. Each
+    * side keeps its top-[[HybridPool]] per query (rank-filtered windows,
+    * WindowGroupLimit-planned), then rrf = 1/(K+r_lex) + 1/(K+r_vec)
+    * over the full-outer-joined pools (a missing side contributes 0 —
+    * the standard convention). The doubles come from identical small
+    * integers via IEEE division/addition only, so cross-engine hashes
+    * agree.
+    *
+    * Scale shape: the corpus token stream is scanned ONCE and joined to
+    * the broadcast query vocabulary; everything downstream of that join
+    * is bounded by matches-to-query-terms, and the per-term df is
+    * computed from that same joined stream (df of a term the query
+    * doesn't contain is never needed). No corpus-keyed window anywhere;
+    * both rank windows partition by query_id (≤ NQ groups, group-limit
+    * bounded). The vector side is one codegen'd pass. */
+  val s16HybridRrf: Op = Op(
+    "s16_hybrid_rrf_search",
+    Some(s"""
+      WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+                 FROM documents),
+      tok AS (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM d),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      qt AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id < $NQ),
+      tdf AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+      lexs AS (
+        SELECT q.query_id, t.doc_id, SUM(nn.n - f.df) AS score_lex
+        FROM qt q
+        JOIN tok t ON t.term = q.term AND t.doc_id <> q.query_id
+        JOIN tdf f ON f.term = q.term
+        CROSS JOIN nn
+        GROUP BY 1, 2),
+      lex AS (
+        SELECT query_id, doc_id, r_lex FROM (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_lex DESC, doc_id) AS r_lex
+          FROM lexs) WHERE r_lex <= $HybridPool),
+      ${duckVecs()},
+      vp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id),
+      vec AS (
+        SELECT query_id, doc_id, r_vec FROM (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id) AS r_vec
+          FROM vp) WHERE r_vec <= $HybridPool),
+      fused AS (
+        SELECT query_id, doc_id, r_lex, r_vec,
+               COALESCE(1.0 / ($RrfK + r_lex), 0.0)
+                 + COALESCE(1.0 / ($RrfK + r_vec), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN vec USING (query_id, doc_id)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused)
+      SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk, rrf,
+             CAST(r_lex AS INTEGER) AS r_lex, CAST(r_vec AS INTEGER) AS r_vec
+      FROM ranked WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    import graft.functions.TextFns
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+    // Broadcast 1-row corpus count (never a global window — q31 rule).
+    val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
+    val qterms = toks.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // ONE corpus token pass: everything below this join is bounded by
+    // occurrences of query terms. Cached because both the df aggregate
+    // and the pair scoring read it (LRU eviction is the release path).
+    val matched = toks.join(broadcast(qterms), Seq("term")).cache()
+    val tdf = matched.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val lexScore = matched.filter(col("doc_id") =!= col("query_id"))
+      .join(tdf, Seq("term"))
+      .crossJoin(nRow)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("n") - col("df")).as("score_lex"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_lex").desc, col("doc_id"))
+    val lex = lexScore.withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= HybridPool).select("query_id", "doc_id", "r_lex")
+
+    val vecs = quantizedQvNrm(spark, dir)
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+    val vec = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cos"))
+      .withColumn("r_vec", row_number().over(wVec))
+      .filter(col("r_vec") <= HybridPool).select("query_id", "doc_id", "r_vec")
+
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= K)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("rrf"),
+        col("r_lex"), col("r_vec"))
+      .orderBy("query_id", "rnk")
+  })
+
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
       s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize, s13RecallCensus,
-      s14FilteredTopK)
+      s14FilteredTopK, s16HybridRrf)
 }

@@ -181,6 +181,23 @@ class PlanAuditSpec extends SparkSpecBase {
       "label predicate vanished from the probe plan:\n" + p.take(1500))
   }
 
+  test("s16: hybrid fusion windows partition by query_id only, group-limited") {
+    val p = plan("s16_hybrid_rrf_search")
+    // Every window must be a per-query top-k (bounded groups, partial
+    // group limit) — a window keyed by term or doc would be the d14
+    // corpus-global hot-key bug.
+    assert(!"Window \\[[^\\]]*partitionBy.*term".r.findFirstIn(p).isDefined
+      && !p.contains("windowspecdefinition(term"),
+      "a window partitions by the corpus-global term key:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query rank filters lost their group limit:\n" + p.take(1500))
+    // The corpus token stream must meet the query vocabulary through a
+    // broadcast hash join (the bounded side), not a shuffle of the
+    // corpus onto term.
+    assert(p.contains("BroadcastHashJoin"),
+      "query-vocabulary join is not broadcast:\n" + p.take(1500))
+  }
+
   test("s10 probe: joinless ADC over the codes table only") {
     val p = plan("s10_ann_pq_probe")
     assert(!p.contains("embeddings.parquet"),

@@ -97,6 +97,32 @@ class SimilaritySpec extends SparkSpecBase {
     s14.unpersist()
   }
 
+  test("s16 fuses both modalities and respects the RRF formula") {
+    val s16 = Similarity.s16HybridRrf.run(spark, sf()).collect()
+    assert(s16.nonEmpty)
+    // Ranks contiguous 1..n per query.
+    s16.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $q ranks not contiguous: $ranks")
+    }
+    // Every surviving row sits in at least one modality pool, and its
+    // rrf is exactly the formula over its pool ranks.
+    s16.foreach { r =>
+      val rl = Option(r.getAs[Integer]("r_lex")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("r_vec")).map(_.toInt)
+      assert(rl.isDefined || rv.isDefined, s"row in neither pool: $r")
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect, s"rrf formula mismatch: $r")
+    }
+    // Fusion is live on this corpus: at least one fused top-k row is
+    // carried by a single modality (the cross-recall case hybrid search
+    // exists for).
+    assert(s16.exists(r => r.getAs[Integer]("r_lex") == null
+        || r.getAs[Integer]("r_vec") == null),
+      "every fused row was in both pools — corpus cannot distinguish fusion from intersection")
+  }
+
   test("lshBucket fails fast on vectors wider than LshMaxDim") {
     import spark.implicits._
     val wide = Seq((1L, Array.fill(5000)(1L))).toDF("vec_id", "qv")
