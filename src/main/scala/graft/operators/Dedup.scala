@@ -1308,7 +1308,12 @@ object Dedup extends OpModule {
     * running-max sweep so overlapping cuts from different partners never
     * double-count. One (doc_id)-partitioned window pass over FOUND spans
     * only. Shared by d15's census and d17's action plan. */
-  private def spanCuts(spans: DataFrame): DataFrame = {
+  /** Merges each doc_b's incoming span intervals [start_b, start_b +
+    * span_tokens) into disjoint (doc_id, s, e) regions via the classic
+    * running-max sweep — the interval form both the d15/d17 cut SUMS
+    * and d19's actual token surgery consume, so the census can never
+    * disagree with the corpus a trimmer would materialize. */
+  private def mergedIntervals(spans: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val sp = spans
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
@@ -1321,9 +1326,13 @@ object Dedup extends OpModule {
         .over(w.partitionBy("doc_id").orderBy("s", "e")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     gisl.groupBy("doc_id", "gid")
-      .agg((max(col("e")) - min(col("s")) + 1).as("cov"))
-      .groupBy("doc_id").agg(sum("cov").as("cut_tokens"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select("doc_id", "s", "e")
   }
+
+  private def spanCuts(spans: DataFrame): DataFrame =
+    mergedIntervals(spans)
+      .groupBy("doc_id").agg(sum(col("e") - col("s") + 1).as("cut_tokens"))
 
   // d16's corpus sample: keep documents whose md5(doc_id) int64 is
   // ≡ 0 mod this. 2 here so the small-SF oracle gate has pairs to
@@ -1448,13 +1457,18 @@ object Dedup extends OpModule {
     * groups — no new corpus-global window (an md5(text) window would
     * put a 10M-copy boilerplate text in one task; the agg collapses it
     * map-side). */
-  val d17DedupActionPlan: Op = Op(
-    "d17_dedup_action_plan",
-    Some {
-      // duckSpanCtes' own `toks` is byte-identical to duckPairCtes' —
-      // reuse the latter's and splice the span chain from occ0 on.
-      val spanTail = duckSpanCtes.substring(duckSpanCtes.indexOf("occ0 AS"))
-      s"""
+  /** The shared oracle chain of the plan-consuming ops (d17's census,
+    * d19's materialization): pair CTEs → recursive components → near/
+    * exact loser sets → the span chain restricted to surviving keepers
+    * → merged cut intervals, ending mid-WITH at `mg(doc_id, gid, s, e)`
+    * (one row per merged disjoint interval) plus `ntok`. Callers append
+    * their own tails so the loser/interval semantics cannot drift
+    * between the census and the corpus it claims to describe. */
+  private lazy val duckPlanPrefix: String = {
+    // duckSpanCtes' own `toks` is byte-identical to duckPairCtes' —
+    // reuse the latter's and splice the span chain from occ0 on.
+    val spanTail = duckSpanCtes.substring(duckSpanCtes.indexOf("occ0 AS"))
+    s"""
       WITH RECURSIVE $duckPairCtes,
       pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= $JACCARD_T),
       ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1503,12 +1517,19 @@ object Dedup extends OpModule {
                SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
                  OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
         FROM swept
-      ), merged AS (
-        SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov FROM gisl GROUP BY doc_id, gid
-      ), cuts AS (
-        SELECT doc_id, SUM(cov) AS cut_tokens FROM merged GROUP BY doc_id
+      ), mg AS (
+        SELECT doc_id, gid, MIN(s) AS s, MAX(e) AS e FROM gisl GROUP BY doc_id, gid
       ),
-      ntok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+      ntok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)"""
+  }
+
+  val d17DedupActionPlan: Op = Op(
+    "d17_dedup_action_plan",
+    Some(s"""
+      $duckPlanPrefix,
+      cuts AS (
+        SELECT doc_id, SUM(e - s + 1) AS cut_tokens FROM mg GROUP BY doc_id
+      )
       SELECT d.doc_id,
              CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
                   WHEN nl.doc_id IS NOT NULL THEN 'drop_near'
@@ -1528,8 +1549,7 @@ object Dedup extends OpModule {
       LEFT JOIN nearloser nl USING (doc_id)
       LEFT JOIN cuts c USING (doc_id)
       ORDER BY d.doc_id
-    """
-    })((spark, dir) => actionPlanFrom(spark, dir, d2Pairs(spark, dir)))
+    """))((spark, dir) => actionPlanFrom(spark, dir, d2Pairs(spark, dir)))
 
   /** d17's action-plan assembly parameterized by the near-dup pair SET —
     * the seam that lets [[Curation.FromPersisted.actionPlan]] serve the
@@ -1538,8 +1558,15 @@ object Dedup extends OpModule {
     * Exact groups and the span-cut union always compute inline: exact
     * hashing is one cheap agg, and span tables are not persisted
     * artifacts (yet). */
-  private[graft] def actionPlanFrom(spark: SparkSession, dir: String,
-      pairs: DataFrame): DataFrame = {
+  /** The plan's building blocks, shared by d17's census and d19's
+    * materialization: the hashed document scan, the exact/near loser
+    * sets, and the keeper-restricted merged cut intervals. */
+  private final case class PlanParts(
+      docs: DataFrame, exactLoser: DataFrame, nearLoser: DataFrame,
+      liveIntervals: DataFrame)
+
+  private def planParts(spark: SparkSession, dir: String,
+      pairs: DataFrame): PlanParts = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"),
@@ -1568,7 +1595,15 @@ object Dedup extends OpModule {
     val losers = exactLoser.select("doc_id").union(nearLoser.select("doc_id"))
     val liveSpans = spanTable(spark, dir)
       .join(losers.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-    val cuts = spanCuts(liveSpans)
+    PlanParts(docs, exactLoser, nearLoser, mergedIntervals(liveSpans))
+  }
+
+  private[graft] def actionPlanFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val PlanParts(docs, exactLoser, nearLoser, liveIntervals) =
+      planParts(spark, dir, pairs)
+    val cuts = liveIntervals
+      .groupBy("doc_id").agg(sum(col("e") - col("s") + 1).as("cut_tokens"))
     val dropped = col("ex").isNotNull || col("nr").isNotNull
     val cut = when(dropped, col("n_tokens"))
       .otherwise(coalesce(col("cut_tokens"), lit(0L)))
@@ -1587,10 +1622,154 @@ object Dedup extends OpModule {
       .orderBy("doc_id")
   }
 
+  /** Materialize the cleaned corpus: EXECUTE d17's plan instead of
+    * describing it. Exact/near losers are dropped outright; surviving
+    * documents have their keeper-restricted merged cut intervals
+    * (d15's union, same [[mergedIntervals]] sweep) excised from the
+    * token stream; output is one row per SURVIVING document with the
+    * rebuilt text's md5 and exact kept-token count — the artifact a
+    * downstream trainer actually reads, hash-matched across engines so
+    * the token surgery itself (not just its census) is verified.
+    *
+    * Scale shape: the surgery is ONE higher-order-function projection —
+    * intervals are pre-merged per doc (bounded by found spans), carried
+    * as a per-row array through a doc_id equi-join, and the token
+    * filter runs inside codegen with no explode/re-aggregate round trip
+    * (a posexplode + anti-join + collect_list rebuild would shuffle
+    * every token of a 100 TB corpus twice; this shuffles none). */
+  val d19CleanedCorpus: Op = Op(
+    "d19_cleaned_corpus",
+    Some(s"""
+      $duckPlanPrefix,
+      ivs AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s, e) AS ivs
+              FROM mg GROUP BY doc_id)
+      SELECT doc_id, action, CAST(len(kt) AS BIGINT) AS kept_tokens,
+             md5(array_to_string(kt, ' ')) AS text_md5
+      FROM (
+        SELECT t.doc_id,
+               CASE WHEN i.ivs IS NULL THEN 'keep' ELSE 'trim' END AS action,
+               CASE WHEN i.ivs IS NULL THEN t.w
+                    ELSE list_filter(t.w, (x, j) ->
+                      len(list_filter(i.ivs, iv -> j >= iv.s AND j <= iv.e)) = 0)
+               END AS kt
+        FROM toks t
+        LEFT JOIN exactloser ex USING (doc_id)
+        LEFT JOIN nearloser nl USING (doc_id)
+        LEFT JOIN ivs i USING (doc_id)
+        WHERE ex.doc_id IS NULL AND nl.doc_id IS NULL) z
+      ORDER BY doc_id
+    """))((spark, dir) => cleanedCorpusFrom(spark, dir, d2Pairs(spark, dir)))
+
+  /** d19's assembly parameterized by the near-dup pair set — the same
+    * persisted-pair seam as [[actionPlanFrom]]. */
+  private[graft] def cleanedCorpusFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val parts = planParts(spark, dir, pairs)
+    val ivs = parts.liveIntervals.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    Tables.spread(Tables.documents(spark, dir)).select("doc_id", "text")
+      .join(parts.exactLoser, Seq("doc_id"), "left_anti")
+      .join(parts.nearLoser, Seq("doc_id"), "left_anti")
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("w", TextFns.tokens(col("text")))
+      // Spark lambda indexes are 0-based; span positions (and DuckDB's
+      // list_filter index) are 1-based.
+      .withColumn("kt", when(col("ivs").isNull, col("w")).otherwise(
+        filter(col("w"), (_, j) => not(exists(col("ivs"),
+          iv => (j + 1) >= iv("s") && (j + 1) <= iv("e"))))))
+      .select(col("doc_id"),
+        when(col("ivs").isNull, lit("keep")).otherwise(lit("trim")).as("action"),
+        size(col("kt")).cast("long").as("kept_tokens"),
+        md5(array_join(col("kt"), " ")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup threshold: within-cell pairs at or above this cosine are
+    * semantic duplicates (0.4 sits just under this corpus's within-
+    * label cosine ceiling ~0.45, so the op is live but selective; a
+    * production run on real embeddings would use 0.95+). */
+  private[graft] val SemTau = 0.4
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup via
+    * k-means cells. Embeddings are clustered with the SAME deterministic
+    * Lloyd trainer as s5 ([[Similarity.trainIvf]], integer centroids);
+    * within each cell, a member is REMOVED iff some other member of its
+    * cell is at cosine ≥ [[SemTau]] AND precedes it in the cell's
+    * diversity order — distance-to-own-centroid DESCENDING, ties to the
+    * lower vec_id. That pairwise dominance rule is exactly the released
+    * SemDeDup implementation's upper-triangular matrix test (sort by
+    * centroid distance, drop anything too close to an earlier point),
+    * keeping the member farthest from the centroid in each near-
+    * duplicate group. One row per vector: cell, exact integer centroid
+    * distance, kept flag, and how many cell-mates dominated it.
+    *
+    * Scale shape: the pair join is a cid equi-join — candidates are
+    * bounded per cell, never corpus-quadratic; the cell count (here
+    * s5's KC=8, the paper used 50k for LAION) is the knob that grows
+    * with the corpus to keep cells bounded. Dominance is a join-side
+    * predicate, not a window — no per-cell sort or single-task
+    * buffering anywhere; centroid distance is computed against a
+    * KC-row broadcast codebook in exact int64 arithmetic. */
+  val d18SemDedup: Op = Op(
+    "d18_semdedup",
+    Some(s"""
+      WITH ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      cd AS (
+        SELECT a.vec_id, a.qv, a.nrm, a.cid,
+               a.nrm + ${VectorFns.duckNorm2("c.cv")}
+                 - 2 * (${VectorFns.duckDot("a.qv", "c.cv")}) AS cdist
+        FROM af a JOIN ${Similarity.duckLloydCentTbl} c ON a.cid = c.cid
+      ),
+      dom AS (
+        SELECT b.vec_id AS vec_id, COUNT(*) AS n_dom
+        FROM cd a JOIN cd b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          AND (a.cdist > b.cdist OR (a.cdist = b.cdist AND a.vec_id < b.vec_id))
+        WHERE CAST(${VectorFns.duckDot("a.qv", "b.qv")} AS DOUBLE)
+                / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+              >= $SemTau
+        GROUP BY b.vec_id
+      )
+      SELECT cd.vec_id, CAST(cd.cid AS BIGINT) AS cell, cd.cdist AS cent_dist,
+             d.vec_id IS NULL AS kept,
+             CAST(COALESCE(d.n_dom, 0) AS BIGINT) AS n_dom
+      FROM cd LEFT JOIN dom d ON d.vec_id = cd.vec_id
+      ORDER BY cd.vec_id
+    """))((spark, dir) => {
+    import spark.implicits._
+    // Cached: Lloyd scans it once per round, then assignment + the
+    // dominance self-join read it twice more (fresh-expression-id rule).
+    val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
+    val cent = Similarity.trainIvf(spark, dir, vecs)
+    val centDf = broadcast(cent.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
+    val cells = vecs
+      .withColumn("cid", Similarity.nearestId(col("qv"), cent))
+      .join(centDf, Seq("cid"))
+      .withColumn("cdist",
+        col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
+      .select("vec_id", "qv", "nrm", "cid", "cdist")
+      .cache()
+    val dom = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
+          && (col("a.cdist") > col("b.cdist")
+            || (col("a.cdist") === col("b.cdist")
+              && col("a.vec_id") < col("b.vec_id"))))
+      .filter(VectorFns.cosine(VectorFns.dot(col("a.qv"), col("b.qv")),
+        col("a.nrm"), col("b.nrm")) >= SemTau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("nd"))
+    cells.join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("cdist").as("cent_dist"),
+        col("nd").isNull.as("kept"), coalesce(col("nd"), lit(0L)).as("n_dom"))
+      .orderBy("vec_id")
+  })
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
       d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
       d13ContainmentPairs, d14RepeatedSpans, d15SpanTrimCensus,
-      d16LshRecallAudit, d17DedupActionPlan)
+      d16LshRecallAudit, d17DedupActionPlan, d18SemDedup, d19CleanedCorpus)
 }

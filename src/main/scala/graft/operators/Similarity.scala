@@ -158,7 +158,7 @@ object Similarity extends OpModule {
       .orderBy("query_id", "rnk")
   }
 
-  private def duckVecs(extra: String = ""): String =
+  private[operators] def duckVecs(extra: String = ""): String =
     s"""v AS (SELECT vec_id, label, ${VectorFns.duckQuantize("embedding")} AS qv
        |      FROM embeddings$extra),
        |n AS (SELECT vec_id, label, qv, ${VectorFns.duckNorm2("qv")} AS nrm FROM v)""".stripMargin
@@ -351,6 +351,21 @@ object Similarity extends OpModule {
        |    FROM n CROSS JOIN $centTbl c) WHERE rk = 1
        |)""".stripMargin
 
+  /** The unrolled Lloyd-mirror CTE chain (seeds `c0` = table head →
+    * KM_ITERS assign/update rounds → final assignment `af(vec_id, qv,
+    * nrm, cid)` with centroids in `c$KM_ITERS`). ONE builder for every
+    * oracle that must land on bit-identical cells — s5, the s15
+    * filtered probe, and d18's SemDeDup — so the mirror cannot drift
+    * per-oracle. */
+  private[operators] def duckLloydChain(kc: Int = KC): String =
+    (Seq(s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $kc)") ++
+      (1 to KM_ITERS).flatMap(i => Seq(
+        duckAssign(s"a$i", s"c${i - 1}"), duckUpdate(s"c$i", s"a$i"))) ++
+      Seq(duckAssign("af", s"c$KM_ITERS"))).mkString(",\n      ")
+
+  /** Name of the final-centroid CTE emitted by [[duckLloydChain]]. */
+  private[operators] def duckLloydCentTbl: String = s"c$KM_ITERS"
+
   /** One k-means update round as a DuckDB CTE: per-(cell, dim) integer
     * mean, rounded identically to the Spark side (round() is
     * half-away-from-zero on both engines). */
@@ -398,14 +413,9 @@ object Similarity extends OpModule {
     * unrolled as CTEs) lands on bit-identical cells. */
   val s5IvfTrained: Op = Op(
     "s5_ann_ivf_trained", {
-      val ctes = Seq(
-        s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $KC)") ++
-        (1 to KM_ITERS).flatMap(i => Seq(
-          duckAssign(s"a$i", s"c${i - 1}"), duckUpdate(s"c$i", s"a$i"))) ++
-        Seq(duckAssign("af", s"c$KM_ITERS"))
       Some(s"""
       WITH ${duckVecs()},
-      ${ctes.mkString(",\n      ")},
+      ${duckLloydChain()},
       pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cid,
                CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
@@ -434,14 +444,9 @@ object Similarity extends OpModule {
     * DuckDB mirror of cell ∩ label candidate generation. `af` carries no
     * label, so both sides re-join `n` (which does) on vec_id. */
   private[operators] val filteredIvfOracleSql: Option[String] = {
-    val ctes = Seq(
-      s"c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < $KC)") ++
-      (1 to KM_ITERS).flatMap(i => Seq(
-        duckAssign(s"a$i", s"c${i - 1}"), duckUpdate(s"c$i", s"a$i"))) ++
-      Seq(duckAssign("af", s"c$KM_ITERS"))
     Some(s"""
       WITH ${duckVecs()},
-      ${ctes.mkString(",\n      ")},
+      ${duckLloydChain()},
       pairs AS (
         SELECT q.vec_id AS query_id, nq.label, c.vec_id AS neighbor_id, q.cid,
                CAST(${VectorFns.duckDot("q.qv", "c.qv")} AS DOUBLE)
