@@ -212,8 +212,13 @@ object Curation extends OpModule {
     // in ONE unsplittable window task, while the agg collapses it
     // map-side and the join streams (the d14/d17 hot-key rule).
     val mins = docs.groupBy("h").agg(min(when(col("q"), col("doc_id"))).as("mn"))
+    // LEFT join: h = md5(text) is null for null-text documents, and an
+    // equi-join key never matches null — an inner join would erase those
+    // rows from EVERY stage count including n_raw, while the oracle's
+    // raw CTE counts all documents. `exact` stays null-safe (q is null
+    // for null text, so the conjunction is falsy either way).
     val flagged = docs
-      .join(mins.hint("shuffle_hash"), Seq("h"))
+      .join(mins.hint("shuffle_hash"), Seq("h"), "left")
       .withColumn("exact", col("q") && col("doc_id") === col("mn"))
       // distinct BEFORE the left join: survivors() tolerates duplicate
       // doc_ids in the drop set (anti join is membership), so the funnel

@@ -1192,14 +1192,14 @@ object Dedup extends OpModule {
         col("start_a"), col("start_b"), col("span_tokens"))
   }
 
-  /** The shared span-CTE chain (mirror of [[spanTable]]) reused by the
-    * d14 and d15 oracles: ends with `sp(da, db, sa, sb, span_tokens)`
-    * already thresholded. */
-  private lazy val duckSpanCtes: String = s"""
-      WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
-        FROM documents
-      ), occ0 AS (
+  /** The occ0..sp span-chain CTEs (mirror of [[spanTable]]), written
+    * against a PRECEDING `toks(doc_id, w)` CTE and ending with
+    * `sp(da, db, sa, sb, span_tokens)` already thresholded. ONE builder
+    * shared by [[duckSpanCtes]] (d14/d15) and [[duckPlanPrefix]]
+    * (d17/d19), so a future edit to the chain cannot leave the plan
+    * oracles running a silently different span semantics than the
+    * census — the failure mode a substring splice would hide. */
+  private lazy val duckSpanChain: String = s"""occ0 AS (
         SELECT doc_id,
                [{'p': i, 'gh': CAST(('0x' || substring(md5(
                      array_to_string(w[i:i+${SpanN - 1}], ' ')), 1, 15)) AS BIGINT)}
@@ -1226,6 +1226,15 @@ object Dedup extends OpModule {
           FROM isl GROUP BY da, db, diag, grp)
         WHERE span_tokens >= $SpanMinTokens
       )"""
+
+  /** The full d14/d15 oracle prefix: the whitespace-token CTE plus
+    * [[duckSpanChain]]. The toks body is byte-identical to
+    * [[duckPairCtes]]' — both mirror [[graft.functions.TextFns.tokens]]. */
+  private lazy val duckSpanCtes: String = s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+      ), $duckSpanChain"""
 
   /** Span-trim census: what an exact-substring trimmer would actually
     * cut, per document. The deterministic keep-rule is "the lower
@@ -1334,20 +1343,26 @@ object Dedup extends OpModule {
     mergedIntervals(spans)
       .groupBy("doc_id").agg(sum(col("e") - col("s") + 1).as("cut_tokens"))
 
-  // d16's corpus sample: keep documents whose md5(doc_id) int64 is
-  // ≡ 0 mod this. 2 here so the small-SF oracle gate has pairs to
-  // grade; a 100 TB audit sets this ~10⁵-10⁶ — the audit's exact
-  // all-shared-shingle join is quadratic ONLY within the sample, which
-  // is the knob that bounds it.
-  private[graft] val AuditMod = 2
+  /** d16's corpus-sample modulus: keep documents whose md5(doc_id)
+    * int64 is ≡ 0 mod this. The audit's exact all-shared-shingle truth
+    * join is quadratic ONLY within the sample, so this is THE knob that
+    * bounds it — 2 by default so the small-SF oracle gate has pairs to
+    * grade; a 100 TB audit sets `GRAFT_AUDIT_MOD` ~10⁵-10⁶ (a ~1/mod
+    * sample of a 10¹⁰-doc corpus leaves 10⁴-10⁵ docs, whose quadratic
+    * truth join is cheap while still yielding thousands of truth pairs
+    * to grade recall on). The registered Op's DuckDB oracle interpolates
+    * the SAME value, so both engines always sample identically. */
+  private[graft] val AuditMod: Long =
+    sys.env.get("GRAFT_AUDIT_MOD").map(_.toLong).getOrElse(2L)
 
   /** d16's deterministic sample predicate over a doc_id column — ONE
     * definition shared with the spec that re-derives the sample set
     * (a hand-copied hash expression drifting from this one would grade
     * the audit against a different sample). */
-  private[graft] def auditSampled(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def auditSampled(docId: org.apache.spark.sql.Column,
+      mod: Long = AuditMod): org.apache.spark.sql.Column =
     conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
-      .cast("long") % AuditMod === 0
+      .cast("long") % mod === 0
 
   /** LSH-recall audit: how much does d2's banding MISS? The 100 TB
     * dedup path depends on banded candidate generation (8 minhashes ×
@@ -1397,9 +1412,17 @@ object Dedup extends OpModule {
       LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
       WHERE t.jac >= $JACCARD_T
       ORDER BY t.doc_a, t.doc_b
-    """))((spark, dir) => {
+    """))((spark, dir) => lshRecallAudit(spark, dir))
+
+  /** d16's audit body parameterized by the sample modulus — the entry
+    * point a production tuner calls with its own modulus (or sets via
+    * `GRAFT_AUDIT_MOD`); the registered Op passes [[AuditMod]], which
+    * its DuckDB oracle interpolates, so the gate always grades the
+    * sample the Spark side actually drew. */
+  private[graft] def lshRecallAudit(spark: SparkSession, dir: String,
+      mod: Long = AuditMod): DataFrame = {
     val sampled = Tables.spread(Tables.documents(spark, dir))
-      .filter(auditSampled(col("doc_id")))
+      .filter(auditSampled(col("doc_id"), mod))
     val sh = shingled(sampled).cache()
     // Exact truth via the shingle-level equi-join (the d4/d13 shape):
     // one matched row per shared shingle, count per pair = |A ∩ B|.
@@ -1428,7 +1451,7 @@ object Dedup extends OpModule {
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         coalesce(col("f"), lit(false)).as("lsh_found"))
       .orderBy("doc_a", "doc_b")
-  })
+  }
 
   /** The capstone: one row per document with the dedup ACTION the
     * pipeline executes — the merge of every dedup decision this module
@@ -1465,9 +1488,10 @@ object Dedup extends OpModule {
     * their own tails so the loser/interval semantics cannot drift
     * between the census and the corpus it claims to describe. */
   private lazy val duckPlanPrefix: String = {
-    // duckSpanCtes' own `toks` is byte-identical to duckPairCtes' —
-    // reuse the latter's and splice the span chain from occ0 on.
-    val spanTail = duckSpanCtes.substring(duckSpanCtes.indexOf("occ0 AS"))
+    // duckPairCtes' `toks` is byte-identical to duckSpanCtes' — reuse
+    // the former's and append the SHARED span-chain builder (no
+    // substring splice: the chain has exactly one definition).
+    val spanTail = duckSpanChain
     s"""
       WITH RECURSIVE $duckPairCtes,
       pairs AS (SELECT doc_a, doc_b FROM scored WHERE jac >= $JACCARD_T),
@@ -1704,12 +1728,18 @@ object Dedup extends OpModule {
     * distance, kept flag, and how many cell-mates dominated it.
     *
     * Scale shape: the pair join is a cid equi-join — candidates are
-    * bounded per cell, never corpus-quadratic; the cell count (here
-    * s5's KC=8, the paper used 50k for LAION) is the knob that grows
-    * with the corpus to keep cells bounded. Dominance is a join-side
-    * predicate, not a window — no per-cell sort or single-task
-    * buffering anywhere; centroid distance is computed against a
-    * KC-row broadcast codebook in exact int64 arithmetic. */
+    * bounded per cell, never corpus-quadratic — PROVIDED the cell count
+    * grows with the corpus (the paper used 50k cells for LAION-440M):
+    * at a constant cell count the join is O(n²/cells), with cells ∝ n
+    * it is O(n · cell_size). [[semDeDup]]'s default derives the count
+    * from the corpus via [[semCellCount]]; the registered Op pins
+    * Similarity.KC because its DuckDB oracle unrolls the Lloyd mirror
+    * at that constant (sf0.01's 500 vectors ÷ [[SemCellSize]] lands on
+    * the same 8, so the pinned and derived geometries agree at the
+    * gate SF). Dominance is a join-side predicate, not a window — no
+    * per-cell sort or single-task buffering anywhere; centroid distance
+    * is computed against a cells-row broadcast codebook in exact int64
+    * arithmetic. */
   val d18SemDedup: Op = Op(
     "d18_semdedup",
     Some(s"""
@@ -1735,12 +1765,39 @@ object Dedup extends OpModule {
              CAST(COALESCE(d.n_dom, 0) AS BIGINT) AS n_dom
       FROM cd LEFT JOIN dom d ON d.vec_id = cd.vec_id
       ORDER BY cd.vec_id
-    """))((spark, dir) => {
+    """))((spark, dir) => semDeDup(spark, dir, Similarity.KC))
+
+  /** Target within-cell population for [[semCellCount]]: small enough
+    * that the O(cell_size) dominance fan-out per vector stays cheap,
+    * large enough that cells still hold near-duplicate groups. The
+    * SemDeDup paper's LAION-440M/50k-cells regime is ~9k per cell;
+    * 64 here keeps multi-member cells live at test SFs. */
+  private[graft] val SemCellSize = 64L
+
+  /** Corpus-scaled cell count: ~[[SemCellSize]] vectors per cell, never
+    * fewer than s5's KC. THE 100 TB knob — at a constant cell count the
+    * within-cell dominance join is O(n²/cells); with cells ∝ n it is
+    * O(n · SemCellSize). (The Lloyd assignment argmin is O(n · cells),
+    * so with cells ∝ n a production run swaps the flat argmin for a
+    * two-level coarse-then-fine assignment; at probe scales the flat
+    * form is measured sub-linear per probe because the dominance join,
+    * not assignment, dominates.) */
+  private[graft] def semCellCount(n: Long): Int =
+    math.max(Similarity.KC.toLong, (n + SemCellSize - 1) / SemCellSize).toInt
+
+  /** d18's body parameterized by the cell count; `kc ≤ 0` derives it
+    * from the corpus via [[semCellCount]] (the production default —
+    * one cached count() buys a bounded join). The registered Op passes
+    * Similarity.KC so the static DuckDB Lloyd mirror grades identical
+    * geometry. */
+  private[graft] def semDeDup(spark: SparkSession, dir: String,
+      kc: Int = 0): DataFrame = {
     import spark.implicits._
     // Cached: Lloyd scans it once per round, then assignment + the
     // dominance self-join read it twice more (fresh-expression-id rule).
     val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
-    val cent = Similarity.trainIvf(spark, dir, vecs)
+    val cells0 = if (kc > 0) kc else semCellCount(vecs.count())
+    val cent = Similarity.trainIvf(spark, dir, vecs, cells0)
     val centDf = broadcast(cent.map { case (cid, cv) =>
       (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
     val cells = vecs
@@ -1764,7 +1821,7 @@ object Dedup extends OpModule {
       .select(col("vec_id"), col("cid").as("cell"), col("cdist").as("cent_dist"),
         col("nd").isNull.as("kept"), coalesce(col("nd"), lit(0L)).as("n_dom"))
       .orderBy("vec_id")
-  })
+  }
 
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
