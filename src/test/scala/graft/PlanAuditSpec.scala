@@ -83,7 +83,7 @@ class PlanAuditSpec extends SparkSpecBase {
     import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
     for (name <- Seq("d4_dedup_ngram_jaccard", "d13_containment_pairs",
         "d14_repeated_spans", "d15_span_trim_census", "d16_lsh_recall_audit",
-        "d17_dedup_action_plan")) {
+        "d17_dedup_action_plan", "d19_cleaned_corpus")) {
       val hints = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.hints.toString
       }
@@ -109,6 +109,45 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected the df semi-join to plan as a shuffled hash join:\n" + p.take(1500))
     assert(p.contains("partial_count") || p.contains("partial_"),
       "df count lost its map-side partial phase:\n" + p.take(1500))
+  }
+
+  test("d18: dominance is a join predicate — no window keyed by cell or vector") {
+    // SemDeDup's released implementation sorts each cell and tests an
+    // upper-triangular matrix; a faithful-but-naive port would plan a
+    // per-cell window (rank by centroid distance), putting a 100 TB
+    // corpus's biggest cell in ONE unsplittable sort task. The shipped
+    // shape keeps dominance inside the cid equi-join's ON/WHERE clause:
+    // no Window operator anywhere, and the self-join must stay
+    // hash-based (its only broadcast is the bounded kc-row codebook).
+    val p = plan("d18_semdedup")
+    val w = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w.isEmpty, "d18 grew a window:\n" + w.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "d18's within-cell join degraded to all-pairs:\n" + p.take(1500))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash-based cid equi-join:\n" + p.take(1500))
+  }
+
+  test("d19: token surgery is one codegen'd HOF filter — no token posexplode round trip") {
+    // The naive materialization posexplodes every token, anti-joins the
+    // cut positions, and collect_list-rebuilds the text — shuffling
+    // every token of a 100 TB corpus twice. The shipped shape carries
+    // the merged intervals as a per-row array through one doc_id
+    // equi-join and excises tokens inside a codegen'd filter() lambda;
+    // the only collect_list in the plan aggregates INTERVALS (bounded by
+    // found spans), never tokens.
+    val p = plan("d19_cleaned_corpus")
+    // The span-DETECTION subtree legitimately posexplodes the 8-gram
+    // shingles (rows for the gram equi-join — d14's adjudicated shape,
+    // recognizable by the transform(sequence(...)) generator); the
+    // surgery itself must never explode the bare token array.
+    val pe = p.linesIterator.filter(_.contains("posexplode")).toSeq
+    assert(pe.forall(_.contains("transform(sequence")),
+      "d19 regressed to a per-token explode:\n" +
+        pe.filterNot(_.contains("transform(sequence")).mkString("\n"))
+    assert(p.contains("lambdafunction"),
+      "interval-filter HOF missing from the physical plan:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("t37: Bloom probe prunes the train side in the scan stage before the exact join") {

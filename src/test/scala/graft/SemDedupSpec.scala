@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.operators.Dedup
+
+/** Behavioral pins for d18 (SemDeDup, Abbas et al. arXiv:2303.09540).
+  *
+  * The dominance rule under test: within a cell, a member is removed iff
+  * some cell-mate at cosine ≥ SemTau PRECEDES it in the diversity order
+  * (distance-to-own-centroid DESCENDING, ties to the LOWER vec_id) —
+  * i.e. each near-duplicate group keeps its member farthest from the
+  * centroid. Geometry is forged so Lloyd's converged cells and every
+  * integer centroid distance are hand-derivable; the testdata case
+  * re-derives kept/n_dom from the op's own cells by brute force, so the
+  * rule cannot drift without a spec failure.
+  */
+class SemDedupSpec extends SparkSpecBase {
+
+  private def writeVecs(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d18").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("d18: farthest-from-centroid member of a near-dup group is kept; ties to lower vec_id") {
+    // Two well-separated axes, kc=2 → seeds 0 and 1. Lloyd (2 rounds)
+    // converges to cells {0,2,3,5} (centroid (1.75e6, 0, 1.25e6, 0)) and
+    // {1,4} (centroid (0, 1.5e6, 0, 0)). Within cell 0: vectors 0,2,3
+    // are colinear (cosine 1 ≥ τ) with centroid distances 2.125e12 <
+    // 6.625e12 for v3 → v3 (farthest) is kept, v0 is dominated only by
+    // v3, v2 by both; v5 is orthogonal (cosine 0 < τ) → kept untouched.
+    // Cell 1: v1 and v4 are colinear and EQUIDISTANT (0.25e12 each) →
+    // the tie goes to the lower vec_id: v1 kept, v4 dominated by v1.
+    val dir = writeVecs(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(2f, 0f, 0f, 0f),
+      3L -> Seq(4f, 0f, 0f, 0f),
+      4L -> Seq(0f, 2f, 0f, 0f),
+      5L -> Seq(0f, 0f, 5f, 0f)))
+    val got = Dedup.semDeDup(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2125000000000L, false, 1L),
+      (1L, 1L, 250000000000L, true, 0L),
+      (2L, 0L, 1625000000000L, false, 2L),
+      (3L, 0L, 6625000000000L, true, 0L),
+      (4L, 1L, 250000000000L, false, 1L),
+      (5L, 0L, 17125000000000L, true, 0L)), got.mkString(","))
+  }
+
+  test("d18: cross-cell near-duplicates are NOT removed — the documented SemDeDup blind spot") {
+    // v2 (cell of seed 0) and v3 (cell of seed 1) are near-duplicates of
+    // each other (cosine ≈ 0.917 ≥ τ) but land in DIFFERENT cells, and
+    // within each cell every cosine sits below τ — so SemDeDup keeps all
+    // four. This is the algorithm's known blind spot (dedup only looks
+    // within a cell); the spec pins it as DOCUMENTED behavior, not a bug.
+    val dir = writeVecs(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 0f, 1f, 0f),
+      2L -> Seq(0.3f, 1f, 0f, 0f),
+      3L -> Seq(0.3f, 1f, 0.45f, 0f)))
+    val got = Dedup.semDeDup(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getLong(4)))
+    assert(got.forall(g => g._3 && g._4 == 0L), got.mkString(","))
+    // The blind-spot premise must actually hold: recompute the one
+    // cross-cell cosine from the quantized vectors.
+    val cells = got.map(g => g._1 -> g._2).toMap
+    assert(cells(0L) == cells(2L) && cells(1L) == cells(3L) && cells(0L) != cells(1L),
+      s"forged geometry landed in unexpected cells: $cells")
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    assert(cos(qv(2L), qv(3L)) >= Dedup.SemTau,
+      "premise broken: the cross-cell pair is not a near-dup at all")
+    assert(cos(qv(0L), qv(2L)) < Dedup.SemTau && cos(qv(1L), qv(3L)) < Dedup.SemTau,
+      "premise broken: a within-cell pair crosses the threshold")
+  }
+
+  test("d18: kept/n_dom on testdata reconcile with a brute-force replay of the dominance rule") {
+    val out = SparkEntry.queries("d18_semdedup")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(out.nonEmpty && out.exists(!_._4), "testdata should remove at least one vector")
+    val qv = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    // Replay dominance from the op's OWN cells and centroid distances —
+    // independent of its join: a is dominated by b iff same cell, cosine
+    // ≥ τ, and b precedes a in (cdist desc, vec_id asc).
+    for ((id, cell, cdist, kept, nDom) <- out) {
+      val doms = out.filter { case (oid, ocell, ocdist, _, _) =>
+        oid != id && ocell == cell &&
+          (ocdist > cdist || (ocdist == cdist && oid < id)) &&
+          cos(qv(oid), qv(id)) >= Dedup.SemTau
+      }
+      assert(doms.length == nDom && kept == doms.isEmpty,
+        s"vec $id: expected n_dom=${doms.length}, got $nDom (kept=$kept)")
+    }
+  }
+
+  test("d18: the derived cell count matches the pinned geometry at small SF and scales with n") {
+    // sf0.001's 50 vectors derive max(KC, ceil(50/64)) = KC — so the
+    // corpus-scaled default and the oracle-pinned constant agree at the
+    // gate SFs (sf0.01: ceil(500/64) = 8 = KC too), while a 100 TB
+    // corpus gets cells ∝ n (bounded ~SemCellSize-vector cells).
+    assert(Dedup.semCellCount(50L) == operators.Similarity.KC)
+    assert(Dedup.semCellCount(500L) == operators.Similarity.KC)
+    assert(Dedup.semCellCount(640000L) == 10000)
+    val derived = Dedup.semDeDup(spark, sf()).collect().toSeq
+    val pinned = Dedup.semDeDup(spark, sf(), operators.Similarity.KC).collect().toSeq
+    assert(derived == pinned)
+  }
+}
