@@ -217,6 +217,9 @@ object ScaleCheck {
       // Hybrid search: the fixed query set probes a K× corpus — the
       // token scan and the cosine scan grow, the fused pools don't.
       "s16_hybrid_rrf_search",
+      // Cleaned-corpus materialization: d17's plan subtrees + the HOF
+      // surgery pass — the heaviest composite op in the suite.
+      "d19_cleaned_corpus",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.sharedState.cacheManager.clearCache()
@@ -295,6 +298,26 @@ object ScaleCheck {
       println(line)
       line
     }
+    // d18 at its production shape: the corpus-scaled cell count (kc=0 →
+    // semCellCount, ~SemCellSize vectors per cell). The REGISTERED Op
+    // pins KC=8 to match its unrolled DuckDB Lloyd mirror, which at a
+    // fixed cell count is O(n²/KC) BY CONSTRUCTION — probing it would
+    // grade a knob the op only carries for the oracle. With kc ∝ n the
+    // dominance join is O(n · cell_size); the flat argmin assignment is
+    // O(n · kc) and is the term a 100 TB run replaces with a two-level
+    // coarse-then-fine assignment (see semCellCount's doc) — at probe
+    // scales it stays below the scan+shuffle floor.
+    val d18Line = {
+      def run(dir: String): Double =
+        timeDf(graft.operators.Dedup.semDeDup(spark, dir, 0))
+      run(sfDir)
+      val base = (1 to 2).map(_ => run(sfDir)).min
+      run(scaled)
+      val big = (1 to 2).map(_ => run(scaled)).min
+      val line = probeLine("d18_semdedup_scaledkc", base, big, expectFlat = false)
+      println(line)
+      line
+    }
     // Deep tier: replication at deepFactor for the heaviest document
     // ops (documents-only table) and the relational heavies (facts
     // replicated, dims copied through — the realistic big-corpus
@@ -330,7 +353,8 @@ object ScaleCheck {
           .map(deepProbe)
         docLines ++ relLines
       }
-    val json = (lines ++ probeLines ++ deepLines).mkString("[", ",\n", "]")
+    val json = (lines ++ probeLines ++ Seq(d18Line) ++ deepLines)
+      .mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
     } finally {
       // The scaled corpus is factor× the input — don't leak it in tmp,
