@@ -23,11 +23,12 @@ import org.apache.spark.sql.types._
   *
   * Tables under `root` (all parquet):
   *   - `ivf/centroids` (cid, cv)             — s5's Lloyd-trained codebook
-  *   - `ivf/codes`     (vec_id, label, qv, nrm) / cid=…  — full vectors
-  *     plus the row's metadata label (filtered search reads it from
-  *     here, never the raw corpus), PARTITIONED BY the coarse cell: a
-  *     probe reads only the query cells' directories (partition pruning
-  *     — the IVF "inverted list")
+  *   - `ivf/codes`     (vec_id, qv, nrm) / cid=…/label=…  — full vectors
+  *     PARTITIONED BY (coarse cell, metadata label): a plain probe reads
+  *     only the query cells' directories (partition pruning — the IVF
+  *     "inverted list"), and a FILTERED probe (s15) additionally prunes
+  *     to the query labels' subdirectories, so tenant-restricted search
+  *     reads only (query cells × query labels) — never the raw corpus
   *   - `pq/codebook`   (m, code, csub)       — s7's refined codebook
   *   - `pq/codes`      (vec_id, code0..3)    — 4 longs per vector (the
   *     compressed corpus; at scale this is the only full-width table)
@@ -55,8 +56,11 @@ object AnnIndex extends OpModule {
     * v5: the inverted-list code tables (`ivf/codes`, `ivf_seeded/codes`)
     * carry the row's metadata `label`, so filtered search (s15) is
     * served index-only — an old root would silently return zero rows
-    * for every filtered probe. */
-  private val BuildVersion = 5
+    * for every filtered probe. v6: `ivf/codes` is partitioned by
+    * (cid, label) instead of cid alone, so filtered probes prune label
+    * DIRECTORIES the way plain probes prune cells (v5 read every cell
+    * row and filtered labels inside the join). */
+  private val BuildVersion = 6
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -147,19 +151,19 @@ object AnnIndex extends OpModule {
     * Below the ceiling the write is byte-identical to the unsalted
     * form, so default-geometry results never change. */
   private def writeCells(df: DataFrame, p: String, maxCellRows: Long,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", partCols: Seq[String] = Seq("cid")): Unit = {
     // Persist the assigned/encoded rows across the two actions: the
     // count pass and the write would otherwise each evaluate the full
     // cell-assignment (and, for ivfpq, the residual-encode chain) —
     // doubling the most expensive build stages. Disk-spillable: at
     // index-build corpus sizes the encoded columns don't fit in memory.
     val assigned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeCellsPersisted(assigned, p, maxCellRows, mode)
+    try writeCellsPersisted(assigned, p, maxCellRows, mode, partCols)
     finally assigned.unpersist()
   }
 
   private def writeCellsPersisted(df: DataFrame, p: String, maxCellRows: Long,
-      mode: String): Unit = {
+      mode: String, partCols: Seq[String]): Unit = {
     val counts = df.groupBy("cid").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fanOut = counts.collect { case (cid, n) if n > maxCellRows =>
@@ -182,10 +186,14 @@ object AnnIndex extends OpModule {
     // which would quietly re-merge the salted slices.
     val slices = counts.keysIterator
       .map(cid => fanOut.getOrElse(cid, 1)).sum.max(1)
+    // The salt drives fan-out per CELL (the skew unit); deeper partition
+    // columns (label) ride the same clustering — a task holding several
+    // (cid, label) groups writes one file per directory, which is the
+    // partitionBy contract.
     df.withColumn("_salt", pmod(hash(col("vec_id")), fanExpr))
-      .repartition(slices, col("cid"), col("_salt"))
+      .repartition(slices, partCols.map(col) :+ col("_salt"): _*)
       .drop("_salt")
-      .write.partitionBy("cid").mode(mode).parquet(p)
+      .write.partitionBy(partCols: _*).mode(mode).parquet(p)
   }
 
   /** Train all three sub-indexes on the corpus at `dir` and write them
@@ -235,8 +243,10 @@ object AnnIndex extends OpModule {
       // partitioned by cell — the inverted-list layout.
       val cent = Similarity.trainIvf(spark, dir, vecs, kc)
       writeCentroids(spark, cent, s"$root/ivf/centroids")
+      // (cid, label) directories: filtered probes prune labels the way
+      // plain probes prune cells (v6 layout).
       writeCells(vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent)),
-        s"$root/ivf/codes", maxCellRows)
+        s"$root/ivf/codes", maxCellRows, partCols = Seq("cid", "label"))
       // Seeded IVF (s3's geometry): same inverted-list layout under the
       // deterministic first-nc codebook — probing replaces the inline
       // path's per-query full-corpus assignment scan.
@@ -373,7 +383,7 @@ object AnnIndex extends OpModule {
       val cent = readCentroids(spark, s"$root/ivf/centroids")
       fresh(s"$root/ivf/codes", nv)
         .withColumn("cid", Similarity.nearestId(col("qv"), cent))
-        .write.partitionBy("cid").mode("append").parquet(s"$root/ivf/codes")
+        .write.partitionBy("cid", "label").mode("append").parquet(s"$root/ivf/codes")
       // Seeded IVF: frozen first-NC codebook, same append contract.
       val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
       fresh(s"$root/ivf_seeded/codes", nv)
@@ -438,17 +448,25 @@ object AnnIndex extends OpModule {
     * retrieval of s14 served from the inverted lists. PRE-filter
     * semantics exactly as s14 (the label equality is part of the join
     * condition, so ranking happens after filtering), and the label is
-    * read from `ivf/codes` itself (the v5 layout), so the plan touches
-    * only the index: same partition-pruned cell read as [[probeIvf]],
-    * with the label predicate cutting candidates inside the codegen'd
-    * join. On a label-partitioned production layout the same plan
-    * prunes on (cid, label) directories. */
+    * read from `ivf/codes` itself, so the plan touches only the index.
+    * The v6 layout partitions codes by (cid, label), so the candidate
+    * read prunes to the query cells' AND the query labels' directories
+    * — a tenant-restricted probe reads (cells × labels of the queries),
+    * not every row of the query cells (the v5 cost). The label isin
+    * prune is sound because the join requires candidate.label =
+    * query.label, so rows outside the query-label union can never
+    * score; exact per-pair label equality still happens inside the
+    * codegen'd join (pre-filter semantics, ranking after filtering). */
   def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
     val codes = spark.read.parquet(s"$root/ivf/codes")
       .withColumn("cid", col("cid").cast("long"))
-    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
-      .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
-    Similarity.ivfCosineTopKFiltered(codes.filter(col("cid").isin(qcells: _*)))
+    // Bounded collect: ≤ NQ query rows define the cell and label unions.
+    val q = codes.filter(col("vec_id") < Similarity.NQ)
+      .select("cid", "label").distinct().collect()
+    val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
+    val qlabels = q.map(_.get(1)).distinct.toSeq
+    Similarity.ivfCosineTopKFiltered(codes.filter(
+      col("cid").isin(qcells: _*) && col("label").isin(qlabels: _*)))
   }
 
   /** Seeded-IVF probe (s3's geometry): identical plan shape to
