@@ -119,6 +119,63 @@ object Bench {
     }
     val calib = calibrate()
 
+    // I/O-shaped calibration companion: the CPU probe misses I/O- and
+    // memory-bandwidth-shaped degradation — r11's committed artifact
+    // carried two false drift alarms from a window where queries ran
+    // 3-5× slow while the CPU calib read only 1.07×. A fixed lineitem
+    // scan + row-hash collapses to one row; reps after the first time
+    // the page-cached parquet-decode path (memory bandwidth + decode),
+    // the profile the sweep's queries actually run. RECORDED for
+    // cross-session visibility — drift normalization stays CPU-
+    // calibrated (each query's blend of the two profiles is
+    // unknowable), because the fresh-JVM re-measure below, not a
+    // ratio, is what adjudicates a flagged entry.
+    def calibrateIo(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("bit_xor(xxhash64(l_orderkey, l_shipdate, l_returnflag)) as s")
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // warm-up (file listing, codegen)
+      median((1 to 3).map(_ => one()))
+    }
+    val calibIo = calibrateIo()
+
+    // Fresh-JVM re-measure for drift survivors the in-process isolation
+    // does not clear: same-process re-runs cannot escape a degraded JVM
+    // (GC/heap state, allocator fragmentation, codegen-cache pollution)
+    // OR a degraded window that happens to outlive the sweep — r11's two
+    // uncleared entries both reproduced their prior numbers instantly in
+    // a fresh process. Spawns this classpath's QBench for the one query;
+    // the CHILD is the controlled condition and its warm median is what
+    // `cleared` is graded on when the in-process number fails.
+    def freshJvmMedian(name: String): Double = {
+      try {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val cp = System.getProperty("java.class.path")
+        val outFile = Files.createTempFile("graft-freshjvm", ".out")
+        val pb = new ProcessBuilder(javaBin, "-Xmx24g", "-cp", cp,
+          "graft.QBench", sfDir, (runs + 1).toString, name)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectOutput(outFile.toFile)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); return -1.0
+        }
+        val out = new String(Files.readAllBytes(outFile), StandardCharsets.UTF_8)
+        Files.deleteIfExists(outFile)
+        ("""QBENCH \S+ rows=\d+ times=([0-9.,\-]+)""".r)
+          .findFirstMatchIn(out)
+          .map(_.group(1).split(",").toSeq.map(_.toDouble).drop(1)) // rep 1 = warm-up
+          .filter(ts => ts.nonEmpty && ts.forall(_ >= 0))
+          .map(median)
+          .getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+    }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // One full sweep: (name, sweep-median, cold first-run, isolated) per
     // query. Second pass re-measures suspiciously slow medians on the
@@ -158,12 +215,12 @@ object Bench {
     // match but toDouble can't parse ("-", "4.9E") — degrade to
     // no-prior rather than abort the bench before any sweep runs.
     val (priorWarm: Map[String, Double], priorTotal: Option[Double],
-        priorCalib: Option[Double]) =
+        priorCalib: Option[Double], priorCalibIo: Option[Double]) =
       try {
         val priorText = new String(
           Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
         if (!priorText.contains(s""""runs":$runs,"sf":"$sfDir""""))
-          (Map.empty[String, Double], None, None)
+          (Map.empty[String, Double], None, None, None)
         else (
           // Error sentinels (-1.0) from a prior errored query must not
           // enter any comparison sum — a negative prior deflates the
@@ -174,8 +231,10 @@ object Bench {
           """^\{"metric":"total_warm","value":([0-9.eE+-]+)""".r
             .findFirstMatchIn(priorText).map(_.group(1).toDouble),
           """"calib_s":([0-9.eE+-]+)""".r
+            .findFirstMatchIn(priorText).map(_.group(1).toDouble),
+          """"calib_io_s":([0-9.eE+-]+)""".r
             .findFirstMatchIn(priorText).map(_.group(1).toDouble))
-      } catch { case _: Throwable => (Map.empty[String, Double], None, None) }
+      } catch { case _: Throwable => (Map.empty[String, Double], None, None, None) }
     // Machine-speed normalization for every cross-SESSION comparison:
     // the prior round's numbers came off a box window whose ambient
     // speed differs up to 2-3× from this run's (measured live in r10:
@@ -264,9 +323,17 @@ object Bench {
         val fn = SparkEntry.queries(name)
         once(fn) // re-warm after the gap
         val iso = median((1 to runs).map(_ => once(fn)))
+        val clearedIso = iso >= 0 && !trips(iso, norm(prior))
+        // Escalate to a fresh process only when in-JVM isolation does
+        // not clear: the child escapes this JVM's degradation and its
+        // number is the final controlled condition.
+        val fresh = if (clearedIso) -1.0 else freshJvmMedian(name)
+        val clearedFresh = fresh >= 0 && !trips(fresh, norm(prior))
         val isoFields =
-          if (iso < 0) ""
-          else s""","isolated":$iso,"cleared":${!trips(iso, norm(prior))}"""
+          (if (iso >= 0) s""","isolated":$iso""" else "") +
+            (if (fresh >= 0) s""","isolated_fresh":$fresh""" else "") +
+            (if (iso >= 0 || fresh >= 0)
+              s""","cleared":${clearedIso || clearedFresh}""" else "")
         s"""{"query":"$name","warm":$warm,"prior":$prior,"prior_norm":${norm(prior)}$isoFields}"""
     }
     val detail = results
@@ -278,7 +345,8 @@ object Bench {
     val detailJson =
       s"""{"metric":"total_warm","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir",""" +
         s""""calib_s":${fmt(calib)},"prior_calib_s":${priorCalib.map(fmt).getOrElse("null")},""" +
-        s""""speed_ratio":${fmt(speedRatio)},""" +
+        s""""speed_ratio":${fmt(speedRatio)},"calib_io_s":${fmt(calibIo)},""" +
+        s""""prior_calib_io_s":${priorCalibIo.map(fmt).getOrElse("null")},""" +
         s""""drift":${drift.mkString("[", ",", "]")}$resweepJson,"queries":$detail}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detailJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
