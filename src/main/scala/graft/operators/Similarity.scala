@@ -41,10 +41,10 @@ object Similarity extends OpModule {
     * PlanAuditSpec pins the partial group-limit so a conf/regression
     * that loses it fails loudly.) */
   private[operators] def topKPerQuery(pairs: DataFrame,
-      order: Seq[Column]): DataFrame = {
+      order: Seq[Column], k: Int = K): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(order: _*)
-    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   // ---- driver-side codebook machinery ---------------------------------
@@ -535,7 +535,7 @@ object Similarity extends OpModule {
     * codes `nearestId` can emit. Shared by s7 and the index probe. */
   private[operators] def pqAdcTopK(tag: String, coded: DataFrame,
       head: Map[Long, Array[Long]],
-      cb: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+      cb: Map[Int, Seq[(Long, Array[Long])]], pool: Int = K): DataFrame = {
     val lut: Map[Long, Array[Map[Long, Long]]] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
         q -> Array.tabulate(PQ_M) { m =>
@@ -562,7 +562,7 @@ object Similarity extends OpModule {
       .filter(col("vec_id") =!= col("qs.query_id"))
       .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("qs.adc_d2").as("adc_d2"))
-    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
+    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc), pool)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
       .orderBy("query_id", "rnk")
   }
@@ -574,12 +574,15 @@ object Similarity extends OpModule {
     * Every arithmetic step stays in exact integers (sub-block squared-L2
     * via the codegen'd dot), so the approximate distances — and
     * therefore the ranking — are bit-identical in the DuckDB mirror. */
-  val s7PqTopK: Op = Op(
-    "s7_ann_pq_topk", {
+  /** The s7 oracle's CTE chain, ending at `scored(query_id, neighbor_id,
+    * adc_d2)` (every corpus vector ADC-scored against every query) with
+    * the quantized vectors still reachable as `v`. ONE builder shared by
+    * s7 and s17's rerank oracle so the PQ training/encode mirror cannot
+    * drift between the two. */
+  private lazy val duckPqScoredCtes: String = {
       def nrm(x: String) = VectorFns.duckNorm2(x)
       def dot(a: String, b: String) = VectorFns.duckDot(a, b)
-      Some(s"""
-      WITH v AS (
+      s"""v AS (
         SELECT vec_id, ${VectorFns.duckQuantize("embedding")} AS qv FROM embeddings
       ), subs AS (
         SELECT vec_id, m, qv[(m * $PQ_SUB + 1):(m * $PQ_SUB + $PQ_SUB)] AS sub
@@ -614,20 +617,101 @@ object Similarity extends OpModule {
         SELECT d.query_id, x.vec_id AS neighbor_id, CAST(SUM(pd) AS BIGINT) AS adc_d2
         FROM codes x JOIN qdist d ON d.m = x.m AND d.cid = x.code AND x.vec_id <> d.query_id
         GROUP BY d.query_id, x.vec_id
-      ), ranked AS (
+      )"""
+  }
+
+  val s7PqTopK: Op = Op(
+    "s7_ann_pq_topk",
+    Some(s"""
+      WITH $duckPqScoredCtes, ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
         FROM scored
       )
       SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, adc_d2
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
-    """)
-    })((spark, dir) => {
+    """))((spark, dir) => {
     val vecs = quantizedQv(spark, dir)
     // Seeds + the query set: the table's bounded head, collected once.
     val head = collectHead(spark, dir, math.max(NQ, PQ_K).toLong)
     val cb = trainPq(vecs, head)
     pqAdcTopK("s7", pqEncode(vecs, cb), head, cb)
+  })
+
+  /** Stage-1 ADC candidates per query that s17 exactly reranks —
+    * production rerankers fetch 2-10× the final k; 4× here keeps the
+    * pool live (reorderings visible) while the fetch stays bounded. */
+  private[graft] val RerankPool = 4 * K
+
+  /** Two-stage retrieval (s17): the compressed scan SELECTS, the full
+    * vectors only RERANK — the standard production ANN shape (FAISS's
+    * IVFPQ + refine stage; every vector DB's "rerank" knob). Stage 1 is
+    * s7's joinless ADC scan over the M-codes-per-vector table, kept to
+    * the top-[[RerankPool]] per query; stage 2 fetches full vectors for
+    * those NQ × pool candidate ids only and re-scores them with EXACT
+    * integer cosine, emitting the exact top-[[K]] with both ranks (rnk
+    * vs adc_rnk shows what the approximation got wrong — the measurable
+    * payoff of the second stage).
+    *
+    * Scale shape: the only corpus-wide work is the compressed scan
+    * (M map lookups per row inline, no join) plus ONE narrow pass over
+    * the full-width table filtered through a BROADCAST of the bounded
+    * candidate keys — the corpus is never shuffled and full vectors
+    * never leave their scan except for the ≤ NQ·pool survivors. On the
+    * persisted index the fetch becomes a key-pruned read of ivf/codes
+    * (the s9/s10 partition story); inline, the broadcast-probe filter
+    * is the same plan s1 uses. Oracle: s7's PQ chain (shared builder)
+    * + the exact-cosine rerank unrolled. */
+  val s17PqRerank: Op = Op(
+    "s17_ann_pq_rerank", {
+      def dot(a: String, b: String) = VectorFns.duckDot(a, b)
+      Some(s"""
+      WITH $duckPqScoredCtes, ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+      ), cands AS (
+        SELECT query_id, neighbor_id, rnk AS adc_rnk FROM ranked
+        WHERE rnk <= $RerankPool
+      ), nn AS (
+        SELECT vec_id, qv, ${VectorFns.duckNorm2("qv")} AS nrm FROM v
+      ), exact AS (
+        SELECT c.query_id, c.neighbor_id, c.adc_rnk,
+               CAST(${dot("q.qv", "x.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(x.nrm AS DOUBLE))) AS cosine
+        FROM cands c
+        JOIN nn q ON q.vec_id = c.query_id
+        JOIN nn x ON x.vec_id = c.neighbor_id
+      ), rr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine,
+             CAST(adc_rnk AS INTEGER) AS adc_rnk
+      FROM rr WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+    })((spark, dir) => {
+    // Cached: trainPq's aggregates, the encode+ADC scan, the rerank
+    // fetch and the query head all read this projection (the
+    // fresh-expression-id rule).
+    val vecs = quantizedQvNrm(spark, dir).cache()
+    val head = collectHead(spark, dir, math.max(NQ, PQ_K).toLong)
+    val cb = trainPq(vecs, head)
+    val cands = pqAdcTopK("s17", pqEncode(vecs, cb), head, cb, RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+    val q = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val exact = vecs.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+      .select("query_id", "neighbor_id", "adc_rnk", "cosine")
+    topKPerQuery(exact, Seq(col("cosine").desc, col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"),
+        col("adc_rnk"))
+      .orderBy("query_id", "rnk")
   })
 
   /** The IVF+PQ coarse codebook: the first `pc` raw vectors. `pc` is a
@@ -1202,5 +1286,5 @@ object Similarity extends OpModule {
   override def ops: Seq[Op] =
     Seq(s1BruteTopK, s2LshTopK, s3IvfTopK, s4Centroids, s5IvfTrained,
       s6MultiProbe, s7PqTopK, s8IvfPqTopK, s12Int8Quantize, s13RecallCensus,
-      s14FilteredTopK, s16HybridRrf)
+      s14FilteredTopK, s16HybridRrf, s17PqRerank)
 }

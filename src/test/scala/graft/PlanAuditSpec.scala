@@ -242,6 +242,21 @@ class PlanAuditSpec extends SparkSpecBase {
       "query-vocabulary join is not broadcast:\n" + p.take(1500))
   }
 
+  test("s17: the rerank fetch is broadcast-only — the corpus is never shuffled") {
+    // Stage 1 is s7's joinless compressed scan; stage 2 may touch the
+    // full-width vectors only through a broadcast of the bounded
+    // candidate keys riding one narrow scan. Any shuffled join here
+    // means full vectors entered an exchange — the exact cost the
+    // two-stage shape exists to avoid.
+    val p = plan("s17_ann_pq_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "s17's candidate fetch degraded to a shuffled or all-pairs join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "rank filters lost their group limit:\n" + p.take(1500))
+  }
+
   test("s10 probe: joinless ADC over the codes table only") {
     val p = plan("s10_ann_pq_probe")
     assert(!p.contains("embeddings.parquet"),

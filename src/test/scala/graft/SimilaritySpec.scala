@@ -133,4 +133,39 @@ class SimilaritySpec extends SparkSpecBase {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
     assert(chain(ex).exists(m => m != null && m.contains("LshMaxDim")))
   }
+
+  test("s17 rerank: exact cosines, exact ordering, pool-bounded, and the rerank reorders") {
+    val out = SparkEntry.queries("s17_ann_pq_rerank")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // Stage-2 membership: every emitted neighbor came from stage 1's
+    // ADC pool, and the final cut is the top-K of that pool.
+    assert(out.forall(r => r._5 >= 1 && r._5 <= Similarity.RerankPool),
+      "adc_rnk outside the stage-1 pool")
+    assert(out.forall(_._3 <= 5), "rnk beyond K leaked through")
+    // Exact-cosine recompute from the quantized vectors (the SemDedup
+    // spec's technique): the reported score must be the true integer-
+    // quantized cosine, and rnk must order by (cosine desc, neighbor).
+    val qv = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    for ((query, neighbor, _, cosine, _) <- out)
+      assert(cosine == cos(qv(query), qv(neighbor)),
+        s"($query,$neighbor) reported $cosine != exact recompute")
+    for ((query, rows) <- out.groupBy(_._1)) {
+      val byRnk = rows.sortBy(_._3)
+      val expected = rows.sortBy(r => (-r._4, r._2))
+      assert(byRnk.toSeq == expected.toSeq, s"query $query rnk order != (cosine desc, id)")
+    }
+    // The second stage must be OBSERVABLE: somewhere the exact order
+    // disagrees with the ADC order (otherwise the op demonstrates
+    // nothing at this SF and the pool should shrink).
+    assert(out.exists(r => r._3 != r._5),
+      "rerank never reordered — ADC was already exact at this SF")
+  }
 }
