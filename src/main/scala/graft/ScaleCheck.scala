@@ -220,6 +220,9 @@ object ScaleCheck {
       // Cleaned-corpus materialization: d17's plan subtrees + the HOF
       // surgery pass — the heaviest composite op in the suite.
       "d19_cleaned_corpus",
+      // Two-stage rerank: the compressed scan grows with the corpus,
+      // the rerank fetch stays NQ x pool.
+      "s17_ann_pq_rerank",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.sharedState.cacheManager.clearCache()

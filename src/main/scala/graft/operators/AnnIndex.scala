@@ -59,8 +59,16 @@ object AnnIndex extends OpModule {
     * for every filtered probe. v6: `ivf/codes` is partitioned by
     * (cid, label) instead of cid alone, so filtered probes prune label
     * DIRECTORIES the way plain probes prune cells (v5 read every cell
-    * row and filtered labels inside the join). */
-  private val BuildVersion = 6
+    * row and filtered labels inside the join). v7: adds `ivf/qhead` —
+    * the bounded vec_id < NQ query rows as their own tiny table. The
+    * probes' plan-build step (collect the query cells/labels to prune
+    * to) otherwise filters vec_id over EVERY codes file, and the v6
+    * (cid, label) layout multiplied the file count by the label
+    * cardinality: ScaleCheck measured the s9/s15 probes going from
+    * ~flat to ~linear at 8× (0.47→3.8 s / 0.33→2.9 s) purely on that
+    * footer sweep. qhead restores the contract that NOTHING in a probe
+    * grows with the corpus. */
+  private val BuildVersion = 7
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -245,8 +253,14 @@ object AnnIndex extends OpModule {
       writeCentroids(spark, cent, s"$root/ivf/centroids")
       // (cid, label) directories: filtered probes prune labels the way
       // plain probes prune cells (v6 layout).
-      writeCells(vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent)),
-        s"$root/ivf/codes", maxCellRows, partCols = Seq("cid", "label"))
+      val ivfAssigned = vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
+      writeCells(ivfAssigned, s"$root/ivf/codes", maxCellRows,
+        partCols = Seq("cid", "label"))
+      // The query head (vec_id < NQ) as its own tiny table: probes
+      // derive their cell/label prune sets from ONE small file instead
+      // of sweeping every codes footer for the vec_id predicate (v7).
+      ivfAssigned.filter(col("vec_id") < Similarity.NQ)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/ivf/qhead")
       // Seeded IVF (s3's geometry): same inverted-list layout under the
       // deterministic first-nc codebook — probing replaces the inline
       // path's per-query full-corpus assignment scan.
@@ -384,6 +398,13 @@ object AnnIndex extends OpModule {
       fresh(s"$root/ivf/codes", nv)
         .withColumn("cid", Similarity.nearestId(col("qv"), cent))
         .write.partitionBy("cid", "label").mode("append").parquet(s"$root/ivf/codes")
+      // Maintain the bounded query-head twin (v7): an appended row in
+      // the query range must reach qhead too, or probes would prune to
+      // stale cells. Independently idempotent via its own anti-join.
+      fresh(s"$root/ivf/qhead", nv)
+        .filter(col("vec_id") < Similarity.NQ)
+        .withColumn("cid", Similarity.nearestId(col("qv"), cent))
+        .write.mode("append").parquet(s"$root/ivf/qhead")
       // Seeded IVF: frozen first-NC codebook, same append contract.
       val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
       fresh(s"$root/ivf_seeded/codes", nv)
@@ -438,7 +459,10 @@ object AnnIndex extends OpModule {
     // (and the oracle's CAST(cid AS BIGINT)) expects.
     val codes = spark.read.parquet(s"$root/ivf/codes")
       .withColumn("cid", col("cid").cast("long"))
-    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
+    // Prune set from the qhead table (ONE small file): filtering codes
+    // itself for vec_id < NQ would open every file footer — linear in
+    // the file count, which the (cid, label) layout multiplies.
+    val qcells = spark.read.parquet(s"$root/ivf/qhead")
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
@@ -460,8 +484,9 @@ object AnnIndex extends OpModule {
   def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
     val codes = spark.read.parquet(s"$root/ivf/codes")
       .withColumn("cid", col("cid").cast("long"))
-    // Bounded collect: ≤ NQ query rows define the cell and label unions.
-    val q = codes.filter(col("vec_id") < Similarity.NQ)
+    // Bounded collect from qhead (ONE small file): ≤ NQ query rows
+    // define the cell and label prune unions.
+    val q = spark.read.parquet(s"$root/ivf/qhead")
       .select("cid", "label").distinct().collect()
     val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
     val qlabels = q.map(_.get(1)).distinct.toSeq
