@@ -1800,8 +1800,18 @@ object Dedup extends OpModule {
     val cent = Similarity.trainIvf(spark, dir, vecs, cells0)
     val centDf = broadcast(cent.map { case (cid, cv) =>
       (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
-    val cells = vecs
-      .withColumn("cid", Similarity.nearestId(col("qv"), cent))
+    // Corpus-scaled cell counts (cells ∝ n) would make the flat argmin
+    // O(n·cells) = quadratic — above TwoLevelMin both the final
+    // assignment here and Lloyd's training rounds (inside trainIvf)
+    // switch to the IVF-style two-level form, O(n·√cells). The
+    // oracle-pinned KC=8 geometry (and every gate SF) stays on the
+    // exact flat path; the approximate path is measured at the 8×
+    // probe and replay-checked by SemDedupSpec.
+    val assigned =
+      if (cent.size > Similarity.TwoLevelMin)
+        Similarity.withTwoLevelCid(vecs, col("qv"), "cid", cent)
+      else vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
+    val cells = assigned
       .join(centDf, Seq("cid"))
       .withColumn("cdist",
         col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))

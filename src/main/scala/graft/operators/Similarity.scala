@@ -96,6 +96,90 @@ object Similarity extends OpModule {
   private[operators] def nearestIdL(v: Array[Long], entries: Seq[(Long, Array[Long])]): Long =
     entries.map { case (id, c) => (d2L(v, c), id) }.min._2
 
+  /** Two-level (coarse → fine) nearest-entry assignment for LARGE
+    * codebooks: the flat [[nearestId]] argmin costs O(K) literal dots
+    * per row, which turns quadratic when the cell count scales with the
+    * corpus (K ∝ n) — the exact regime SemDeDup's corpus-scaled cells
+    * and a production IVF build live in. Standard IVF-style two-level
+    * assignment instead: ⌈√K⌉ coarse anchors (a deterministic stride
+    * sample of the entries themselves — every anchor is an entry, so
+    * its bucket always contains at least itself), entries bucketed
+    * driver-side by nearest anchor, and the row expression is argmin
+    * over anchors followed by argmin over the winning bucket's members
+    * — O(2√K) literal dots per row, inside whole-stage codegen like the
+    * flat form (the repeated coarse argmin collapses under codegen
+    * subexpression elimination).
+    *
+    * APPROXIMATE by design (the true nearest entry may live in another
+    * anchor's bucket — the IVF trade); ties break to the lowest id at
+    * both levels, so the assignment is deterministic. A duplicate-
+    * coordinate anchor can never win the coarse argmin (ties go to the
+    * lower id, which is also an anchor), so the raise_error arm is
+    * genuinely unreachable — kept loud per the t31 rule.
+    *
+    * DataFrame-level on purpose, with only the ANCHORS as plan
+    * literals: the K bucket members ride a BROADCAST table (one array
+    * of (id, nrm, cv) structs per anchor) and the fine argmin is a
+    * codegen'd aggregate() HOF over the joined member array. Two
+    * rejected forms, both measured: inlining the coarse argmin into
+    * every CASE branch defeats codegen CSE (conditionally-evaluated
+    * subexpressions are never eliminated — 9.6 s vs flat's 4.5 s at
+    * the kc=250 probe), and even the materialized-coarse CASE keeps
+    * all K entries as plan literals, so flat and two-level alike fall
+    * out of whole-stage codegen and the driver pays O(K) literal-tree
+    * analysis per pass (at kc=625 planning noise dominated wall time
+    * entirely). The broadcast form keeps the plan O(√K): literals for
+    * the anchors, data for the members. */
+  private[graft] def withTwoLevelCid(df: DataFrame, v: Column, out: String,
+      entries: Seq[(Long, Array[Long])]): DataFrame = {
+    require(entries.nonEmpty, "empty codebook")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = entries.sortBy(_._1)
+    val b = math.max(1, math.round(math.sqrt(sorted.size.toDouble)).toInt)
+    val stride = math.max(1, sorted.size / b)
+    val anchors = sorted.indices.by(stride).map(sorted(_)).toSeq
+    val buckets = broadcast(
+      sorted.groupBy(e => nearestIdL(e._2, anchors)).toSeq
+        .map { case (aid, members) =>
+          (aid, members.map { case (id, c) => (id, dotL(c, c), c.toSeq) })
+        }
+        .toDF("_tl_coarse", "_tl_members"))
+    // Fine argmin as a fold over the member array: state = (best pd,
+    // best id), pd = ‖c‖² − 2·v·c (the ‖v‖² term is constant per row).
+    // Ties to the lowest id — but members are id-sorted and the fold
+    // only replaces on STRICTLY smaller pd, so the first (lowest-id)
+    // minimum wins without an explicit tie branch.
+    val best = aggregate(
+      col("_tl_members"),
+      struct(lit(Long.MaxValue).as("pd"), lit(-1L).as("id")),
+      (acc, m) => {
+        val pd = m.getField("_2") - lit(2L) * VectorFns.dot(v, m.getField("_3"))
+        when(pd < acc.getField("pd"),
+          struct(pd.as("pd"), m.getField("_1").as("id"))).otherwise(acc)
+      })
+    // LEFT join + loud coalesce: a winning anchor always owns a bucket
+    // (anchors are entries and coarse ties go to the lower id, itself an
+    // anchor), so the arm is unreachable — but an inner join would turn
+    // that reasoning error into silently DROPPED rows, and a bare left
+    // join into null cells (the t31 loudness rule).
+    df.withColumn("_tl_coarse", nearestId(v, anchors))
+      .join(buckets, Seq("_tl_coarse"), "left")
+      .withColumn(out, coalesce(best.getField("id"),
+        raise_error(format_string(
+          "two-level assignment: anchor %s won coarse argmin but owns no bucket",
+          col("_tl_coarse")))))
+      .drop("_tl_coarse", "_tl_members")
+  }
+
+  /** Cell counts above this use [[withTwoLevelCid]] where the caller
+    * opts in (semDeDup's corpus-scaled path); at or below it the flat
+    * argmin is both cheaper and exact, and every oracle-pinned geometry
+    * (KC=8, the scale probes' kc≤64 builds) stays on the exact path.
+    * Env-overridable (`GRAFT_TWO_LEVEL_MIN`) for A/B measurement. */
+  private[graft] val TwoLevelMin: Int =
+    sys.env.get("GRAFT_TWO_LEVEL_MIN").map(_.toInt).getOrElse(64)
+
   /** Collect (vec_id, qv) for vec_id < n — the bounded seed/query head
     * of the table. Reads the RAW scan (not the spread/repartitioned
     * branch) so the vec_id predicate pushes down to parquet row groups
@@ -390,12 +474,21 @@ object Similarity extends OpModule {
       vecs: DataFrame, kc: Int = KC): Seq[(Long, Array[Long])] = {
     var cent: Seq[(Long, Array[Long])] = collectHead(spark, dir, kc.toLong).toSeq.sortBy(_._1)
     val dims = cent.head._2.length
+    // Above TwoLevelMin the per-round assignment switches to the
+    // two-level form (approximate Lloyd — the standard big-k trade;
+    // FAISS trains coarse quantizers the same way): with cells ∝ n the
+    // flat argmin would make every round O(n·kc) = quadratic. Every
+    // oracle-pinned geometry (KC=8, the probes' kc≤64 builds) stays on
+    // the exact flat path, so gate results are untouched.
+    def assigned: DataFrame =
+      if (cent.size > TwoLevelMin) withTwoLevelCid(vecs, col("qv"), "cid", cent)
+      else vecs.withColumn("cid", nearestId(col("qv"), cent))
     for (_ <- 1 to KM_ITERS) {
       // n rows stay n rows: `dims` element-wise sums per cell instead of
       // a dims×n posexplode — map-side combines to kc × (dims + 1) longs.
       val aggs = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("n")
-      val rows = vecs.withColumn("cid", nearestId(col("qv"), cent))
+      val rows = assigned
         .groupBy("cid").agg(aggs.head, aggs.tail: _*)
         .collect()
       cent = rows.map { r =>

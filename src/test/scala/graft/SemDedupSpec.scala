@@ -111,6 +111,75 @@ class SemDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("two-level assignment is exact at every codebook entry and loud on impossible anchors") {
+    import spark.implicits._
+    // Entries at distinct coordinates: a vector sitting exactly ON entry
+    // i must be assigned to i — its own anchor wins the coarse argmin
+    // (buckets are built by the same nearest-anchor tie rule), and
+    // distance 0 wins the fine argmin. This pins the two halves agree
+    // on geometry; the approximation (a vector BETWEEN buckets may
+    // mis-assign) is documented IVF behavior, not tested as exact.
+    val entries = (0L until 100L).map(i =>
+      i -> Array(i * 1000L, (i % 10) * 777L, 31337L - i))
+    val df = operators.Similarity.withTwoLevelCid(
+      entries.map { case (i, c) => (i, c.toSeq) }.toDF("vec_id", "qv"),
+      col("qv"), "assigned", entries)
+    assert(df.filter(col("assigned") =!= col("vec_id")).isEmpty,
+      "a vector at an entry's own coordinates was assigned elsewhere")
+  }
+
+  test("d18: the derived path above TwoLevelMin (two-level Lloyd) stays replay-consistent") {
+    // Forge a corpus big enough that semCellCount exceeds TwoLevelMin
+    // (> 64·64 vectors), forcing BOTH the training rounds and the final
+    // assignment onto the two-level path — then replay the dominance
+    // rule from the op's own cells exactly as the testdata spec does.
+    // The replay is assignment-agnostic (it takes the cells as given),
+    // so it verifies the semantics the approximation must preserve:
+    // within every cell, removal is dominance by (cdist desc, id) at
+    // cosine ≥ τ, no matter how the cell was chosen.
+    import spark.implicits._
+    val n = 4600
+    val rows = (0 until n).map { i =>
+      // 8-dim deterministic spread; duplicate PAIRS (i, i+1) for even
+      // i ≥ 100 — guaranteed within-cell near-dups (cosine 1) wherever
+      // both land, so the removal machinery is live. The first 100
+      // vectors stay DISTINCT: Lloyd seeds are the table head, and
+      // duplicate seeds would collapse the trained cell count.
+      val base = if (i >= 100) i - (i % 2) else i
+      i.toLong -> Seq.tabulate(8)(d =>
+        ((((base * 2654435761L + d * 40503L) % 1000L) + 1000L) / 1000.0f))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d18big").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(graft.operators.Dedup.semCellCount(n.toLong) > operators.Similarity.TwoLevelMin)
+    val out = graft.operators.Dedup.semDeDup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(out.length == n)
+    // Path selection rides cells0 (asserted above); occupancy is a
+    // plausibility floor (Lloyd may merge/empty some of the 72 cells).
+    assert(out.map(_._2).distinct.length > operators.Similarity.TwoLevelMin / 2,
+      "derived run collapsed to implausibly few occupied cells")
+    assert(out.exists(!_._4), "no removals — the forged near-dup pairs vanished")
+    val qv = Tables.embeddings(spark, tmp)
+      .select(col("vec_id"), graft.functions.VectorFns.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, cdist, kept, nDom) <- members) {
+      val doms = members.count { case (oid, _, ocdist, _, _) =>
+        oid != id && (ocdist > cdist || (ocdist == cdist && oid < id)) &&
+          cos(qv(oid), qv(id)) >= graft.operators.Dedup.SemTau
+      }
+      assert(doms == nDom && kept == (doms == 0),
+        s"vec $id: expected n_dom=$doms, got $nDom (kept=$kept)")
+    }
+  }
+
   test("d18: the derived cell count matches the pinned geometry at small SF and scales with n") {
     // sf0.001's 50 vectors derive max(KC, ceil(50/64)) = KC — so the
     // corpus-scaled default and the oracle-pinned constant agree at the
