@@ -64,6 +64,30 @@ class CurationSpec extends SparkSpecBase {
     f.unpersist()
   }
 
+  test("c2 funnel counts null-text documents in every stage total") {
+    import spark.implicits._
+    // The exact-dedup winner join keys on h = md5(text), which is NULL
+    // for a null-text document — an inner join (the pre-r12 shape)
+    // erased such rows from EVERY stage count including n_raw, while
+    // the DuckDB oracle's raw CTE counts all documents. Testdata has no
+    // null texts, so only a forged corpus can pin the left-join fix.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-c2null").toString
+    val t30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val t25 = (1 to 25).map(i => s"x$i").mkString(" ")
+    Seq((1L, Option(t30), "en"), (2L, Option.empty[String], "en"),
+        (3L, Option(t25), "pt"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val f = Curation.c2CurationFunnel.run(spark, tmp)
+      .select("lang", "stage_idx", "n_docs").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // Raw counts BOTH en docs (the null-text one included); the
+    // null-text doc then drops at the quality gate, never silently.
+    assert(f(("en", 1)) == 2L, s"null-text doc vanished from n_raw: $f")
+    assert(f(("en", 2)) == 1L && f(("pt", 1)) == 1L && f(("pt", 2)) == 1L, f.toString)
+  }
+
   test("c4 group-aware splits leak ZERO near-dup pairs and only move clustered docs") {
     val labels = Curation.c4GroupSplitLabelsForTest(spark, sf()).cache()
     // The property c4 exists for: no near-dup pair straddles splits.
