@@ -104,11 +104,9 @@ object Similarity extends OpModule {
     * assignment instead: ⌈√K⌉ coarse anchors (a deterministic stride
     * sample of the entries themselves — every anchor is an entry, so
     * its bucket always contains at least itself), entries bucketed
-    * driver-side by nearest anchor, and the row expression is argmin
-    * over anchors followed by argmin over the winning bucket's members
-    * — O(2√K) literal dots per row, inside whole-stage codegen like the
-    * flat form (the repeated coarse argmin collapses under codegen
-    * subexpression elimination).
+    * driver-side by nearest anchor, and per row an argmin over the
+    * anchors followed by an argmin over the winning bucket's members —
+    * O(2√K) dots per row instead of O(K).
     *
     * APPROXIMATE by design (the true nearest entry may live in another
     * anchor's bucket — the IVF trade); ties break to the lowest id at
@@ -145,19 +143,13 @@ object Similarity extends OpModule {
           (aid, members.map { case (id, c) => (id, dotL(c, c), c.toSeq) })
         }
         .toDF("_tl_coarse", "_tl_members"))
-    // Fine argmin as a fold over the member array: state = (best pd,
-    // best id), pd = ‖c‖² − 2·v·c (the ‖v‖² term is constant per row).
-    // Ties to the lowest id — but members are id-sorted and the fold
-    // only replaces on STRICTLY smaller pd, so the first (lowest-id)
-    // minimum wins without an explicit tie branch.
-    val best = aggregate(
-      col("_tl_members"),
-      struct(lit(Long.MaxValue).as("pd"), lit(-1L).as("id")),
-      (acc, m) => {
-        val pd = m.getField("_2") - lit(2L) * VectorFns.dot(v, m.getField("_3"))
-        when(pd < acc.getField("pd"),
-          struct(pd.as("pd"), m.getField("_1").as("id"))).otherwise(acc)
-      })
+    // Fine argmin: project each member to (pd, id) — pd = ‖c‖² − 2·v·c,
+    // the ‖v‖² term is constant per row — and take array_min, whose
+    // struct ordering (pd, then id) IS the tie-to-lowest-id rule. One
+    // dot per member (a fold's when-condition would evaluate pd twice).
+    val best = array_min(transform(col("_tl_members"), m =>
+      struct((m.getField("_2") - lit(2L) * VectorFns.dot(v, m.getField("_3"))).as("pd"),
+        m.getField("_1").as("id"))))
     // LEFT join + loud coalesce: a winning anchor always owns a bucket
     // (anchors are entries and coarse ties go to the lower id, itself an
     // anchor), so the arm is unreachable — but an inner join would turn

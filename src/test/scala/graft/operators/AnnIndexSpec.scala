@@ -107,6 +107,39 @@ class AnnIndexSpec extends SparkSpecBase {
     } finally vecsA.unpersist()
   }
 
+  test("an appended QUERY row reaches qhead — probes prune with it, not past it") {
+    // v7 probes take their cell/label prune sets from ivf/qhead. If an
+    // append that carries a query-range row (vec_id < NQ) failed to
+    // maintain qhead, the codes scan would prune that query's cell away
+    // and its results would VANISH — silently wrong, not slow. Build on
+    // a corpus missing query 9, append it, and require the probes to
+    // equal the one-shot expected over the full corpus (which contains
+    // query 9's rows).
+    val all = Tables.embeddings(spark, sf())
+    val dirA = Files.createTempDirectory("ann-q9").toString
+    all.filter(col("vec_id") =!= 9L).write.parquet(s"$dirA/embeddings.parquet")
+    val root = Files.createTempDirectory("ann-idx-q9").toString
+    AnnIndex.build(spark, dirA, root)
+    AnnIndex.append(spark, root,
+      all.filter(col("vec_id") === 9L).select("vec_id", "label", "embedding"))
+    val labeledAll = Tables.spread(all)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", graft.functions.VectorFns.norm2(col("qv")))
+      .cache()
+    try {
+      val vecsA = Similarity.quantizedQvNrm(spark, dirA)
+      val cent = Similarity.trainIvf(spark, dirA, vecsA)
+      val assigned = labeledAll.withColumn("cid",
+        Similarity.nearestId(col("qv"), cent))
+      val gotIvf = rows(AnnIndex.probeIvf(spark, root))
+      assert(gotIvf == rows(Similarity.ivfCosineTopK(assigned)))
+      assert(gotIvf.exists(_.head == 9L), "query 9 absent from the probe")
+      val gotFilt = rows(AnnIndex.probeIvfFiltered(spark, root))
+      assert(gotFilt == rows(Similarity.ivfCosineTopKFiltered(assigned)))
+    } finally { labeledAll.unpersist(); () }
+  }
+
   test("compaction after N appends bounds file counts and leaves probes unchanged") {
     val all = Tables.embeddings(spark, sf())
     val n = all.count()
