@@ -291,7 +291,12 @@ object ScaleCheck {
       // so the scaled probe answers the same-sized question K times —
       // expect ~flat like the other index probes.
       ("s15_ann_filtered_probe",
-        root => AnnIndex.probeIvfFiltered(spark, root), true))
+        root => AnnIndex.probeIvfFiltered(spark, root), true),
+      // Index-served rerank: stage 1 scans the compressed codes table
+      // (linear BY DESIGN, like s10); the rerank fetch is bounded.
+      ("s18_ann_pq_rerank_probe",
+        root => AnnIndex.probePqRerank(spark,
+          if (root == baseRoot) sfDir else scaled, root), false))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))
       val base = (1 to 2).map(_ => timeDf(mk(baseRoot))).min

@@ -560,6 +560,51 @@ object AnnIndex extends OpModule {
     probeIvfPq(spark, dir, root)
   })
 
+  /** Two-stage rerank served from the persisted index — s17's question
+    * answered the production way (the s9/s10 pattern: the inline op
+    * retrains per query BY DESIGN for its oracle; the probe is the
+    * scale shape). Stage 1 is the s10 probe's joinless ADC scan over
+    * the STORED pq/codes with the STORED codebook (no training, no
+    * corpus encode), kept to the rerank pool; stage 2 fetches full
+    * vectors from ivf/codes through a broadcast of the bounded
+    * candidate keys and re-scores with exact integer cosine. The only
+    * raw-corpus access is the bounded query head (the user-supplied-
+    * query stand-in, collected at plan-build time, exactly as
+    * [[probePq]]); the probe PLAN touches index tables only. Results
+    * equal the inline s17 by construction (same codebook-training
+    * corpus), so it shares s17's oracle. */
+  def probePqRerank(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val cb = readCodebook(spark, s"$root/pq/codebook")
+    val head = Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+    val cands = Similarity.pqAdcTopK("s18",
+        spark.read.parquet(s"$root/pq/codes"), head, cb, Similarity.RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+    val q = broadcast(head.toSeq.filter(_._1 < Similarity.NQ).sortBy(_._1)
+      .map { case (id, qv) => (id, qv.toSeq, Similarity.dotL(qv, qv)) }
+      .toDF("query_id", "q_qv", "q_nrm"))
+    val codes = spark.read.parquet(s"$root/ivf/codes")
+      .select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
+    val exact = codes
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", VectorFns.cosine(
+        VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
+      .select("query_id", "neighbor_id", "adc_rnk", "cosine")
+    Similarity.topKPerQuery(exact, Seq(col("cosine").desc, col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"),
+        col("adc_rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val s18PqRerankProbe: Op = Op(
+    "s18_ann_pq_rerank_probe", Similarity.s17PqRerank.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probePqRerank(spark, dir, root)
+  })
+
   /** Filtered search from the index (s14's question answered the way a
     * vector store answers it at scale): unlike s9-s11 this is not a
     * build/probe split of an existing inline op — the cell gate changes
@@ -573,5 +618,5 @@ object AnnIndex extends OpModule {
   })
 
   override def ops: Seq[Op] =
-    Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe)
+    Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe, s18PqRerankProbe)
 }

@@ -257,6 +257,24 @@ class PlanAuditSpec extends SparkSpecBase {
       "rank filters lost their group limit:\n" + p.take(1500))
   }
 
+  test("s18 probe: index-served rerank — no training, no raw scan, broadcast-only fetch") {
+    // The production answer to s17's retrain-by-design cost: stage 1 is
+    // s10's joinless ADC over the stored codes, stage 2 a broadcast of
+    // the bounded candidates over the ivf codes table. No Lloyd/PQ
+    // aggregate, no embeddings scan, and the corpus must never enter a
+    // shuffled join.
+    val p = plan("s18_ann_pq_rerank_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "rerank probe read the raw corpus:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "probe plan contains an aggregate (training crept back in):\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      "candidate fetch degraded to a shuffled or all-pairs join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "rank filters lost their group limit:\n" + p.take(1500))
+  }
+
   test("s10 probe: joinless ADC over the codes table only") {
     val p = plan("s10_ann_pq_probe")
     assert(!p.contains("embeddings.parquet"),

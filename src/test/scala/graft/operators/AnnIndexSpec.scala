@@ -26,6 +26,10 @@ class AnnIndexSpec extends SparkSpecBase {
       == rows(Similarity.s7PqTopK.run(spark, sf())))
     assert(rows(AnnIndex.probeIvfPq(spark, sf(), root))
       == rows(Similarity.s8IvfPqTopK.run(spark, sf())))
+    // Index-served two-stage rerank ≡ the inline s17 (same training
+    // corpus → same codebook → same pool → same exact re-scores).
+    assert(rows(AnnIndex.probePqRerank(spark, sf(), root))
+      == rows(Similarity.s17PqRerank.run(spark, sf())))
 
     // Filtered probe ≡ the same cells scored inline with the label
     // predicate — and the results respect it: every neighbor shares its
