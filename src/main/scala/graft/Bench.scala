@@ -156,8 +156,17 @@ object Bench {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val cp = System.getProperty("java.class.path")
         val outFile = Files.createTempFile("graft-freshjvm", ".out")
-        val pb = new ProcessBuilder(javaBin, "-Xmx24g", "-cp", cp,
-          "graft.QBench", sfDir, (runs + 1).toString, name)
+        // The child inherits THIS JVM's heap flags (last -Xmx/-Xms win,
+        // matching JVM semantics): a hard-coded size bigger than the box
+        // would OOM/thrash the child on smaller machines and leave the
+        // drift entry silently uncleared.
+        import scala.jdk.CollectionConverters._
+        val heapArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.filter(a =>
+            a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ heapArgs ++ Seq("-cp", cp,
+            "graft.QBench", sfDir, (runs + 1).toString, name)).asJava)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.redirectOutput(outFile.toFile)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)

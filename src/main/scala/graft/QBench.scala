@@ -32,7 +32,10 @@ object QBench {
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, rows)
       }
-      println(f"QBENCH $n rows=${times.head._2} times=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+      // Locale.ROOT: Bench's fresh-JVM escalation regex-parses this line,
+      // and a comma-decimal default locale would break the times= parse.
+      def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+      println(s"QBENCH $n rows=${times.head._2} times=${times.map(t => fmt(t._1)).mkString(",")}")
     }
     spark.stop()
   }

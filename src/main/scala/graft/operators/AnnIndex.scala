@@ -384,8 +384,19 @@ object AnnIndex extends OpModule {
     // label is part of the v5 inverted-list layout — an append without
     // it would write null-labeled rows that silently vanish from every
     // filtered probe, so the batch must carry (vec_id, label, embedding).
+    // The null check is ENFORCED, not documented: under the (cid, label)
+    // partitioning a null label lands in __HIVE_DEFAULT_PARTITION__ and
+    // disappears from every filtered probe — exactly the silent-
+    // wrongness class this layout must fail loudly on (the t31 rule).
+    // raise_error inside the projection costs nothing per row and trips
+    // during the first family write, before any partial state commits
+    // beyond ivf (whose replay the anti-join heals anyway).
     val nv = newVecs
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
+        coalesce(col("label"), raise_error(format_string(
+          "ann append: null label for vec_id=%s — null-labeled rows would " +
+            "land in the hive default partition and vanish from filtered " +
+            "probes; supply a real label", col("vec_id")))).as("label"),
         VectorFns.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", VectorFns.norm2(col("qv")))
       .cache()
