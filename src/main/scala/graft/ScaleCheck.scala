@@ -234,7 +234,14 @@ object ScaleCheck {
     def probeLine(name: String, base: Double, big: Double,
         expectFlat: Boolean): String = {
       val ratio = big / math.max(base, 1e-9)
-      val flat = if (expectFlat) s""","flat":${ratio <= factor / 2.0}""" else ""
+      // `flat` means what a reader assumes it means: the wall moved by
+      // at most ~noise (≤2×) for factor× data — i.e. NOTHING in the
+      // probe grows with the corpus. The old bound (factor/2) let a
+      // 3.9×-for-8× probe print flat:true (r12's s9/s15 listing
+      // regression wore that tag), which is linear-ish growth, not
+      // flatness. Probes whose cost grows BY DESIGN carry no flat
+      // field at all (expectFlat=false) — the `linear` gate is theirs.
+      val flat = if (expectFlat) s""","flat":${ratio <= 2.0}""" else ""
       s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
         s""""ratio":${fmt(ratio)},"data_ratio":$factor,""" +
         s""""linear":${ratio <= 1.5 * factor}$flat}"""
@@ -296,7 +303,19 @@ object ScaleCheck {
       // (linear BY DESIGN, like s10); the rerank fetch is bounded.
       ("s18_ann_pq_rerank_probe",
         root => AnnIndex.probePqRerank(spark,
-          if (root == baseRoot) sfDir else scaled, root), false))
+          if (root == baseRoot) sfDir else scaled, root), false),
+      // Cell-pruned two-stage retrieval: stage 1 reads the query cells'
+      // directories, stage 2 the candidates' — with cells ∝ corpus
+      // (this build), NOTHING read grows, so flat is the expectation.
+      ("s19_ann_ivfpq_rerank_probe",
+        root => AnnIndex.probeIvfPqRerank(spark,
+          if (root == baseRoot) sfDir else scaled, root), true),
+      // Index-served semantic dedup: the dominance join at constant
+      // cell size is O(n · cell_size) and every vector gets a verdict
+      // row — linear BY DESIGN (the d18 training cost is what the
+      // probe deletes), so no flat expectation.
+      ("d20_semdedup_probe",
+        root => AnnIndex.probeSemDedup(spark, root), false))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))
       val base = (1 to 2).map(_ => timeDf(mk(baseRoot))).min
@@ -329,27 +348,66 @@ object ScaleCheck {
     // Deep tier: replication at deepFactor for the heaviest document
     // ops (documents-only table) and the relational heavies (facts
     // replicated, dims copied through — the realistic big-corpus
-    // shape). Grading: scaled wall vs the 1× base measured above — no
-    // warm rep (single run; JIT is already paid by the K× probes).
+    // shape). Each probe runs in a FRESH CHILD JVM (both its base and
+    // its deep wall): the r12 artifact measured the deep tier LAST, in
+    // a parent JVM that had just run ten K× probes and two index
+    // builds, and shipped d4 at 113 s where an isolated fresh-JVM
+    // re-run landed 43 s — exactly the same-process degradation the
+    // bench's isolated_fresh escalation exists to escape, so the deep
+    // tier escapes it unconditionally. The child measures base as
+    // min-of-2 after one JIT warm-up, then ONE deep run (the code
+    // paths are hot by then) — base and deep share one controlled
+    // process, so the ratio is self-consistent. A crashed/hung child
+    // falls back to the in-parent measure, tagged "fresh_jvm":false.
     val deepLines =
       if (deepFactor <= 0) Seq.empty[String]
       else {
         val deepDir = s"$scaled/deep"
-        def deepProbe(name: String): String = {
-          val fn = SparkEntry.queries(name)
-          // Controlled base from the K× tier (every deep op is in
-          // `heavy`); fall back to a fresh measure only if that ever
-          // stops holding.
-          val base = baseTimes.getOrElse(name, (1 to 2).map(_ => time(fn, sfDir)).min)
-          val big = time(fn, deepDir)
+        def deepLine(name: String, base: Double, big: Double,
+            fresh: Boolean): String = {
           val ratio = big / math.max(base, 1e-9)
           val line =
             s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
               s""""ratio":${fmt(ratio)},"data_ratio":$deepFactor,""" +
-              s""""linear":${ratio <= 1.5 * deepFactor}}"""
+              s""""linear":${ratio <= 1.5 * deepFactor},"fresh_jvm":$fresh}"""
           println(line)
           line
         }
+        def deepProbeFresh(name: String): Option[(Double, Double)] =
+          try {
+            val javaBin = System.getProperty("java.home") + "/bin/java"
+            val cp = System.getProperty("java.class.path")
+            import scala.jdk.CollectionConverters._
+            val heapArgs = java.lang.management.ManagementFactory
+              .getRuntimeMXBean.getInputArguments.asScala.filter(a =>
+                a.startsWith("-Xmx") || a.startsWith("-Xms")).toSeq
+            val outFile = Files.createTempFile("graft-deepprobe", ".out")
+            val pb = new ProcessBuilder(
+              (Seq(javaBin) ++ heapArgs ++ Seq("-cp", cp,
+                "graft.DeepProbe", sfDir, deepDir, name)).asJava)
+            pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+            pb.redirectOutput(outFile.toFile)
+            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+            val p = pb.start()
+            if (!p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+              p.destroyForcibly(); None
+            } else {
+              val out = new String(Files.readAllBytes(outFile), StandardCharsets.UTF_8)
+              Files.deleteIfExists(outFile)
+              """DEEPPROBE \S+ base=([0-9.]+) deep=([0-9.]+)""".r
+                .findFirstMatchIn(out)
+                .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+            }
+          } catch { case _: Throwable => None }
+        def deepProbe(name: String): String =
+          deepProbeFresh(name) match {
+            case Some((base, big)) => deepLine(name, base, big, fresh = true)
+            case None =>
+              val fn = SparkEntry.queries(name)
+              val base = baseTimes.getOrElse(name,
+                (1 to 2).map(_ => time(fn, sfDir)).min)
+              deepLine(name, base, time(fn, deepDir), fresh = false)
+          }
         scaleDocuments(spark, sfDir, deepDir, deepFactor)
         val docLines = Seq(
           "d4_dedup_ngram_jaccard", "d13_containment_pairs",
@@ -393,6 +451,43 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ScaleCheck.scaleDocuments(spark, sfDir, outDir, k.toInt)
+    spark.stop()
+  }
+}
+
+/** ScaleCheck's deep-tier child: one op measured in a process of its
+  * own — warm-up + min-of-2 base runs, then ONE deep run — so neither
+  * number carries the parent sweep's JVM history (GC/allocator/codegen-
+  * cache state; the r12 pollution). Parses from the parent via the
+  * DEEPPROBE line; Locale.ROOT so a comma-decimal locale can't tear it.
+  *
+  *   runMain graft.DeepProbe <baseDir> <deepDir> <query>
+  */
+object DeepProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, deepDir, name) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-deepprobe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    def time(dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    time(baseDir) // codegen/JIT warm-up
+    val base = (1 to 2).map(_ => time(baseDir)).min
+    val deep = time(deepDir)
+    println(s"DEEPPROBE $name base=${fmt(base)} deep=${fmt(deep)}")
     spark.stop()
   }
 }

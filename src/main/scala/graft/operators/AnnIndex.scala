@@ -66,9 +66,17 @@ object AnnIndex extends OpModule {
     * (cid, label) layout multiplied the file count by the label
     * cardinality: ScaleCheck measured the s9/s15 probes going from
     * ~flat to ~linear at 8× (0.47→3.8 s / 0.33→2.9 s) purely on that
-    * footer sweep. qhead restores the contract that NOTHING in a probe
-    * grows with the corpus. */
-  private val BuildVersion = 7
+    * footer sweep. qhead restored the plan-BUILD step's boundedness, but
+    * the data read still listed the whole table (ScaleCheck r12: s9/s15
+    * at 3.9×/3.3× for 8× data, pure listing cost). v8 closes that
+    * residual two ways: probes read ONLY the pruned partition
+    * DIRECTORIES (explicit cid= paths under a basePath, so listing cost
+    * is bounded by the query cells' subtrees, never the (cid × label)
+    * file count), and `ivfpq/codes` carries `fid` — the row's ivf-family
+    * (full-vector store) cell id — so a rerank fetch after an IVFPQ
+    * stage 1 partition-prunes `ivf/codes` to the candidates' cells
+    * (s19) instead of scanning the table behind a broadcast filter. */
+  private val BuildVersion = 8
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -80,6 +88,28 @@ object AnnIndex extends OpModule {
 
   private def exists(spark: SparkSession, p: String): Boolean =
     fs(spark, p).exists(new Path(p))
+
+  /** Read ONLY the named partition subdirectories of a partitioned codes
+    * table. `spark.read.parquet(tableRoot)` lists the WHOLE table to
+    * build its file index — linear in the file count even when partition
+    * filters later prune the actual read, and the (cid, label) layout
+    * multiplies that file count (the v7 lesson: r12's ScaleCheck
+    * measured the s9/s15 probes ~linear at 8× on listing cost alone).
+    * Passing the pruned directories as explicit roots bounds the listing
+    * to the query cells' subtrees; `basePath` keeps the partition
+    * columns (cid, label) in the schema exactly as a whole-table read
+    * would. Existence-checked per directory (bounded: ≤ the probe's
+    * prune-set size) — a cell that lost all rows to compaction or was
+    * never written must not fail the read. */
+  private def readPruned(spark: SparkSession, base: String,
+      subdirs: Seq[String]): DataFrame = {
+    val f = fs(spark, base)
+    val paths = subdirs.map(d => s"$base/$d").filter(p => f.exists(new Path(p)))
+    require(paths.nonEmpty,
+      s"none of ${subdirs.size} pruned partition dirs exist under $base — " +
+        "index missing or geometry drift (probe prune set vs stored cells)")
+    spark.read.option("basePath", base).parquet(paths: _*)
+  }
 
   /** Deterministic per-corpus default root (test/bench convenience;
     * production callers pass their own warehouse path). The md5 suffix
@@ -269,13 +299,18 @@ object AnnIndex extends OpModule {
       writeCentroids(spark, seeded, s"$root/ivf_seeded/centroids")
       writeCells(vecs.withColumn("cid", Similarity.nearestId(col("qv"), seeded)),
         s"$root/ivf_seeded/codes", maxCellRows)
-      // PQ (s7's geometry): refined codebook + 4-long codes per vector.
+      // PQ (s7's geometry): refined codebook + 4-long codes per vector,
+      // plus `fid` (v8) — the row's ivf-family cell, so a rerank stage
+      // after the compressed scan partition-prunes the full-vector
+      // fetch to the candidates' ivf/codes directories.
       val headPq = Similarity.collectHead(spark, dir,
         math.max(Similarity.NQ, Similarity.PQ_K).toLong)
       val cb = Similarity.trainPq(vecs, headPq)
       writeCodebook(spark, cb, s"$root/pq/codebook")
       Similarity.pqEncode(vecs, cb)
-        .select(col("vec_id") +: (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .withColumn("fid", Similarity.nearestId(col("qv"), cent))
+        .select(col("vec_id") +: col("fid") +:
+          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
         .write.mode("overwrite").parquet(s"$root/pq/codes")
       // IVF+PQ (s8's geometry): coarse cells + residual codes,
       // cell-partitioned.
@@ -285,8 +320,15 @@ object AnnIndex extends OpModule {
       val rcb = Similarity.ivfpqResidualCb(headR, coarse)
       writeCentroids(spark, coarse, s"$root/ivfpq/coarse")
       writeCodebook(spark, rcb, s"$root/ivfpq/codebook")
+      // `fid` (v8): the row's ivf-family cell — the pointer into the
+      // full-vector store's partition. A compressed candidate that
+      // surfaces from an IVFPQ stage 1 carries it out, so the exact
+      // rerank fetch reads only the candidates' ivf/codes directories.
+      // Same Lloyd codebook as the ivf family's own assignment, so the
+      // pointer and the storage partition can never disagree.
       writeCells(Similarity.ivfpqEncode(vecs, coarse, rcb)
-        .select(col("vec_id") +: col("cid") +:
+        .withColumn("fid", Similarity.nearestId(col("qv"), cent))
+        .select(col("vec_id") +: col("cid") +: col("fid") +:
           (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*),
         s"$root/ivfpq/codes", maxCellRows)
       // Commit marker LAST: a root without it is a failed build and will
@@ -421,16 +463,20 @@ object AnnIndex extends OpModule {
       fresh(s"$root/ivf_seeded/codes", nv)
         .withColumn("cid", Similarity.nearestId(col("qv"), seeded))
         .write.partitionBy("cid").mode("append").parquet(s"$root/ivf_seeded/codes")
-      // PQ
+      // PQ (fid rides along, frozen ivf codebook — as the build)
       val cb = readCodebook(spark, s"$root/pq/codebook")
       Similarity.pqEncode(fresh(s"$root/pq/codes", nv), cb)
-        .select(col("vec_id") +: (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
+        .withColumn("fid", Similarity.nearestId(col("qv"), cent))
+        .select(col("vec_id") +: col("fid") +:
+          (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
         .write.mode("append").parquet(s"$root/pq/codes")
-      // IVF+PQ
+      // IVF+PQ (fid rides along — same frozen ivf codebook the ivf
+      // family write above used, so pointer and partition stay equal)
       val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
       val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
       Similarity.ivfpqEncode(fresh(s"$root/ivfpq/codes", nv), coarse, rcb)
-        .select(col("vec_id") +: col("cid") +:
+        .withColumn("fid", Similarity.nearestId(col("qv"), cent))
+        .select(col("vec_id") +: col("cid") +: col("fid") +:
           (0 until Similarity.PQ_M).map(m => col(s"code$m")): _*)
         .write.partitionBy("cid").mode("append").parquet(s"$root/ivfpq/codes")
     } finally nv.unpersist()
@@ -465,16 +511,22 @@ object AnnIndex extends OpModule {
     * ≤ NQ query cells (the inverted-list read; PlanAuditSpec pins all
     * three properties). */
   def probeIvf(spark: SparkSession, root: String): DataFrame = {
-    // partitionBy writes cid as a directory key, which reads back as a
-    // down-inferred integer — restore the BIGINT the scoring contract
-    // (and the oracle's CAST(cid AS BIGINT)) expects.
-    val codes = spark.read.parquet(s"$root/ivf/codes")
-      .withColumn("cid", col("cid").cast("long"))
     // Prune set from the qhead table (ONE small file): filtering codes
     // itself for vec_id < NQ would open every file footer — linear in
     // the file count, which the (cid, label) layout multiplies.
     val qcells = spark.read.parquet(s"$root/ivf/qhead")
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // Read the query cells' DIRECTORIES only (v8): even the file-index
+    // LISTING stays bounded by the prune set — a whole-table read lists
+    // every (cid, label) file before pruning anything. partitionBy wrote
+    // cid as a directory key, which reads back as a down-inferred
+    // integer — restore the BIGINT the scoring contract (and the
+    // oracle's CAST(cid AS BIGINT)) expects. The isin filter is kept on
+    // top: semantically vacuous over the pruned read, but it keeps the
+    // cell prune visible as a PartitionFilter in the plan (the audited
+    // property) and guards a future caller passing wider paths.
+    val codes = readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
+      .withColumn("cid", col("cid").cast("long"))
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
 
@@ -493,14 +545,24 @@ object AnnIndex extends OpModule {
     * score; exact per-pair label equality still happens inside the
     * codegen'd join (pre-filter semantics, ranking after filtering). */
   def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
-    val codes = spark.read.parquet(s"$root/ivf/codes")
-      .withColumn("cid", col("cid").cast("long"))
     // Bounded collect from qhead (ONE small file): ≤ NQ query rows
     // define the cell and label prune unions.
     val q = spark.read.parquet(s"$root/ivf/qhead")
       .select("cid", "label").distinct().collect()
     val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
     val qlabels = q.map(_.get(1)).distinct.toSeq
+    // Pruned to the query cells' DIRECTORIES (v8): listing is bounded by
+    // those cells' subtrees (≤ cell row count label subdirs each), never
+    // the table's (cid × label) file count. Label dirs are NOT named in
+    // the paths — label values are Hive-escaped in directory names, and
+    // a hand-built `label=x` path that misses the escaping would
+    // silently drop that label's rows. Instead the label isin stays a
+    // partition FILTER, pruning label directories at planning within the
+    // listed cells (still zero data files read outside the query
+    // labels, and the plan keeps cid AND label PartitionFilters — the
+    // audited v6 property).
+    val codes = readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
+      .withColumn("cid", col("cid").cast("long"))
     Similarity.ivfCosineTopKFiltered(codes.filter(
       col("cid").isin(qcells: _*) && col("label").isin(qlabels: _*)))
   }
@@ -508,10 +570,22 @@ object AnnIndex extends OpModule {
   /** Seeded-IVF probe (s3's geometry): identical plan shape to
     * [[probeIvf]] — partition-pruned cell read, no assignment scan. */
   def probeIvfSeeded(spark: SparkSession, root: String): DataFrame = {
-    val codes = spark.read.parquet(s"$root/ivf_seeded/codes")
+    // Prune set WITHOUT touching the codes table: the bounded qhead rows
+    // carry their quantized vectors, and the seeded centroids are a
+    // ≤ nc-row driver read — the query rows' stored cells are recomputed
+    // driver-side with the same argmin ordering the build used
+    // (nearestIdL ≡ nearestId; both order by full d2, ties to the lower
+    // cid), so the derived set equals the stored one. The previous form
+    // filtered codes for vec_id < NQ, which opened every file footer —
+    // the exact listing sweep qhead exists to avoid.
+    val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
+    val qcells = spark.read.parquet(s"$root/ivf/qhead")
+      .select("qv").collect()
+      .map(r => Similarity.nearestIdL(r.getSeq[Long](0).toArray, seeded))
+      .distinct.sorted.toSeq
+    val codes = readPruned(spark, s"$root/ivf_seeded/codes",
+      qcells.map(c => s"cid=$c"))
       .withColumn("cid", col("cid").cast("long"))
-    val qcells = codes.filter(col("vec_id") < Similarity.NQ)
-      .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
 
@@ -536,7 +610,10 @@ object AnnIndex extends OpModule {
       math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
     val qcells = head.filter(_._1 < Similarity.NQ).values
       .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
-    val codes = spark.read.parquet(s"$root/ivfpq/codes")
+    // Query cells' directories only (v8): the listing, not just the
+    // read, stays bounded by the prune set.
+    val codes = readPruned(spark, s"$root/ivfpq/codes",
+      qcells.map(c => s"cid=$c"))
       .withColumn("cid", col("cid").cast("long"))
       .filter(col("cid").isin(qcells: _*))
     Similarity.ivfpqAdcTopK("s11", codes, head, coarse, rcb)
@@ -585,20 +662,44 @@ object AnnIndex extends OpModule {
     * equal the inline s17 by construction (same codebook-training
     * corpus), so it shares s17's oracle. */
   def probePqRerank(spark: SparkSession, dir: String, root: String): DataFrame = {
-    import spark.implicits._
     val cb = readCodebook(spark, s"$root/pq/codebook")
     val head = Similarity.collectHead(spark, dir,
       math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+    // Stage 1's output is BOUNDED (≤ NQ × pool rows) — collected at
+    // plan build, so the candidates' `fid` pointers can prune the
+    // fetch's DIRECTORIES (v8; the previous form scanned all of
+    // ivf/codes behind the broadcast filter — no shuffle, but a full
+    // listing + scan the pointer column exists to avoid). The stage-1
+    // job itself is the s10 probe's joinless ADC scan, re-run per
+    // invocation like every stage of every op.
     val cands = Similarity.pqAdcTopK("s18",
-        spark.read.parquet(s"$root/pq/codes"), head, cb, Similarity.RerankPool)
-      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+        spark.read.parquet(s"$root/pq/codes"), head, cb, Similarity.RerankPool,
+        passthrough = Seq("fid"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
+        col("fid"))
+      .collect().toSeq
+    rerankFetch(spark, root, head, cands)
+  }
+
+  /** Shared stage 2 of the index-served rerank probes (s18/s19): exact
+    * integer cosine over the candidates' full vectors, fetched from
+    * `ivf/codes` pruned to the candidates' `fid` DIRECTORIES, joined
+    * only through broadcasts of the bounded candidate/query sides.
+    * `cands` rows are (query_id, neighbor_id, adc_rnk, fid). */
+  private def rerankFetch(spark: SparkSession, root: String,
+      head: Map[Long, Array[Long]], cands: Seq[Row]): DataFrame = {
+    import spark.implicits._
+    val fids = cands.map(_.getAs[Long]("fid")).distinct.sorted
+    val candDf = broadcast(cands
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toDF("query_id", "neighbor_id", "adc_rnk"))
     val q = broadcast(head.toSeq.filter(_._1 < Similarity.NQ).sortBy(_._1)
       .map { case (id, qv) => (id, qv.toSeq, Similarity.dotL(qv, qv)) }
       .toDF("query_id", "q_qv", "q_nrm"))
-    val codes = spark.read.parquet(s"$root/ivf/codes")
+    val codes = readPruned(spark, s"$root/ivf/codes", fids.map(c => s"cid=$c"))
       .select(col("vec_id").as("neighbor_id"), col("qv"), col("nrm"))
     val exact = codes
-      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(candDf, Seq("neighbor_id"))
       .join(q, Seq("query_id"))
       .withColumn("cosine", VectorFns.cosine(
         VectorFns.dot(col("q_qv"), col("qv")), col("q_nrm"), col("nrm")))
@@ -616,6 +717,96 @@ object AnnIndex extends OpModule {
     probePqRerank(spark, dir, root)
   })
 
+  /** Stage 1 of the cell-pruned two-stage retrieval (s19), exposed for
+    * the plan audit: the s11 probe's cell-pruned residual-ADC scan kept
+    * to the rerank pool, `fid` riding through as each candidate's
+    * full-vector-store partition pointer. */
+  private[graft] def ivfpqRerankCands(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
+    val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
+    val head = Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+    val qcells = head.filter(_._1 < Similarity.NQ).values
+      .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
+    val codes = readPruned(spark, s"$root/ivfpq/codes",
+      qcells.map(c => s"cid=$c"))
+      .withColumn("cid", col("cid").cast("long"))
+      .filter(col("cid").isin(qcells: _*))
+    Similarity.ivfpqAdcTopK("s19", codes, head, coarse, rcb,
+      pool = Similarity.RerankPool, passthrough = Seq("fid"))
+  }
+
+  /** Cell-pruned two-stage retrieval (s19) — the full FAISS IVFPQ +
+    * refine shape, composed from parts that each already exist: stage 1
+    * is the s11 probe's cell-pruned residual-ADC scan (coarse cells of
+    * the queries only — the stage-1 read prunes ivfpq/codes
+    * directories) kept to the rerank pool; stage 2 is s17's exact-
+    * cosine rerank, its fetch pruned to the candidates' `fid`
+    * directories of ivf/codes. Unlike s18, NOTHING in the plan scans a
+    * full table: stage 1 reads the query cells, stage 2 reads the
+    * candidate cells — the probe's cost tracks cell size, not corpus
+    * size. Its own oracle ([[Similarity.ivfpqRerankOracleSql]]): the
+    * coarse cell gate changes the candidate pool, so this is not s17's
+    * question (the s15 precedent). */
+  def probeIvfPqRerank(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val head = Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+    val cands = ivfpqRerankCands(spark, dir, root)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
+        col("fid"))
+      .collect().toSeq
+    rerankFetch(spark, root, head, cands)
+  }
+
+  val s19IvfPqRerankProbe: Op = Op(
+    "s19_ann_ivfpq_rerank_probe",
+    Similarity.ivfpqRerankOracleSql)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeIvfPqRerank(spark, dir, root)
+  })
+
+  /** Semantic dedup served from the persisted index (d20) — d18's
+    * question answered the production way (the s5→s9 pattern d18 was
+    * the last trained op without): `ivf/codes` already stores every
+    * vector as (vec_id, qv, nrm) under its Lloyd-trained cell, so the
+    * probe reads cells + centroids and runs ONLY the dominance join —
+    * no Lloyd training aggregates, no assignment scan, no raw-corpus
+    * read. Shares d18's oracle exactly as s18 shares s17's: the build
+    * trains on the same corpus with the same [[Similarity.trainIvf]]
+    * at the same default kc, so cell assignments — and therefore the
+    * dominance verdicts — are equal by construction (AnnIndexSpec pins
+    * probe ≡ inline). The full codes scan is linear BY DESIGN (every
+    * vector gets a verdict row — this op's OUTPUT is corpus-sized),
+    * but the per-run training cost d18 pays is gone. */
+  def probeSemDedup(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cent = readCentroids(spark, s"$root/ivf/centroids")
+    val centDf = broadcast(cent.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
+    // Whole-table read on purpose: every cell participates in the
+    // dominance join (this is the one probe whose question is about the
+    // whole corpus, not a query head). Cached for the self-join's two
+    // sides + the verdict re-attach, exactly as the inline d18 caches
+    // its assigned cells.
+    val cells = spark.read.parquet(s"$root/ivf/codes")
+      .withColumn("cid", col("cid").cast("long"))
+      .join(centDf, Seq("cid"))
+      .withColumn("cdist",
+        col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
+      .select("vec_id", "qv", "nrm", "cid", "cdist")
+      .cache()
+    Dedup.semDominance(cells)
+  }
+
+  val d20SemDedupProbe: Op = Op(
+    "d20_semdedup_probe", Dedup.d18SemDedup.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeSemDedup(spark, root)
+  })
+
   /** Filtered search from the index (s14's question answered the way a
     * vector store answers it at scale): unlike s9-s11 this is not a
     * build/probe split of an existing inline op — the cell gate changes
@@ -629,5 +820,6 @@ object AnnIndex extends OpModule {
   })
 
   override def ops: Seq[Op] =
-    Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe, s18PqRerankProbe)
+    Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe,
+      s18PqRerankProbe, s19IvfPqRerankProbe, d20SemDedupProbe)
 }

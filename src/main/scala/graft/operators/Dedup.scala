@@ -1817,6 +1817,17 @@ object Dedup extends OpModule {
         col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
       .select("vec_id", "qv", "nrm", "cid", "cdist")
       .cache()
+    semDominance(cells)
+  }
+
+  /** d18's dominance tail over any cell-assigned, centroid-distance-
+    * carrying relation (vec_id, qv, nrm, cid, cdist): the within-cell
+    * dominance join (earlier-in-diversity-order AND cosine ≥ SemTau),
+    * then one row per vector with the kept verdict. Shared by the
+    * inline [[d18SemDedup]] and the persisted-index probe
+    * ([[AnnIndex.probeSemDedup]]) so the dominance semantics cannot
+    * drift between the retraining and the index-served path. */
+  private[graft] def semDominance(cells: DataFrame): DataFrame = {
     val dom = cells.as("a")
       .join(cells.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")

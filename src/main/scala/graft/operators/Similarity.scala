@@ -620,7 +620,8 @@ object Similarity extends OpModule {
     * codes `nearestId` can emit. Shared by s7 and the index probe. */
   private[operators] def pqAdcTopK(tag: String, coded: DataFrame,
       head: Map[Long, Array[Long]],
-      cb: Map[Int, Seq[(Long, Array[Long])]], pool: Int = K): DataFrame = {
+      cb: Map[Int, Seq[(Long, Array[Long])]], pool: Int = K,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val lut: Map[Long, Array[Map[Long, Long]]] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
         q -> Array.tabulate(PQ_M) { m =>
@@ -643,12 +644,14 @@ object Similarity extends OpModule {
       struct(lit(q).as("query_id"), adc.as("adc_d2"))
     }
     val scored = coded
-      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("vec_id") +: passthrough.map(col) :+
+        explode(array(perQuery: _*)).as("qs"): _*)
       .filter(col("vec_id") =!= col("qs.query_id"))
-      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("qs.adc_d2").as("adc_d2"))
+      .select(Seq(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("qs.adc_d2").as("adc_d2")) ++ passthrough.map(col): _*)
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc), pool)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_d2"))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adc_d2")) ++ passthrough.map(col): _*)
       .orderBy("query_id", "rnk")
   }
 
@@ -862,7 +865,8 @@ object Similarity extends OpModule {
   private[operators] def ivfpqAdcTopK(tag: String, coded: DataFrame,
       head: Map[Long, Array[Long]],
       coarse: Seq[(Long, Array[Long])],
-      cbEntries: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+      cbEntries: Map[Int, Seq[(Long, Array[Long])]],
+      pool: Int = K, passthrough: Seq[String] = Nil): DataFrame = {
     val coarseMap = coarse.toMap
     val lut: Seq[(Long, Long, Array[Map[Long, Long]])] = (0L until NQ.toLong).toSeq
       .filter(head.contains).map { q =>
@@ -888,12 +892,14 @@ object Similarity extends OpModule {
       struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
     }
     val scored = coded
-      .select(col("vec_id"), col("cid"), explode(array(perQuery: _*)).as("qs"))
+      .select(Seq(col("vec_id"), col("cid")) ++ passthrough.map(col) :+
+        explode(array(perQuery: _*)).as("qs"): _*)
       .filter(col("cid") === col("qs.q_cid") && col("vec_id") =!= col("qs.query_id"))
-      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2"))
-    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc))
-      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"), col("adc_d2"))
+      .select(Seq(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2")) ++ passthrough.map(col): _*)
+    topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc), pool)
+      .select(Seq(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"),
+        col("adc_d2")) ++ passthrough.map(col): _*)
       .orderBy("query_id", "rnk")
   }
 
@@ -910,12 +916,17 @@ object Similarity extends OpModule {
     * centroids themselves, whose residuals are all-zero and would
     * collapse ADC to a constant (SimilaritySpec pins the
     * non-degeneracy). */
-  val s8IvfPqTopK: Op = Op(
-    "s8_ann_ivfpq_topk", {
+  /** The s8 oracle's CTE chain, ending at `scored(query_id, neighbor_id,
+    * cell, adc_d2)` — every corpus vector in a query's coarse cell
+    * ADC-scored against that query over the residual codebook — with the
+    * full quantized vectors still reachable as `n(vec_id, qv, nrm)`. ONE
+    * builder shared by s8 and s19's cell-pruned rerank oracle so the
+    * IVF+PQ training/encode mirror cannot drift between the two (the
+    * duckPqScoredCtes rule). */
+  private lazy val duckIvfPqScoredCtes: String = {
       def nrm(x: String) = VectorFns.duckNorm2(x)
       def dot(a: String, b: String) = VectorFns.duckDot(a, b)
-      Some(s"""
-      WITH v AS (
+      s"""v AS (
         SELECT vec_id, ${VectorFns.duckQuantize("embedding")} AS qv FROM embeddings
       ), n AS (
         SELECT vec_id, qv, ${nrm("qv")} AS nrm FROM v
@@ -952,15 +963,20 @@ object Similarity extends OpModule {
           ON d.m = x.m AND d.code = x.code AND d.q_cid = x.cid
              AND x.vec_id <> d.query_id
         GROUP BY d.query_id, x.vec_id, x.cid
-      ), ranked AS (
+      )"""
+  }
+
+  val s8IvfPqTopK: Op = Op(
+    "s8_ann_ivfpq_topk",
+    Some(s"""
+      WITH $duckIvfPqScoredCtes, ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
         FROM scored
       )
       SELECT query_id, neighbor_id, cell, CAST(rnk AS INTEGER) AS rnk, adc_d2
       FROM ranked WHERE rnk <= $K
       ORDER BY query_id, rnk
-    """)
-    })((spark, dir) => {
+    """))((spark, dir) => {
     val vecs = quantizedQv(spark, dir)
     val head = collectHead(spark, dir, math.max(NQ, 2 * PQ_K).toLong)
     val coarse = ivfpqCoarse(head)
@@ -968,6 +984,42 @@ object Similarity extends OpModule {
     val coded = ivfpqEncode(vecs, coarse, cbEntries)
     ivfpqAdcTopK("s8", coded, head, coarse, cbEntries)
   })
+
+  /** Oracle for s19 (cell-pruned two-stage retrieval, [[AnnIndex
+    * .probeIvfPqRerank]]): s8's cell-gated ADC chain kept to the
+    * rerank pool, then the exact-cosine rerank unrolled — the s17
+    * rerank tail over s8's candidate generator. Its OWN oracle (not
+    * s17's) because the coarse cell gate changes the candidate pool:
+    * stage 1 only ever scores a query against its own coarse cell (the
+    * s15 precedent). Defined here beside the s8 builder it composes
+    * (the filteredIvfOracleSql pattern — AnnIndex owns the probe, the
+    * oracle chain lives with its training mirror). */
+  private[graft] lazy val ivfpqRerankOracleSql: Option[String] = {
+    def dot(a: String, b: String) = VectorFns.duckDot(a, b)
+    Some(s"""
+      WITH $duckIvfPqScoredCtes, ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+      ), cands AS (
+        SELECT query_id, neighbor_id, rnk AS adc_rnk FROM ranked
+        WHERE rnk <= $RerankPool
+      ), exact AS (
+        SELECT c.query_id, c.neighbor_id, c.adc_rnk,
+               CAST(${dot("q.qv", "x.qv")} AS DOUBLE)
+                 / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(x.nrm AS DOUBLE))) AS cosine
+        FROM cands c
+        JOIN n q ON q.vec_id = c.query_id
+        JOIN n x ON x.vec_id = c.neighbor_id
+      ), rr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine,
+             CAST(adc_rnk AS INTEGER) AS adc_rnk
+      FROM rr WHERE rnk <= $K
+      ORDER BY query_id, rnk
+    """)
+  }
 
   /** Per-label centroid statistics over the quantized embedding space —
     * the "aggregate a vector column" primitive (cluster profiling,
