@@ -286,8 +286,155 @@ object Multimodal extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** Perceptual-hash grid side: 8×8 cells, 56 dHash bits (8 rows × 7
+    * horizontal comparisons), so the hash fits a non-negative BIGINT in
+    * both engines (a 64-bit variant would occupy the sign bit). */
+  private val PG = 8
+  private val PhashBits = PG * (PG - 1) // 56
+
+  /** Band count for the Hamming-band candidate join: 14 nibble bands
+    * (d7's pattern on the wider word) — a pair sharing NO band differs
+    * in ≥ 14 bits, so by pigeonhole every pair within Hamming ≤
+    * [[PhashThresh]] = 13 shares at least one band (exact recall at the
+    * threshold). 13 of 56 bits ≈ 23% of the grid's comparisons — the
+    * usual dHash near-dup band (≈10/64 in the 64-bit folklore); a ≤3
+    * cut would be recall-exact with only 4 wide bands but is INERT on
+    * this corpus (measured: closest non-identical pair sits at 8). */
+  private val PhashBands = 14
+  private val PhashBandBits = PhashBits / PhashBands // 4
+  private val PhashThresh = PhashBands - 1 // 13
+
+  /** Minimum payload length (decoded characters) for a meaningful
+    * perceptual hash: shorter than one pixel per grid cell and the
+    * "image" has no structure to hash. */
+  private val PhashMinLen = PG * PG
+
+  /** Media near-duplicate pairs via perceptual hash (m7): the m-family's
+    * dedup story — every production multimodal pipeline dedups images,
+    * and dHash-then-Hamming-band is the standard shape (aHash/dHash per
+    * Krawetz; the banding is d7's pigeonhole machinery on a wider word).
+    *
+    * The "pixel" source is the deterministic decode stub (the m2 seam):
+    * the payload's decoded code points stand in for grayscale pixels, a
+    * production build swaps in a real thumbnail decoder at the same
+    * point and NOTHING downstream changes. The grid is proportional —
+    * cell k of [[PG]]² averages the code points in its 1/64th of the
+    * stream — so the hash is locality-sensitive BY CONSTRUCTION: a
+    * small payload perturbation moves one cell average, flipping at
+    * most its adjacent comparison bits (MediaHeadersSpec forges exactly
+    * that geometry). All arithmetic is exact integer (sums, floor
+    * divisions, comparisons), so the DuckDB mirror hashes identically.
+    *
+    * Scale shape: the hash is one codegen'd projection per row (no
+    * shuffle, no join — payloads never leave their scan); pairing is a
+    * banded equi-join on (media_type, band, value) exactly like d7 —
+    * candidates grow with bucket cohorts, never corpus-quadratically —
+    * and the Hamming verification is a bit_count over the two 56-bit
+    * words. */
+  val m7PhashPairs: Op = Op(
+    "m7_media_phash_pairs", {
+      val g2 = PG * PG
+      val cellsSql = s"""[CASE WHEN ((k+1)*n)//$g2 > (k*n)//$g2
+               THEN CAST(list_sum(codes[(k*n)//$g2 + 1:((k+1)*n)//$g2]) AS BIGINT)
+                    // (((k+1)*n)//$g2 - (k*n)//$g2)
+               ELSE 0 END FOR k IN generate_series(0, ${g2 - 1})]"""
+      val hashSql = (for (r <- 0 until PG; c <- 0 until PG - 1) yield {
+        val p = r * PG + c
+        s"(CASE WHEN cells[${p + 2}] > cells[${p + 1}] THEN ${1L << (r * (PG - 1) + c)} ELSE 0 END)"
+      }).mkString(" + ")
+      val bandRows = (0 until PhashBands).map(b =>
+        s"SELECT doc_id, media_type, ph, $b AS band, (ph // ${1L << (PhashBandBits * b)}) % ${1 << PhashBandBits} AS bv FROM ph")
+        .mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               text, length(text) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= $PhashMinLen
+      ), px AS (
+        SELECT doc_id, media_type, n,
+               [ord(text[i]) FOR i IN generate_series(1, n)] AS codes
+        FROM m
+      ), cl AS (
+        SELECT doc_id, media_type, $cellsSql AS cells FROM px
+      ), ph AS (
+        SELECT doc_id, media_type, CAST($hashSql AS BIGINT) AS ph FROM cl
+      ), bands AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.media_type AS media_type, a.ph AS pa, b.ph AS pb
+        FROM bands a JOIN bands b
+          ON a.media_type = b.media_type AND a.band = b.band AND a.bv = b.bv
+         AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, media_type,
+             CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+      FROM cand
+      WHERE bit_count(xor(pa, pb)) <= $PhashThresh
+      ORDER BY doc_a, doc_b
+    """)
+    })((spark, dir) => phashPairs(spark, dir))
+
+  /** m7's body (shared with the spec, which drives forged payloads
+    * through the same plan). */
+  private[graft] def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g2 = PG * PG
+    val docs = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        decode(col("payload"), "UTF-8").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= PhashMinLen)
+      .withColumn("n", length(col("t")).cast("long"))
+    // One pass to code points, then 64 exact cell means over slices of
+    // that array — proportional grid, floor boundaries, identical in
+    // the oracle's list comprehension.
+    val cells = docs
+      .withColumn("codes",
+        expr("transform(sequence(1, cast(n as int)), i -> cast(ascii(substring(t, i, 1)) as bigint))"))
+      .withColumn("cells", expr(s"""
+        transform(sequence(0, ${g2 - 1}), k ->
+          CASE WHEN ((cast(k as bigint)+1)*n) div $g2 > (cast(k as bigint)*n) div $g2
+            THEN aggregate(slice(codes, cast((cast(k as bigint)*n) div $g2 as int) + 1,
+                   cast(((cast(k as bigint)+1)*n) div $g2 - (cast(k as bigint)*n) div $g2 as int)),
+                 0L, (acc, x) -> acc + x)
+                 div (((cast(k as bigint)+1)*n) div $g2 - (cast(k as bigint)*n) div $g2)
+            ELSE 0L END)"""))
+    val hashExpr = (for (r <- 0 until PG; c <- 0 until PG - 1) yield {
+      val p = r * PG + c
+      when(element_at(col("cells"), p + 2) > element_at(col("cells"), p + 1),
+        lit(1L << (r * (PG - 1) + c))).otherwise(lit(0L))
+    }).reduce(_ + _)
+    // Cached: the banded self-join reads the hashed projection once per
+    // side (fresh-expression-id rule, as d7).
+    val ph = cells
+      .select(col("doc_id"), col("media_type"), hashExpr.as("ph"))
+      .cache()
+    val bands = ph.select(
+      col("doc_id"), col("media_type"), col("ph"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("ph"), PhashBandBits * b) % (1 << PhashBandBits)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("media_type"), col("ph"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.media_type") === col("b.media_type")
+          && col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.media_type").as("media_type"),
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("int"))
+      .filter(col("hamming") <= PhashThresh)
+      .select("doc_a", "doc_b", "media_type", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample, m4Resize,
-    m5HeaderDecode, m6AudioHeader)
+    m5HeaderDecode, m6AudioHeader, m7PhashPairs)
 }
 
 /** Pure-JVM image container header codec: writes and parses the REAL

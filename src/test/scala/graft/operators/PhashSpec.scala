@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Behavioral pins for m7 (perceptual-hash media near-dup pairs).
+  *
+  * The property under test is LOCALITY — the one thing a perceptual
+  * hash must have and a cryptographic hash must not: a small payload
+  * perturbation moves one grid cell's average and flips at most that
+  * cell's adjacent comparison bits, while an unrelated payload shares
+  * no band at all. Geometry is forged so every cell average is exact:
+  * texts of 128 chars over an 8×8 grid put exactly two characters in
+  * each cell, so cell k's value is hand-derivable and each dHash bit
+  * is a known comparison.
+  */
+class PhashSpec extends SparkSpecBase {
+
+  test("m7: one-cell perturbation → Hamming 1 pair; unrelated payload shares no band") {
+    import spark.implicits._
+    // Cell k of doc 0 averages 40+k (two chars of code 40+k): every
+    // right-neighbor comparison is GREATER → all 56 bits set. Doc 3
+    // lowers ONLY cell 1 to 40 (chars 3-4: ')' → '('): bit 0's
+    // comparison (cell1 > cell0) flips to equal-false, bit 1 still
+    // compares 42 > 40 — exactly one bit differs. Doc 6 descends
+    // (cell k = 103−k): every comparison false, hash 0 — 56 bits from
+    // doc 0, no shared nibble band (15s vs 0s), so it must not even
+    // surface as a candidate. Doc 9 is shorter than one pixel per cell
+    // and must be excluded outright. All ids ≡ 0 (mod 3) → same
+    // media_type, so the type block isn't what separates them.
+    def gridText(cell: Int => Int): String =
+      (0 until 64).flatMap(k => Seq(cell(k).toChar, cell(k).toChar)).mkString
+    val docs = Seq(
+      0L -> gridText(k => 40 + k),
+      3L -> gridText(k => if (k == 1) 40 else 40 + k),
+      6L -> gridText(k => 103 - k),
+      9L -> "too-short")
+    val dir = java.nio.file.Files.createTempDirectory("graft-m7").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 3L, "image", 1)), got.mkString(","))
+  }
+}
