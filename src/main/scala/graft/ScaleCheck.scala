@@ -223,6 +223,12 @@ object ScaleCheck {
       // Two-stage rerank: the compressed scan grows with the corpus,
       // the rerank fetch stays NQ x pool.
       "s17_ann_pq_rerank",
+      // Perceptual-hash media pairs: hash projection is linear, the
+      // nibble-band join's cohorts grow with the corpus (d7's family).
+      // The per-replica alphabet bijection re-randomizes cell averages,
+      // so banding recall on borderline pairs differs per replica (the
+      // d2 minhash caveat) — the probe grades wall growth, not recall.
+      "m7_media_phash_pairs",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.sharedState.cacheManager.clearCache()

@@ -388,10 +388,15 @@ object Multimodal extends OpModule {
       .withColumn("n", length(col("t")).cast("long"))
     // One pass to code points, then 64 exact cell means over slices of
     // that array — proportional grid, floor boundaries, identical in
-    // the oracle's list comprehension.
+    // the oracle's list comprehension. The char stream comes from ONE
+    // split: an indexed `ascii(substring(t, i, 1))` per position is
+    // O(position) per element — O(n²) per document, measured at 104 s
+    // for the sf0.1 sweep vs ~3 s for this form. split's zero-width
+    // match keeps a trailing "" element (ascii 0), but slices only
+    // reach position n, so it is never read.
     val cells = docs
       .withColumn("codes",
-        expr("transform(sequence(1, cast(n as int)), i -> cast(ascii(substring(t, i, 1)) as bigint))"))
+        expr("transform(split(t, ''), c -> cast(ascii(c) as bigint))"))
       .withColumn("cells", expr(s"""
         transform(sequence(0, ${g2 - 1}), k ->
           CASE WHEN ((cast(k as bigint)+1)*n) div $g2 > (cast(k as bigint)*n) div $g2
