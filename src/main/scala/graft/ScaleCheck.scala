@@ -128,15 +128,42 @@ object ScaleCheck {
   }
 
   /** K replicas of embeddings: ids offset, labels suffixed per replica
-    * (d8 blocks on label equality, so replicas never pair). */
+    * (d8 blocks on label equality, so replicas never pair), and — the
+    * vector analogue of the documents' alphabet bijection — each
+    * replica's DIMENSIONS are permuted by a distinct affine map
+    * i → (i·stride + r) mod d (stride a unit of Z_d; replica 0 is the
+    * identity). A permutation common to a whole replica preserves every
+    * within-replica dot product and norm EXACTLY — so each replica
+    * mirrors the base corpus's similarity structure bit-for-bit — while
+    * replicas stop being geometric CLONES of each other. Without this,
+    * every copy of a vector has identical coordinates, lands in the
+    * same k-means cell as the original no matter how many cells a
+    * scaled build trains (8 clones of a query's whole neighborhood in
+    * its cell), and every cell-pruned probe measures fabricated 8×
+    * cell growth instead of the engine: r13 measured s9 at 6.5×-for-8×
+    * under clone replication vs ~flat with distinct replicas at a
+    * cells ∝ n build. Cross-replica dots become arbitrary mid-range
+    * values (no forged near-dups: pair ops block on the
+    * replica-suffixed label anyway). */
   private[graft] def scaleEmbeddings(spark: SparkSession, dir: String, out: String,
       k: Int): Unit = {
     val base = Tables.embeddings(spark, dir)
     val idOffset = offsetFor(base, Seq("vec_id"))
+    val dims = base.select(size(col("embedding"))).head().getInt(0)
+    // Strides must be units of Z_dims (gcd 1): odd numbers work for the
+    // power-of-two dims this corpus uses; pick spread-out odd strides so
+    // consecutive replicas differ in more than a rotation.
+    val strides = Seq(1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
     val reps = (0 until k).map { r =>
+      val s = strides(r % strides.size)
+      val perm = (0 until dims).map(i => (i * s + r) % dims)
+      val permuted =
+        if (r == 0) col("embedding")
+        else array(perm.map(p => element_at(col("embedding"), p + 1)): _*)
       base
         .withColumn("vec_id", col("vec_id") + lit(r * idOffset))
         .withColumn("label", concat(col("label"), lit(s"_r$r")))
+        .withColumn("embedding", permuted)
     }
     reps.reduce(_ unionByName _).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")

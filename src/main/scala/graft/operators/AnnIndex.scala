@@ -23,12 +23,16 @@ import org.apache.spark.sql.types._
   *
   * Tables under `root` (all parquet):
   *   - `ivf/centroids` (cid, cv)             — s5's Lloyd-trained codebook
-  *   - `ivf/codes`     (vec_id, qv, nrm) / cid=…/label=…  — full vectors
-  *     PARTITIONED BY (coarse cell, metadata label): a plain probe reads
-  *     only the query cells' directories (partition pruning — the IVF
-  *     "inverted list"), and a FILTERED probe (s15) additionally prunes
-  *     to the query labels' subdirectories, so tenant-restricted search
-  *     reads only (query cells × query labels) — never the raw corpus
+  *   - `ivf/codes`     (vec_id, label, qv, nrm) / cid=…/lb=… — full
+  *     vectors PARTITIONED BY (coarse cell, label hash-bucket): a plain
+  *     probe reads only the query cells' directories (partition pruning
+  *     — the IVF "inverted list"), and a FILTERED probe (s15)
+  *     additionally prunes to the query labels' bucket subdirectories
+  *     with the exact label equality pushed into the parquet scan, so
+  *     tenant-restricted search reads only (query cells × query label
+  *     buckets) — never the raw corpus. The bucket (not the raw label)
+  *     is the partition key so a cell's file count is bounded by
+  *     [[LabelBuckets]], not by the corpus's label cardinality
   *   - `pq/codebook`   (m, code, csub)       — s7's refined codebook
   *   - `pq/codes`      (vec_id, code0..3)    — 4 longs per vector (the
   *     compressed corpus; at scale this is the only full-width table)
@@ -75,8 +79,34 @@ object AnnIndex extends OpModule {
     * file count), and `ivfpq/codes` carries `fid` — the row's ivf-family
     * (full-vector store) cell id — so a rerank fetch after an IVFPQ
     * stage 1 partition-prunes `ivf/codes` to the candidates' cells
-    * (s19) instead of scanning the table behind a broadcast filter. */
-  private val BuildVersion = 8
+    * (s19) instead of scanning the table behind a broadcast filter.
+    * v9: `ivf/codes` partitions by (cid, lb) — lb a FIXED-width hash
+    * bucket of the label — instead of (cid, label). Partitioning by the
+    * raw label bounds nothing: a cell's directory/file count equals its
+    * label cardinality (unbounded in the corpus — the r13 probe measured
+    * 442 near-empty files across ten query cells whose ROW count was
+    * constant, and probe wall tracked the file count, not the rows).
+    * With [[LabelBuckets]] buckets a cell is at most 16 files however
+    * many labels it holds; the label itself stays a DATA column, so
+    * filtered probes prune (cid, bucket-of-label) directories and push
+    * the exact label equality into the parquet scan (row-group stats /
+    * dictionary pruning) — the standard bucketed-partitioning answer to
+    * partition-cardinality explosion. */
+  private val BuildVersion = 9
+
+  /** Label hash-bucket count for the (cid, lb) inverted-list layout:
+    * bounds files-per-cell at 16 however many labels a cell holds; a
+    * filtered probe reads ~1/16th of a cell's rows to find one label
+    * (the pushed label equality skips the rest at row-group
+    * granularity). */
+  private val LabelBuckets = 16
+
+  /** The label's storage bucket — Spark's murmur3 `hash`, applied
+    * identically at build, append and probe time (the bucket never
+    * crosses an engine boundary, so cross-engine mirroring is not
+    * required). */
+  private def labelBucket(label: org.apache.spark.sql.Column) =
+    pmod(hash(label), lit(LabelBuckets))
 
   /** Default rows-per-cell ceiling for the skew salting in
     * [[writeCells]] — sized so one writer task's slice of a hot cell
@@ -281,15 +311,19 @@ object AnnIndex extends OpModule {
       // partitioned by cell — the inverted-list layout.
       val cent = Similarity.trainIvf(spark, dir, vecs, kc)
       writeCentroids(spark, cent, s"$root/ivf/centroids")
-      // (cid, label) directories: filtered probes prune labels the way
-      // plain probes prune cells (v6 layout).
+      // (cid, lb) directories: filtered probes prune label BUCKETS the
+      // way plain probes prune cells (v9 layout — files per cell
+      // bounded by LabelBuckets; the label itself rides as data).
       val ivfAssigned = vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
-      writeCells(ivfAssigned, s"$root/ivf/codes", maxCellRows,
-        partCols = Seq("cid", "label"))
+      writeCells(ivfAssigned.withColumn("lb", labelBucket(col("label"))),
+        s"$root/ivf/codes", maxCellRows, partCols = Seq("cid", "lb"))
       // The query head (vec_id < NQ) as its own tiny table: probes
       // derive their cell/label prune sets from ONE small file instead
       // of sweeping every codes footer for the vec_id predicate (v7).
+      // Carries lb (v9) so the filtered probe's bucket prune set needs
+      // no driver-side mirror of the hash.
       ivfAssigned.filter(col("vec_id") < Similarity.NQ)
+        .withColumn("lb", labelBucket(col("label")))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/ivf/qhead")
       // Seeded IVF (s3's geometry): same inverted-list layout under the
       // deterministic first-nc codebook — probing replaces the inline
@@ -446,17 +480,19 @@ object AnnIndex extends OpModule {
       def fresh(codesPath: String, df: DataFrame): DataFrame =
         df.join(
           spark.read.parquet(codesPath).select("vec_id"), Seq("vec_id"), "anti")
-      // IVF
+      // IVF (v9 layout: label hash-bucket partition, label as data)
       val cent = readCentroids(spark, s"$root/ivf/centroids")
       fresh(s"$root/ivf/codes", nv)
         .withColumn("cid", Similarity.nearestId(col("qv"), cent))
-        .write.partitionBy("cid", "label").mode("append").parquet(s"$root/ivf/codes")
+        .withColumn("lb", labelBucket(col("label")))
+        .write.partitionBy("cid", "lb").mode("append").parquet(s"$root/ivf/codes")
       // Maintain the bounded query-head twin (v7): an appended row in
       // the query range must reach qhead too, or probes would prune to
       // stale cells. Independently idempotent via its own anti-join.
       fresh(s"$root/ivf/qhead", nv)
         .filter(col("vec_id") < Similarity.NQ)
         .withColumn("cid", Similarity.nearestId(col("qv"), cent))
+        .withColumn("lb", labelBucket(col("label")))
         .write.mode("append").parquet(s"$root/ivf/qhead")
       // Seeded IVF: frozen first-NC codebook, same append contract.
       val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
@@ -546,25 +582,25 @@ object AnnIndex extends OpModule {
     * codegen'd join (pre-filter semantics, ranking after filtering). */
   def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
     // Bounded collect from qhead (ONE small file): ≤ NQ query rows
-    // define the cell and label prune unions.
+    // define the cell, label and label-bucket prune unions (lb is
+    // stored in qhead so no driver-side mirror of the bucket hash).
     val q = spark.read.parquet(s"$root/ivf/qhead")
-      .select("cid", "label").distinct().collect()
+      .select("cid", "label", "lb").distinct().collect()
     val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
     val qlabels = q.map(_.get(1)).distinct.toSeq
-    // Pruned to the query cells' DIRECTORIES (v8): listing is bounded by
-    // those cells' subtrees (≤ cell row count label subdirs each), never
-    // the table's (cid × label) file count. Label dirs are NOT named in
-    // the paths — label values are Hive-escaped in directory names, and
-    // a hand-built `label=x` path that misses the escaping would
-    // silently drop that label's rows. Instead the label isin stays a
-    // partition FILTER, pruning label directories at planning within the
-    // listed cells (still zero data files read outside the query
-    // labels, and the plan keeps cid AND label PartitionFilters — the
-    // audited v6 property).
+    val qbuckets = q.map(_.getInt(2)).distinct.sorted.toSeq
+    // Pruned to the query cells' DIRECTORIES (v8), each at most
+    // LabelBuckets subdirs (v9): both the listing and the file count
+    // are bounded by the prune set, never the corpus's label
+    // cardinality. The lb isin prunes bucket directories at planning;
+    // the exact label equality is a DATA filter the scan pushes into
+    // parquet (row-group stats/dictionary), so rows outside the query
+    // labels are skipped before they decode.
     val codes = readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
       .withColumn("cid", col("cid").cast("long"))
     Similarity.ivfCosineTopKFiltered(codes.filter(
-      col("cid").isin(qcells: _*) && col("label").isin(qlabels: _*)))
+      col("cid").isin(qcells: _*) && col("lb").isin(qbuckets: _*)
+        && col("label").isin(qlabels: _*)))
   }
 
   /** Seeded-IVF probe (s3's geometry): identical plan shape to

@@ -216,11 +216,15 @@ class PlanAuditSpec extends SparkSpecBase {
       "probe plan contains an aggregate (Lloyd training crept back in):\n" + p.take(1500))
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
       "inverted-list read lost its cell partition filter:\n" + p.take(1500))
-    // v6 layout: label is a partition DIRECTORY — the candidate read
-    // must prune to the query labels' dirs, not scan every cell row and
-    // filter labels inside the join.
-    assert("PartitionFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined,
-      "filtered probe lost its label partition prune:\n" + p.take(1500))
+    // v9 layout: the label's HASH BUCKET is the partition directory (so
+    // files-per-cell stay bounded however many labels a cell holds) —
+    // the candidate read must prune to the query buckets' dirs AND push
+    // the exact label equality into the parquet scan, not filter labels
+    // above the join.
+    assert("PartitionFilters: \\[[^\\]]*lb".r.findFirstIn(p).isDefined,
+      "filtered probe lost its label-bucket partition prune:\n" + p.take(1500))
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined,
+      "label equality is not pushed into the parquet scan:\n" + p.take(1500))
     assert(p.contains("label"),
       "label predicate vanished from the probe plan:\n" + p.take(1500))
   }

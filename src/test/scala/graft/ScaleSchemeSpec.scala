@@ -129,8 +129,43 @@ class ScaleSchemeSpec extends SparkSpecBase {
     }
   }
 
-  test("d8 embedding pairs grow exactly Kx (label suffix keeps blocks replica-local)") {
-    assert(q("d8_dedup_embedding_multiprobe", scaled) == K * q("d8_dedup_embedding_multiprobe", sf()))
+  // d8 is LSH-blocked: the per-replica dimension permutation preserves
+  // every within-replica dot product (so TRUE cosine structure mirrors
+  // base exactly — asserted below on the surfaced pairs), but the
+  // sign-random-projection bucket scores a PERMUTED vector against
+  // fixed per-dimension signs, so bucket-block recall on borderline
+  // pairs may differ per replica — the d2-minhash situation, pinned the
+  // same way. The permutation is what keeps replicas from being
+  // geometric clones: identical coordinates land in identical k-means
+  // cells no matter how many cells a scaled build trains, and every
+  // cell-pruned ANN probe would measure fabricated K× cell growth.
+  test("d8: no cross-replica pairs; identity replica reproduces base; cosines replica-invariant") {
+    val offset = {
+      val m = Tables.embeddings(spark, sf())
+        .agg(max("vec_id")).first().get(0).asInstanceOf[Number].longValue
+      math.max(100000000L, m + 1L)
+    }
+    def pairs(dir: String): Map[(Long, Long), Double] =
+      SparkEntry.queries("d8_dedup_embedding_multiprobe")(spark, dir)
+        .select(col("vec_a").cast("long"), col("vec_b").cast("long"),
+          col("cosine").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scaledPairs = pairs(scaled)
+    assert(scaledPairs.nonEmpty)
+    assert(scaledPairs.keys.forall { case (a, b) => a / offset == b / offset },
+      "a cross-replica embedding pair means replicas share an LSH block")
+    val basePairs = pairs(sf())
+    assert(scaledPairs.filter { case ((a, _), _) => a / offset == 0 } == basePairs,
+      "replica 0 is the identity transform and must reproduce base pairs exactly")
+    // Every surfaced pair's cosine must equal its base pair's cosine
+    // bit-for-bit: the permutation may change WHICH borderline pairs
+    // the buckets surface, never the similarity of those it does.
+    scaledPairs.foreach { case ((a, b), cos) =>
+      basePairs.get((a % offset, b % offset)).foreach { baseCos =>
+        assert(cos == baseCos,
+          s"pair ($a,$b): cosine $cos != base $baseCos — permutation broke geometry")
+      }
+    }
   }
 
   test("lineitem joins orders exactly Kx (order keys offset on BOTH sides)") {
