@@ -127,7 +127,7 @@ object AnnIndex extends OpModule {
     * measured the s9/s15 probes ~linear at 8× on listing cost alone).
     * Passing the pruned directories as explicit roots bounds the listing
     * to the query cells' subtrees; `basePath` keeps the partition
-    * columns (cid, label) in the schema exactly as a whole-table read
+    * columns (e.g. cid, lb) in the schema exactly as a whole-table read
     * would. Existence-checked per directory (bounded: ≤ the probe's
     * prune-set size) — a cell that lost all rows to compaction or was
     * never written must not fail the read. */
@@ -256,7 +256,7 @@ object AnnIndex extends OpModule {
       .map(cid => fanOut.getOrElse(cid, 1)).sum.max(1)
     // The salt drives fan-out per CELL (the skew unit); deeper partition
     // columns (label) ride the same clustering — a task holding several
-    // (cid, label) groups writes one file per directory, which is the
+    // (cid, lb) groups writes one file per directory, which is the
     // partitionBy contract.
     df.withColumn("_salt", pmod(hash(col("vec_id")), fanExpr))
       .repartition(slices, partCols.map(col) :+ col("_salt"): _*)
@@ -460,10 +460,10 @@ object AnnIndex extends OpModule {
     // label is part of the v5 inverted-list layout — an append without
     // it would write null-labeled rows that silently vanish from every
     // filtered probe, so the batch must carry (vec_id, label, embedding).
-    // The null check is ENFORCED, not documented: under the (cid, label)
-    // partitioning a null label lands in __HIVE_DEFAULT_PARTITION__ and
-    // disappears from every filtered probe — exactly the silent-
-    // wrongness class this layout must fail loudly on (the t31 rule).
+    // The null check is ENFORCED, not documented: a null label row
+    // would store fine under its hash bucket yet never match any
+    // filtered probe's label equality — exactly the silent-wrongness
+    // class this layout must fail loudly on (the t31 rule).
     // raise_error inside the projection costs nothing per row and trips
     // during the first family write, before any partial state commits
     // beyond ivf (whose replay the anti-join heals anyway).
@@ -572,14 +572,19 @@ object AnnIndex extends OpModule {
     * semantics exactly as s14 (the label equality is part of the join
     * condition, so ranking happens after filtering), and the label is
     * read from `ivf/codes` itself, so the plan touches only the index.
-    * The v6 layout partitions codes by (cid, label), so the candidate
-    * read prunes to the query cells' AND the query labels' directories
-    * — a tenant-restricted probe reads (cells × labels of the queries),
-    * not every row of the query cells (the v5 cost). The label isin
-    * prune is sound because the join requires candidate.label =
-    * query.label, so rows outside the query-label union can never
-    * score; exact per-pair label equality still happens inside the
-    * codegen'd join (pre-filter semantics, ranking after filtering). */
+    * The v9 layout partitions codes by (cid, lb = 16-way label hash
+    * bucket), so the candidate read prunes to the query cells' AND the
+    * query labels' BUCKET directories while the exact label equality
+    * is pushed into the parquet scan as a data filter — a
+    * tenant-restricted probe reads (cells × query-label buckets), not
+    * every row of the query cells (the v5 cost), and a cell's file
+    * count stays bounded however many labels it holds (the raw-label
+    * v6 partitioning put one near-empty file per label per cell). The
+    * lb/label isin prunes are sound because the join requires
+    * candidate.label = query.label, so rows outside the query-label
+    * union can never score; exact per-pair label equality still
+    * happens inside the codegen'd join (pre-filter semantics, ranking
+    * after filtering). */
   def probeIvfFiltered(spark: SparkSession, root: String): DataFrame = {
     // Bounded collect from qhead (ONE small file): ≤ NQ query rows
     // define the cell, label and label-bucket prune unions (lb is
@@ -758,11 +763,14 @@ object AnnIndex extends OpModule {
     * to the rerank pool, `fid` riding through as each candidate's
     * full-vector-store partition pointer. */
   private[graft] def ivfpqRerankCands(spark: SparkSession, dir: String,
-      root: String): DataFrame = {
+      root: String): DataFrame =
+    ivfpqRerankCandsWithHead(spark, root, Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong))
+
+  private def ivfpqRerankCandsWithHead(spark: SparkSession, root: String,
+      head: Map[Long, Array[Long]]): DataFrame = {
     val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
     val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
-    val head = Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
     val qcells = head.filter(_._1 < Similarity.NQ).values
       .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
     val codes = readPruned(spark, s"$root/ivfpq/codes",
@@ -786,9 +794,12 @@ object AnnIndex extends OpModule {
     * coarse cell gate changes the candidate pool, so this is not s17's
     * question (the s15 precedent). */
   def probeIvfPqRerank(spark: SparkSession, dir: String, root: String): DataFrame = {
+    // ONE bounded head read feeds both stages (collecting it per stage
+    // would add a whole Spark job to a probe whose cost is already
+    // job-floor-bound).
     val head = Similarity.collectHead(spark, dir,
       math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
-    val cands = ivfpqRerankCands(spark, dir, root)
+    val cands = ivfpqRerankCandsWithHead(spark, root, head)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
         col("fid"))
       .collect().toSeq

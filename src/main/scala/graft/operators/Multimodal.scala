@@ -286,6 +286,55 @@ object Multimodal extends OpModule {
       .orderBy("doc_id")
   })
 
+  /** Video-container metadata extraction: synthesize REAL minimal MP4s
+    * (ISO-BMFF box grammar — ftyp, moov/mvhd with timescale+duration,
+    * trak/tkhd with 16.16 fixed-point dimensions) from doc attributes,
+    * then recover width / height / timescale / duration by WALKING THE
+    * BOXES back — the video twin of m5 (image headers) and m6 (RIFF
+    * audio), closing the one common media family the codec seam didn't
+    * parse. Everything reported comes from the parser, so the oracle
+    * (mirroring the generator's arithmetic) checks that the box layout
+    * round-trips exactly: a parser that misreads box sizes, the
+    * version byte, or the 16.16 fixed point hash-mismatches loudly.
+    * duration_ms is integral (ticks × 1000 // timescale). Same
+    * per-partition kernel shape as m5/m6 — at 100 TB real containers
+    * stream through it without shuffling payloads. */
+  val m8VideoHeader: Op = Op(
+    "m8_video_header",
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
+               CAST((doc_id * 3) % 1080 + 1 AS INTEGER) AS height,
+               CASE (doc_id % 4) WHEN 0 THEN 600 WHEN 1 THEN 1000
+                                 WHEN 2 THEN 24000 ELSE 90000 END AS timescale,
+               doc_id % 100000 AS extra
+        FROM documents
+      )
+      SELECT doc_id, width, height, CAST(timescale AS INTEGER) AS timescale,
+             CAST(timescale + extra AS BIGINT) AS duration_ticks,
+             CAST((timescale + extra) * 1000 // timescale AS BIGINT) AS duration_ms
+      FROM g
+      ORDER BY doc_id
+    """))((spark, dir) => {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 1920 + 1).toInt
+        val h = ((id * 3) % 1080 + 1).toInt
+        val ts = Array(600, 1000, 24000, 90000)((id % 4).toInt)
+        val ticks = (ts + id % 100000).toInt
+        val bytes = MediaHeaders.makeMp4(w, h, ts, ticks)
+        val (w2, h2, ts2, d2) = MediaHeaders.parseMp4(bytes)
+          .getOrElse(sys.error(s"generated MP4 failed to parse for doc $id"))
+        (id, w2, h2, ts2, d2.toLong)
+      })
+      .toDF("doc_id", "width", "height", "timescale", "duration_ticks")
+      .withColumn("duration_ms", expr("duration_ticks * 1000 div timescale"))
+      .orderBy("doc_id")
+  })
+
   /** Perceptual-hash grid side: 8×8 cells, 56 dHash bits (8 rows × 7
     * horizontal comparisons), so the hash fits a non-negative BIGINT in
     * both engines (a 64-bit variant would occupy the sign bit). */
@@ -439,7 +488,7 @@ object Multimodal extends OpModule {
   }
 
   override def ops: Seq[Op] = Seq(m1BinaryMeta, m2Decode, m3FrameSample, m4Resize,
-    m5HeaderDecode, m6AudioHeader, m7PhashPairs)
+    m5HeaderDecode, m6AudioHeader, m7PhashPairs, m8VideoHeader)
 }
 
 /** Pure-JVM image container header codec: writes and parses the REAL
@@ -595,6 +644,94 @@ object MediaHeaders {
         Some((rate, ch, bits, dataLen / blockAlign))
       case _ => None
     }
+  }
+
+  // ---- MP4 / ISO-BMFF (ISO/IEC 14496-12) ------------------------------
+
+  /** A minimal, structurally REAL MP4: `ftyp` (major brand isom) then
+    * `moov` containing a v0 `mvhd` (timescale + duration in ticks) and
+    * one `trak`/`tkhd` (track id 1, width/height as 16.16 fixed point)
+    * — the exact box layout every ISO-BMFF muxer emits and every
+    * metadata pass reads. Box grammar: [u32be size][4cc type][payload],
+    * size covering the header. */
+  def makeMp4(width: Int, height: Int, timescale: Int, durationTicks: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    // mvhd v0: version/flags, creation, modification, timescale,
+    // duration, rate 1.0 (16.16), volume 1.0 (8.8), 10 reserved bytes,
+    // identity matrix, 6×u32 pre_defined, next_track_ID.
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durationTicks) ++
+        be32(0x00010000) ++ be16(0x0100) ++ Array.fill[Byte](10)(0) ++
+        identityMatrix ++ Array.fill[Byte](24)(0) ++ be32(2))
+    // tkhd v0: version/flags (flags 7 = enabled|in-movie|in-preview),
+    // creation, modification, track_ID, reserved, duration, 8 reserved,
+    // layer, alternate_group, volume, reserved, matrix, then
+    // width/height as 16.16 fixed point.
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durationTicks) ++
+        Array.fill[Byte](8)(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        identityMatrix ++ be32(width << 16) ++ be32(height << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  private def identityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** ISO-BMFF box walk: validate the `ftyp` leader, walk the top-level
+    * boxes to `moov`, walk its children for `mvhd` (timescale,
+    * duration) and the first `trak`'s `tkhd` (width/height, dropping
+    * the 16.16 fraction). Returns (width, height, timescale,
+    * durationTicks); None on any malformed size/bounds instead of
+    * reading garbage — size fields must tile their container exactly,
+    * the same strictness the RIFF walk applies. (64-bit `largesize`
+    * and to-end-of-file boxes are rejected, not misread: header-only
+    * metadata payloads never need them.) */
+  def parseMp4(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var off = 0
+    var moov = -1
+    var moovEnd = -1
+    while (off + 8 <= b.length) {
+      val size = readBe32(b, off)
+      if (size < 8 || off + size > b.length) return None
+      if (new String(b, off + 4, 4, "US-ASCII") == "moov") {
+        moov = off + 8; moovEnd = off + size
+      }
+      off += size
+    }
+    if (off != b.length || moov < 0) return None
+    var w = -1; var h = -1; var ts = -1; var dur = -1
+    var o = moov
+    while (o + 8 <= moovEnd) {
+      val size = readBe32(b, o)
+      if (size < 8 || o + size > moovEnd) return None
+      new String(b, o + 4, 4, "US-ASCII") match {
+        case "mvhd" if size >= 8 + 24 && b(o + 8) == 0 =>
+          ts = readBe32(b, o + 20); dur = readBe32(b, o + 24)
+        case "trak" if w < 0 =>
+          // first child must chain of tkhd-bearing boxes; walk children
+          var c = o + 8
+          val end = o + size
+          while (c + 8 <= end) {
+            val cs = readBe32(b, c)
+            if (cs < 8 || c + cs > end) return None
+            if (new String(b, c + 4, 4, "US-ASCII") == "tkhd"
+                && cs >= 8 + 84 && b(c + 8) == 0) {
+              w = readBe32(b, c + 8 + 76) >>> 16
+              h = readBe32(b, c + 8 + 80) >>> 16
+            }
+            c += cs
+          }
+        case _ => ()
+      }
+      o += size
+    }
+    if (w >= 0 && h >= 0 && ts > 0 && dur >= 0) Some((w, h, ts, dur)) else None
   }
 
   /** JPEG marker walk: skip segments from SOI until a start-of-frame

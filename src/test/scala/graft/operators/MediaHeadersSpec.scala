@@ -78,4 +78,35 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parseWav("RIFF text that is not audio".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parseWav(Array.emptyByteArray).isEmpty)
   }
+
+  test("MP4 make → parse round-trips across dimension/timescale boundaries") {
+    for {
+      (w, h) <- Seq((1, 1), (1920, 1080), (7680, 4320), (1, 65535))
+      ts <- Seq(600, 90000)
+      d <- Seq(0, 1, 123456789)
+    } assert(MediaHeaders.parseMp4(MediaHeaders.makeMp4(w, h, ts, d))
+      == Some((w, h, ts, d)), s"${w}x$h ts=$ts d=$d")
+  }
+
+  test("MP4 box walk is strict: sizes must tile, versions must be v0, no garbage reads") {
+    val good = MediaHeaders.makeMp4(640, 480, 1000, 5000)
+    assert(MediaHeaders.parseMp4(good.dropRight(1)).isEmpty, "truncated moov")
+    assert(MediaHeaders.parseMp4(good.take(20)).isEmpty, "ftyp only — no moov")
+    // Corrupt the moov size so boxes stop tiling the file exactly.
+    val badSize = good.clone
+    badSize(20 + 3) = (badSize(20 + 3) + 1).toByte // moov is the box after the 20-byte ftyp
+    assert(MediaHeaders.parseMp4(badSize).isEmpty, "non-tiling box sizes accepted")
+    // A v1 tkhd (64-bit times, different offsets) must be rejected, not
+    // misread as v0 garbage dimensions.
+    val v1 = good.clone
+    val tkhdOff = {
+      // ftyp(20) + moov hdr(8) + mvhd(108) + trak hdr(8) → tkhd box
+      20 + 8 + 108 + 8
+    }
+    assert(new String(v1, tkhdOff + 4, 4, "US-ASCII") == "tkhd", "fixture drifted")
+    v1(tkhdOff + 8) = 1 // version byte
+    assert(MediaHeaders.parseMp4(v1).isEmpty, "v1 tkhd misread as v0")
+    assert(MediaHeaders.parseMp4("ftypisomtext that is not a movie".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeaders.parseMp4(Array.emptyByteArray).isEmpty)
+  }
 }
