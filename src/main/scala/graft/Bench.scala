@@ -151,39 +151,15 @@ object Bench {
     // a fresh process. Spawns this classpath's QBench for the one query;
     // the CHILD is the controlled condition and its warm median is what
     // `cleared` is graded on when the in-process number fails.
-    def freshJvmMedian(name: String): Double = {
-      try {
-        val javaBin = System.getProperty("java.home") + "/bin/java"
-        val cp = System.getProperty("java.class.path")
-        val outFile = Files.createTempFile("graft-freshjvm", ".out")
-        // The child inherits THIS JVM's heap flags (last -Xmx/-Xms win,
-        // matching JVM semantics): a hard-coded size bigger than the box
-        // would OOM/thrash the child on smaller machines and leave the
-        // drift entry silently uncleared.
-        import scala.jdk.CollectionConverters._
-        val heapArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.filter(a =>
-            a.startsWith("-Xmx") || a.startsWith("-Xms"))
-        val pb = new ProcessBuilder(
-          (Seq(javaBin) ++ heapArgs ++ Seq("-cp", cp,
-            "graft.QBench", sfDir, (runs + 1).toString, name)).asJava)
-        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-        pb.redirectOutput(outFile.toFile)
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-        val p = pb.start()
-        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-          p.destroyForcibly(); return -1.0
-        }
-        val out = new String(Files.readAllBytes(outFile), StandardCharsets.UTF_8)
-        Files.deleteIfExists(outFile)
-        ("""QBENCH \S+ rows=\d+ times=([0-9.,\-]+)""".r)
+    def freshJvmMedian(name: String): Double =
+      ChildJvm.run("graft.QBench", Seq(sfDir, (runs + 1).toString, name),
+          Map("SPARK_GRAFT_CPUS" -> cpus), timeoutMinutes = 15)
+        .flatMap(out => ("""QBENCH \S+ rows=\d+ times=([0-9.,\-]+)""".r)
           .findFirstMatchIn(out)
           .map(_.group(1).split(",").toSeq.map(_.toDouble).drop(1)) // rep 1 = warm-up
           .filter(ts => ts.nonEmpty && ts.forall(_ >= 0))
-          .map(median)
-          .getOrElse(-1.0)
-      } catch { case _: Throwable => -1.0 }
-    }
+          .map(median))
+        .getOrElse(-1.0)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // One full sweep: (name, sweep-median, cold first-run, isolated) per

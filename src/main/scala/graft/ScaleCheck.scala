@@ -39,7 +39,7 @@ object ScaleCheck {
     * it — TPC-H order keys do around sf≈17 — and colliding ranges forge
     * cross-replica join matches, making the probe measure fabricated
     * data growth instead of the engine. */
-  private def offsetFor(df: DataFrame, keys: Seq[String]): Long = {
+  private[graft] def offsetFor(df: DataFrame, keys: Seq[String]): Long = {
     val maxes = df.agg(max(keys.head), keys.tail.map(max): _*)
       .collect()(0).toSeq.map {
       case null => 0L
@@ -150,10 +150,15 @@ object ScaleCheck {
     val base = Tables.embeddings(spark, dir)
     val idOffset = offsetFor(base, Seq("vec_id"))
     val dims = base.select(size(col("embedding"))).head().getInt(0)
-    // Strides must be units of Z_dims (gcd 1): odd numbers work for the
-    // power-of-two dims this corpus uses; pick spread-out odd strides so
-    // consecutive replicas differ in more than a rotation.
-    val strides = Seq(1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
+    // Strides must be UNITS of Z_dims (gcd 1) or the map is not a
+    // bijection — it would duplicate some coordinates and drop others,
+    // silently corrupting within-replica geometry, the exact
+    // measurement artifact this transform exists to eliminate. Derived
+    // from the actual dims, not assumed: a hard-coded odd list is only
+    // unit-safe for power-of-two dims (3/5/7 divide 768/1536-style
+    // widths).
+    val strides = Iterator.from(1, 2)
+      .filter(s => BigInt(s).gcd(BigInt(dims)) == 1).take(12).toSeq
     val reps = (0 until k).map { r =>
       val s = strides(r % strides.size)
       val perm = (0 until dims).map(i => (i * s + r) % dims)
@@ -407,31 +412,12 @@ object ScaleCheck {
           line
         }
         def deepProbeFresh(name: String): Option[(Double, Double)] =
-          try {
-            val javaBin = System.getProperty("java.home") + "/bin/java"
-            val cp = System.getProperty("java.class.path")
-            import scala.jdk.CollectionConverters._
-            val heapArgs = java.lang.management.ManagementFactory
-              .getRuntimeMXBean.getInputArguments.asScala.filter(a =>
-                a.startsWith("-Xmx") || a.startsWith("-Xms")).toSeq
-            val outFile = Files.createTempFile("graft-deepprobe", ".out")
-            val pb = new ProcessBuilder(
-              (Seq(javaBin) ++ heapArgs ++ Seq("-cp", cp,
-                "graft.DeepProbe", sfDir, deepDir, name)).asJava)
-            pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-            pb.redirectOutput(outFile.toFile)
-            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-            val p = pb.start()
-            if (!p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
-              p.destroyForcibly(); None
-            } else {
-              val out = new String(Files.readAllBytes(outFile), StandardCharsets.UTF_8)
-              Files.deleteIfExists(outFile)
+          ChildJvm.run("graft.DeepProbe", Seq(sfDir, deepDir, name),
+              Map("SPARK_GRAFT_CPUS" -> cpus), timeoutMinutes = 30)
+            .flatMap(out =>
               """DEEPPROBE \S+ base=([0-9.]+) deep=([0-9.]+)""".r
                 .findFirstMatchIn(out)
-                .map(m => (m.group(1).toDouble, m.group(2).toDouble))
-            }
-          } catch { case _: Throwable => None }
+                .map(m => (m.group(1).toDouble, m.group(2).toDouble)))
         def deepProbe(name: String): String =
           deepProbeFresh(name) match {
             case Some((base, big)) => deepLine(name, base, big, fresh = true)

@@ -828,23 +828,16 @@ object AnnIndex extends OpModule {
     * vector gets a verdict row — this op's OUTPUT is corpus-sized),
     * but the per-run training cost d18 pays is gone. */
   def probeSemDedup(spark: SparkSession, root: String): DataFrame = {
-    import spark.implicits._
     val cent = readCentroids(spark, s"$root/ivf/centroids")
-    val centDf = broadcast(cent.map { case (cid, cv) =>
-      (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
     // Whole-table read on purpose: every cell participates in the
     // dominance join (this is the one probe whose question is about the
-    // whole corpus, not a query head). Cached for the self-join's two
-    // sides + the verdict re-attach, exactly as the inline d18 caches
-    // its assigned cells.
-    val cells = spark.read.parquet(s"$root/ivf/codes")
+    // whole corpus, not a query head). The cdist head and the dominance
+    // tail are BOTH the inline d18's own implementations
+    // (Dedup.semCells/semDominance) — the probe ≡ inline guarantee is
+    // structural, not a parallel re-implementation.
+    val codes = spark.read.parquet(s"$root/ivf/codes")
       .withColumn("cid", col("cid").cast("long"))
-      .join(centDf, Seq("cid"))
-      .withColumn("cdist",
-        col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
-      .select("vec_id", "qv", "nrm", "cid", "cdist")
-      .cache()
-    Dedup.semDominance(cells)
+    Dedup.semDominance(Dedup.semCells(codes, cent))
   }
 
   val d20SemDedupProbe: Op = Op(

@@ -1792,14 +1792,11 @@ object Dedup extends OpModule {
     * geometry. */
   private[graft] def semDeDup(spark: SparkSession, dir: String,
       kc: Int = 0): DataFrame = {
-    import spark.implicits._
     // Cached: Lloyd scans it once per round, then assignment + the
     // dominance self-join read it twice more (fresh-expression-id rule).
     val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
     val cells0 = if (kc > 0) kc else semCellCount(vecs.count())
     val cent = Similarity.trainIvf(spark, dir, vecs, cells0)
-    val centDf = broadcast(cent.map { case (cid, cv) =>
-      (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
     // Corpus-scaled cell counts (cells ∝ n) would make the flat argmin
     // O(n·cells) = quadratic — above TwoLevelMin both the final
     // assignment here and Lloyd's training rounds (inside trainIvf)
@@ -1811,13 +1808,30 @@ object Dedup extends OpModule {
       if (cent.size > Similarity.TwoLevelMin)
         Similarity.withTwoLevelCid(vecs, col("qv"), "cid", cent)
       else vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
-    val cells = assigned
+    semDominance(semCells(assigned, cent))
+  }
+
+  /** d18's cell head over any cell-assigned (vec_id, qv, nrm, cid, …)
+    * relation: broadcast the centroid table with its exact integer
+    * squared norms and attach each row's exact centroid distance.
+    * Cached — the dominance tail reads it three times (both self-join
+    * sides + the verdict re-attach). ONE implementation shared by the
+    * inline [[d18SemDedup]] and the index-served probe ([[AnnIndex
+    * .probeSemDedup]]): the probe ≡ inline guarantee (d20 shares d18's
+    * oracle) rests on bit-identical cdist on both paths, so the
+    * arithmetic must not exist twice. */
+  private[graft] def semCells(assigned: DataFrame,
+      cent: Seq[(Long, Array[Long])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cent.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum) }.toDF("cid", "cv", "cnrm"))
+    assigned
       .join(centDf, Seq("cid"))
       .withColumn("cdist",
         col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
       .select("vec_id", "qv", "nrm", "cid", "cdist")
       .cache()
-    semDominance(cells)
   }
 
   /** d18's dominance tail over any cell-assigned, centroid-distance-

@@ -693,12 +693,17 @@ object MediaHeaders {
     * metadata payloads never need them.) */
   def parseMp4(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    // Bounds checks subtract instead of adding (`size > limit - off`):
+    // a hostile size near 2^31 would overflow `off + size` negative and
+    // slip past an addition-form check, crashing the walk out-of-bounds
+    // instead of returning None — this is the documented seam for REAL
+    // (untrusted) containers, so malformed sizes must fail cleanly.
     var off = 0
     var moov = -1
     var moovEnd = -1
     while (off + 8 <= b.length) {
       val size = readBe32(b, off)
-      if (size < 8 || off + size > b.length) return None
+      if (size < 8 || size > b.length - off) return None
       if (new String(b, off + 4, 4, "US-ASCII") == "moov") {
         moov = off + 8; moovEnd = off + size
       }
@@ -709,7 +714,7 @@ object MediaHeaders {
     var o = moov
     while (o + 8 <= moovEnd) {
       val size = readBe32(b, o)
-      if (size < 8 || o + size > moovEnd) return None
+      if (size < 8 || size > moovEnd - o) return None
       new String(b, o + 4, 4, "US-ASCII") match {
         case "mvhd" if size >= 8 + 24 && b(o + 8) == 0 =>
           ts = readBe32(b, o + 20); dur = readBe32(b, o + 24)
@@ -719,7 +724,7 @@ object MediaHeaders {
           val end = o + size
           while (c + 8 <= end) {
             val cs = readBe32(b, c)
-            if (cs < 8 || c + cs > end) return None
+            if (cs < 8 || cs > end - c) return None
             if (new String(b, c + 4, 4, "US-ASCII") == "tkhd"
                 && cs >= 8 + 84 && b(c + 8) == 0) {
               w = readBe32(b, c + 8 + 76) >>> 16
@@ -727,10 +732,15 @@ object MediaHeaders {
             }
             c += cs
           }
+          // Children must tile the trak exactly — 1-7 trailing junk
+          // bytes would otherwise parse (the documented strictness).
+          if (c != end) return None
         case _ => ()
       }
       o += size
     }
+    // Same exact-tiling rule for moov's own children.
+    if (o != moovEnd) return None
     if (w >= 0 && h >= 0 && ts > 0 && dur >= 0) Some((w, h, ts, dur)) else None
   }
 

@@ -43,14 +43,12 @@ class ScaleSchemeSpec extends SparkSpecBase {
   private def q(name: String, dir: String): Long =
     SparkEntry.queries(name)(spark, dir).count()
 
-  // Mirrors ScaleCheck.offsetFor's rule in ONE place — four tests fold
-  // replica ids back with it, and a hand-copied drift would grade the
-  // folding against the wrong offset.
-  private lazy val docOffset: Long = {
-    val m = Tables.documents(spark, sf())
-      .agg(max("doc_id")).first().get(0).asInstanceOf[Number].longValue
-    math.max(100000000L, m + 1L)
-  }
+  // THE offset rule, not a mirror of it: the tests fold replica ids
+  // back with ScaleCheck's own offsetFor, so a change to the floor
+  // constant or max-key logic cannot leave the spec grading against a
+  // stale formula.
+  private lazy val docOffset: Long =
+    ScaleCheck.offsetFor(Tables.documents(spark, sf()), Seq("doc_id"))
 
   // d2 is LSH-based: the bijection preserves TRUE Jaccard but
   // re-randomizes minhash values per replica, so banding recall on
@@ -140,11 +138,7 @@ class ScaleSchemeSpec extends SparkSpecBase {
   // cells no matter how many cells a scaled build trains, and every
   // cell-pruned ANN probe would measure fabricated K× cell growth.
   test("d8: no cross-replica pairs; identity replica reproduces base; cosines replica-invariant") {
-    val offset = {
-      val m = Tables.embeddings(spark, sf())
-        .agg(max("vec_id")).first().get(0).asInstanceOf[Number].longValue
-      math.max(100000000L, m + 1L)
-    }
+    val offset = ScaleCheck.offsetFor(Tables.embeddings(spark, sf()), Seq("vec_id"))
     def pairs(dir: String): Map[(Long, Long), Double] =
       SparkEntry.queries("d8_dedup_embedding_multiprobe")(spark, dir)
         .select(col("vec_a").cast("long"), col("vec_b").cast("long"),

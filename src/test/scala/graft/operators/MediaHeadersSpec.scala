@@ -108,5 +108,21 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parseMp4(v1).isEmpty, "v1 tkhd misread as v0")
     assert(MediaHeaders.parseMp4("ftypisomtext that is not a movie".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parseMp4(Array.emptyByteArray).isEmpty)
+    // A hostile size near 2^31 must fail CLEANLY: an addition-form
+    // bounds check (`off + size > length`) overflows negative, slips
+    // past, and crashes the walk out of bounds — this seam parses real
+    // (untrusted) containers, so the contract is None, not a throw.
+    val huge = good.take(20) ++
+      Array(0x7f, 0xff, 0xff, 0xf8).map(_.toByte) ++ "moov".getBytes("US-ASCII")
+    assert(MediaHeaders.parseMp4(huge).isEmpty, "overflowing box size accepted")
+    // Exact tiling must hold INSIDE moov too, not just at top level:
+    // grow moov's size by 4 and append 4 junk bytes — the file still
+    // tiles at top level, but moov's children no longer tile moov.
+    val padded = good.clone ++ Array[Byte](0, 0, 0, 0)
+    val msz = 216 + 4 // moov box size in the fixture, plus the pad
+    padded(20) = (msz >>> 24).toByte; padded(21) = (msz >>> 16).toByte
+    padded(22) = (msz >>> 8).toByte; padded(23) = msz.toByte
+    assert(MediaHeaders.parseMp4(padded).isEmpty,
+      "trailing junk inside moov accepted — children must tile exactly")
   }
 }

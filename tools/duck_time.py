@@ -15,12 +15,14 @@ def main():
     names = sys.argv[4:]
     sqls = json.load(open(oracle_path))
     # d16's oracle bakes the GRAFT_AUDIT_MOD value it was EXPORTED under
-    # into its sample predicate. Replaying it under a different env value
-    # would silently time a different sample than the Spark side draws —
-    # fail loudly on the mismatch instead (the exported SQL is the
-    # authority; re-export oracle_sql.json to change the mod).
-    env_mod = os.environ.get("GRAFT_AUDIT_MOD")
-    if env_mod and "d16_lsh_recall_audit" in names:
+    # into its sample predicate. Replaying it under a different EFFECTIVE
+    # value (env unset falls back to the Spark side's default of 2, per
+    # Dedup.AuditMod) would silently time a different sample than the
+    # Spark side draws — fail loudly on the mismatch instead (the
+    # exported SQL is the authority; re-export oracle_sql.json to change
+    # the mod).
+    env_mod = os.environ.get("GRAFT_AUDIT_MOD", "2")
+    if "d16_lsh_recall_audit" in names:
         baked = re.search(r"%\s*(\d+)\s*=\s*0", sqls["d16_lsh_recall_audit"])
         if baked and baked.group(1) != env_mod:
             sys.exit(f"GRAFT_AUDIT_MOD={env_mod} but the exported d16 oracle "
