@@ -241,7 +241,10 @@ object ScaleCheck {
     // the relational heavies (star join, pivot, grouped top-k,
     // sessionize) over the scaled facts.
     val heavy = Seq(
-      "c4_group_split", "c1_corpus_curation", "d9_canonical_docs",
+      "c4_group_split", "c1_corpus_curation",
+      // Two-signal curation: c1's funnel + d18's dominance composed.
+      "c5_semantic_curation",
+      "d9_canonical_docs",
       "d10_dup_gram_fraction", "d4_dedup_ngram_jaccard",
       "d13_containment_pairs", "d14_repeated_spans",
       "d16_lsh_recall_audit", "d17_dedup_action_plan",

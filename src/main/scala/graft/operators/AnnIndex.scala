@@ -847,6 +847,18 @@ object AnnIndex extends OpModule {
     probeSemDedup(spark, root)
   })
 
+  /** The UNSORTED dominated-id set served from the index — what a
+    * composing consumer (the persisted-path c5 census) anti-joins;
+    * [[probeSemDedup]]'s full verdict table additionally re-attaches
+    * kept/n_dom to every row and pays a presentation sort (the d2Pairs
+    * set-vs-table rule). */
+  def probeSemDroppedIds(spark: SparkSession, root: String): DataFrame = {
+    val cent = readCentroids(spark, s"$root/ivf/centroids")
+    val codes = spark.read.parquet(s"$root/ivf/codes")
+      .withColumn("cid", col("cid").cast("long"))
+    Dedup.semDominators(Dedup.semCells(codes, cent)).select("vec_id")
+  }
+
   /** Filtered search from the index (s14's question answered the way a
     * vector store answers it at scale): unlike s9-s11 this is not a
     * build/probe split of an existing inline op — the cell gate changes

@@ -22,15 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends OpModule {
 
+  /** d2's pair CTE chain lifted out of its oracle — ONE extraction
+    * shared by c1 and c5 (a second hand-spliced copy is how the
+    * duckPlanPrefix drift of r11 happened). Ends at `scored(doc_a,
+    * doc_b, jac)`. */
+  private lazy val lexPairCtes: String = {
+    val d2Oracle = Dedup.d2MinHashLsh.oracle.get
+    d2Oracle.substring(
+      d2Oracle.indexOf("WITH ") + 5, d2Oracle.lastIndexOf("SELECT doc_a"))
+      .trim.stripSuffix(",")
+  }
+
   val c1Curation: Op = Op(
     "c1_corpus_curation", {
-      // Near-dup pairs: the same CTE chain as d2's oracle.
-      val d2Oracle = Dedup.d2MinHashLsh.oracle.get
-      val pairCtes = d2Oracle.substring(
-        d2Oracle.indexOf("WITH ") + 5, d2Oracle.lastIndexOf("SELECT doc_a"))
-        .trim.stripSuffix(",")
       Some(s"""
-      WITH $pairCtes,
+      WITH $lexPairCtes,
       base AS (
         SELECT doc_id, lang, text,
                len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
@@ -57,6 +63,64 @@ object Curation extends OpModule {
     // d2's pair SET (unsorted): the anti-join needs membership, not order.
     curate(spark, dir,
       Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
+
+  /** Semantic curation census (c5): c1's curation DAG with a SEMANTIC
+    * dedup stage composed in — the two-signal pipeline every real
+    * training-data curation runs (SemDeDup's own evaluation stacks it
+    * on top of exact/lexical dedup). The embeddings table keys 1:1
+    * with documents (vec_id ≡ doc_id), so the drop set is the UNION of
+    * c1's lexical near-dup losers (d2's doc_b side) and d18's
+    * semantically dominated members (kept = false) — the census then
+    * aggregates the same survivor definition as c1 over the widened
+    * drop set, so quality gate, exact-dedup winner rule and split
+    * assignment CANNOT drift between the two ops (one `curate`).
+    * Anti-join drops compose order-independently: survivors = exact ∖
+    * lex ∖ sem however staged, which is why a drop-set union and the
+    * oracle's chained NOT IN stages agree. Scale shape: both subtrees
+    * are the pinned c1/d18 plans; at 100 TB the semantic side is
+    * served from the persisted index (d20's probeSemDedup — no
+    * retraining) exactly as c1's lexical side anti-joins the persisted
+    * pair table (curateAgainstPairs). */
+  val c5SemanticCuration: Op = Op(
+    "c5_semantic_curation",
+    Some(s"""
+      WITH $lexPairCtes,
+      ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      ${Dedup.duckSemDomCtes},
+      base AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 20
+      ), exact AS (
+        SELECT * FROM base
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY md5(text))
+      ), neardrop AS (
+        SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jac >= 0.5)
+      ), semdrop AS (
+        SELECT * FROM neardrop
+        WHERE doc_id NOT IN (SELECT vec_id FROM dom)
+      ), split AS (
+        SELECT lang, n_tokens, ${HashSplit.duckSplit("doc_id")} AS split
+        FROM semdrop
+      )
+      SELECT lang, split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM split
+      GROUP BY lang, split
+      ORDER BY lang, split
+    """))((spark, dir) => {
+    // Both drop sides are SET forms (the d2Pairs rule): d18's verdict
+    // table would re-attach kept to every row and pay a presentation
+    // sort the anti-join never reads.
+    val lex = Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id"))
+    val sem = Dedup.semDroppedIds(spark, dir, Similarity.KC)
+      .select(col("vec_id").as("doc_id"))
+    curate(spark, dir, lex.unionByName(sem).distinct())
+  })
 
   /** Row-level SURVIVORS of the curation DAG (quality gate → exact
     * dedup → near-dup drop): (doc_id, lang, text, n_tokens). THE one
@@ -439,6 +503,19 @@ object Curation extends OpModule {
       * artifact). */
     def actionPlan: org.apache.spark.sql.DataFrame =
       Dedup.actionPlanFrom(spark, dir, textPairs)
+    /** c5: the semantic curation census with BOTH dedup signals served
+      * from storage — lexical drops from the stored pair table, the
+      * semantic dominance verdicts from the persisted ANN index
+      * ([[AnnIndex.probeSemDedup]]: dominance join only, no Lloyd
+      * retraining). The 100 TB shape of [[c5SemanticCuration]]; the
+      * index must be built on the SAME corpus at the default kc (its
+      * commit marker enforces corpus identity, [[AnnIndex.ensureBuilt]]
+      * the geometry). */
+    def semanticCensus(annRoot: String): org.apache.spark.sql.DataFrame = {
+      val sem = AnnIndex.probeSemDroppedIds(spark, annRoot)
+        .select(col("vec_id").as("doc_id"))
+      curate(spark, dir, dropSet.unionByName(sem).distinct())
+    }
   }
 
   /** Index-backed curation over stored pair tables — see
@@ -448,5 +525,6 @@ object Curation extends OpModule {
     new FromPersisted(spark, dir, textPairsPath, embPairsPath)
 
   override def ops: Seq[Op] =
-    Seq(c1Curation, c2CurationFunnel, c3SplitLeakage, c4GroupSplit)
+    Seq(c1Curation, c2CurationFunnel, c3SplitLeakage, c4GroupSplit,
+      c5SemanticCuration)
 }

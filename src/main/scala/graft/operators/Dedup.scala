@@ -1740,11 +1740,14 @@ object Dedup extends OpModule {
     * per-cell sort or single-task buffering anywhere; centroid distance
     * is computed against a cells-row broadcast codebook in exact int64
     * arithmetic. */
-  val d18SemDedup: Op = Op(
-    "d18_semdedup",
-    Some(s"""
-      WITH ${Similarity.duckVecs()},
-      ${Similarity.duckLloydChain()},
+  /** d18's dominance CTE chain over the Lloyd-assigned vectors
+    * (requires [[Similarity.duckVecs]] + [[Similarity.duckLloydChain]]
+    * upstream): `cd` attaches each vector's exact integer centroid
+    * distance, `dom(vec_id, n_dom)` counts the cell-mates that
+    * dominate it. ONE builder shared by the d18 oracle and c5's
+    * semantic-curation composition so the dominance mirror cannot
+    * drift between the two (the duckPqScoredCtes rule). */
+  private[operators] lazy val duckSemDomCtes: String = s"""
       cd AS (
         SELECT a.vec_id, a.qv, a.nrm, a.cid,
                a.nrm + ${VectorFns.duckNorm2("c.cv")}
@@ -1759,7 +1762,14 @@ object Dedup extends OpModule {
                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
               >= $SemTau
         GROUP BY b.vec_id
-      )
+      )"""
+
+  val d18SemDedup: Op = Op(
+    "d18_semdedup",
+    Some(s"""
+      WITH ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      $duckSemDomCtes
       SELECT cd.vec_id, CAST(cd.cid AS BIGINT) AS cell, cd.cdist AS cent_dist,
              d.vec_id IS NULL AS kept,
              CAST(COALESCE(d.n_dom, 0) AS BIGINT) AS n_dom
@@ -1791,6 +1801,13 @@ object Dedup extends OpModule {
     * Similarity.KC so the static DuckDB Lloyd mirror grades identical
     * geometry. */
   private[graft] def semDeDup(spark: SparkSession, dir: String,
+      kc: Int = 0): DataFrame =
+    semDominance(semCellsFor(spark, dir, kc))
+
+  /** Train + assign + attach centroid distances: the shared front of
+    * the inline semantic-dedup family (d18's full verdict table, c5's
+    * dominated-id set). */
+  private[graft] def semCellsFor(spark: SparkSession, dir: String,
       kc: Int = 0): DataFrame = {
     // Cached: Lloyd scans it once per round, then assignment + the
     // dominance self-join read it twice more (fresh-expression-id rule).
@@ -1808,8 +1825,19 @@ object Dedup extends OpModule {
       if (cent.size > Similarity.TwoLevelMin)
         Similarity.withTwoLevelCid(vecs, col("qv"), "cid", cent)
       else vecs.withColumn("cid", Similarity.nearestId(col("qv"), cent))
-    semDominance(semCells(assigned, cent))
+    semCells(assigned, cent)
   }
+
+  /** The UNSORTED dominated-id set (vec_id of every member some
+    * cell-mate dominates) — what an internal consumer (c5's curation
+    * drop set) actually needs. d18's full output additionally re-attaches
+    * the verdict to every row and pays a presentation ORDER BY; a
+    * consumer that anti-joins the SET must not pay either (the d2Pairs
+    * rule: pair/id SETS for composition, sorted tables for
+    * presentation). */
+  private[graft] def semDroppedIds(spark: SparkSession, dir: String,
+      kc: Int = 0): DataFrame =
+    semDominators(semCellsFor(spark, dir, kc)).select("vec_id")
 
   /** d18's cell head over any cell-assigned (vec_id, qv, nrm, cid, …)
     * relation: broadcast the centroid table with its exact integer
@@ -1841,8 +1869,18 @@ object Dedup extends OpModule {
     * inline [[d18SemDedup]] and the persisted-index probe
     * ([[AnnIndex.probeSemDedup]]) so the dominance semantics cannot
     * drift between the retraining and the index-served path. */
-  private[graft] def semDominance(cells: DataFrame): DataFrame = {
-    val dom = cells.as("a")
+  private[graft] def semDominance(cells: DataFrame): DataFrame =
+    cells.join(semDominators(cells), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("cdist").as("cent_dist"),
+        col("nd").isNull.as("kept"), coalesce(col("nd"), lit(0L)).as("n_dom"))
+      .orderBy("vec_id")
+
+  /** The dominance join itself: (vec_id, nd) for every DOMINATED member
+    * — some cell-mate at cosine ≥ [[SemTau]] precedes it in the
+    * diversity order. [[semDominance]] re-attaches this to every row
+    * for d18's verdict table; set-consumers take it bare. */
+  private[graft] def semDominators(cells: DataFrame): DataFrame =
+    cells.as("a")
       .join(cells.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
           && (col("a.cdist") > col("b.cdist")
@@ -1852,11 +1890,6 @@ object Dedup extends OpModule {
         col("a.nrm"), col("b.nrm")) >= SemTau)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(count(lit(1)).as("nd"))
-    cells.join(dom, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").as("cell"), col("cdist").as("cent_dist"),
-        col("nd").isNull.as("kept"), coalesce(col("nd"), lit(0L)).as("n_dom"))
-      .orderBy("vec_id")
-  }
 
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,

@@ -132,6 +132,18 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(fp.actionPlan)
       == rows(graft.operators.Dedup.d17DedupActionPlan.run(spark, sf())))
     assert(rows(fp.canonicalDocs).nonEmpty && rows(fp.canonicalVectors).nonEmpty)
+    // c5 from storage on BOTH sides: lexical drops off the pair table,
+    // semantic dominance off the persisted ANN index (no retraining) —
+    // byte-identical to the inline composition, and the semantic stage
+    // must be LIVE (strictly fewer survivors than c1's census).
+    val annRoot = graft.operators.AnnIndex.defaultRoot(sf())
+    graft.operators.AnnIndex.ensureBuilt(spark, sf(), annRoot)
+    val semCensus = rows(fp.semanticCensus(annRoot))
+    assert(semCensus == rows(Curation.c5SemanticCuration.run(spark, sf())))
+    def totalDocs(rs: Seq[String]): Long = // census rows are [lang,split,n_docs,total_tokens]
+      rs.map(_.stripPrefix("[").stripSuffix("]").split(",")(2).toLong).sum
+    assert(totalDocs(semCensus) < totalDocs(rows(fp.census)),
+      "the semantic stage dropped nothing — c5 is inert at this SF")
   }
 
   test("fromPersisted refuses pair tables stamped with the wrong hash family") {
