@@ -162,6 +162,16 @@ object ScaleCheck {
     val reps = (0 until k).map { r =>
       val s = strides(r % strides.size)
       val perm = (0 until dims).map(i => (i * s + r) % dims)
+      // The map degenerates to the identity whenever s ≡ 1 and r ≡ 0
+      // (mod dims) — possible at tiny dims or r a multiple of dims on
+      // the stride-1 slot — which would silently re-create the
+      // geometric-clone replicas (replica ≡ base, same k-means cell)
+      // this transform exists to eliminate. Fail the probe loudly
+      // instead of measuring fabricated cell growth.
+      require(r == 0 || perm.zipWithIndex.exists { case (p, i) => p != i },
+        s"scaleEmbeddings: replica $r's dimension permutation (stride $s, " +
+          s"dims $dims) is the identity — it would clone the base geometry; " +
+          "use a replication factor below the dims or add stride groups")
       val permuted =
         if (r == 0) col("embedding")
         else array(perm.map(p => element_at(col("embedding"), p + 1)): _*)

@@ -730,6 +730,14 @@ object AnnIndex extends OpModule {
   private def rerankFetch(spark: SparkSession, root: String,
       head: Map[Long, Array[Long]], cands: Seq[Row]): DataFrame = {
     import spark.implicits._
+    // Degenerate stage 1 (tiny/empty corpus → no candidates): an empty
+    // prune set would trip readPruned's nonEmpty guard — the correct
+    // answer is zero rows, not a crash.
+    if (cands.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0).as("rnk"), lit(0.0).as("cosine"), lit(0).as("adc_rnk"))
+        .limit(0)
     val fids = cands.map(_.getAs[Long]("fid")).distinct.sorted
     val candDf = broadcast(cands
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -373,6 +373,11 @@ object Multimodal extends OpModule {
     * most its adjacent comparison bits (MediaHeadersSpec forges exactly
     * that geometry). All arithmetic is exact integer (sums, floor
     * divisions, comparisons), so the DuckDB mirror hashes identically.
+    * Character semantics: both engines read the stream as Unicode CODE
+    * POINTS (Spark's split('')+ascii is code-point based for BMP text —
+    * PhashSpec pins 2- and 3-byte payloads against the code-point
+    * prediction); supplementary characters (outside the BMP) are out of
+    * contract, matching the corpus generator's BMP output.
     *
     * Scale shape: the hash is one codegen'd projection per row (no
     * shuffle, no join — payloads never leave their scan); pairing is a

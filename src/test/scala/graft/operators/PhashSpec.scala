@@ -41,4 +41,34 @@ class PhashSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
     assert(got.toSeq == Seq((0L, 3L, "image", 1)), got.mkString(","))
   }
+
+  test("m7: non-ASCII payloads hash under code-point semantics (oracle equivalence)") {
+    import spark.implicits._
+    // The DuckDB oracle reads the stream as CODE POINTS (ord/length);
+    // the Spark body reads it as split('') + ascii. These agree only if
+    // Spark's pair is code-point based for multi-byte characters too —
+    // asserted here by predicting the exact hash geometry from
+    // code-point arithmetic on 2-byte (U+0100 Latin Extended) and
+    // 3-byte (U+4E00 CJK) payloads: same one-cell-perturbation forge as
+    // the ASCII case, so a code-unit or byte-level divergence anywhere
+    // (length gate, slice boundaries, per-char value) breaks the
+    // predicted single-bit pair. Supplementary characters (outside the
+    // BMP) are out of contract — the corpus generator emits BMP text.
+    def gridText(baseCp: Int)(cell: Int => Int): String =
+      (0 until 64).flatMap(k =>
+        Character.toChars(baseCp + cell(k)).toSeq ++
+          Character.toChars(baseCp + cell(k)).toSeq).mkString
+    for (base <- Seq(0x100, 0x4E00)) {
+      val docs = Seq(
+        0L -> gridText(base)(k => 40 + k),
+        3L -> gridText(base)(k => if (k == 1) 40 else 40 + k))
+      val dir = java.nio.file.Files.createTempDirectory("graft-m7nb").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = Multimodal.phashPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      assert(got.toSeq == Seq((0L, 3L, "image", 1)),
+        s"base U+${base.toHexString}: ${got.mkString(",")}")
+    }
+  }
 }
