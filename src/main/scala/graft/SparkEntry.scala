@@ -24,6 +24,7 @@ object SparkEntry {
     graft.operators.AnnIndex,
     graft.operators.Multimodal,
     graft.operators.Curation,
+    graft.operators.Maintenance,
     graft.operators.Extras)
 
   private lazy val allOps: Seq[Op] = modules.flatMap(_.ops)

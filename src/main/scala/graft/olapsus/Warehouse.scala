@@ -320,7 +320,20 @@ object Warehouse {
     * rewrite: Spark ignores them as data but the index contracts depend
     * on them. */
   def compactPath(spark: SparkSession, dirPath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    rewritePath(spark, dirPath, targetFileBytes, identity)
+
+  /** [[compactPath]] with a row-level rewrite injected between the read
+    * and the re-filing — the physical half of index tombstone purging
+    * ([[graft.operators.NearDupIndex.purgeTombstones]] /
+    * [[graft.operators.AnnIndex.purgeTombstones]] pass an anti-join on
+    * the tombstone set). Same crash-safe tmp/bak rename protocol and
+    * marker-file carry as compaction; `transform` must be DETERMINISTIC
+    * and idempotent on its own output (an anti-join is both), so a
+    * crashed rewrite replays to the same state. */
+  def rewritePath(spark: SparkSession, dirPath: String,
+      targetFileBytes: Long,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dirPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(dirPath)
@@ -354,7 +367,7 @@ object Warehouse {
     val bak = new Path(dir.getParent, s".${dir.getName}_compact_bak")
     fs.delete(tmp, true)
     fs.delete(bak, true)
-    val df = spark.read.parquet(dir.toString)
+    val df = transform(spark.read.parquet(dir.toString))
     // Branch on partCols ALONE (discovered relative to the dir being
     // compacted): compacting a single partition that itself contains
     // nested `col=value` dirs (e.g. `--partition a=g0` on an a=/b=

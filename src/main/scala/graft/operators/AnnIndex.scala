@@ -158,8 +158,9 @@ object AnnIndex extends OpModule {
     * corpus files are rewritten, so a regenerated corpus with the SAME
     * row count still invalidates the index (row count alone would
     * silently serve stale geometry). */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new Path(s"$dir/embeddings.parquet")
+  private[operators] def corpusFingerprint(spark: SparkSession, dir: String,
+      table: String = "embeddings.parquet"): String = {
+    val p = new Path(s"$dir/$table")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = (if (f.getFileStatus(p).isDirectory) f.listStatus(p).toSeq
                  else Seq(f.getFileStatus(p)))
@@ -294,7 +295,10 @@ object AnnIndex extends OpModule {
     val f = fs(spark, root)
     // Clear the index CONTENTS, not the root: the root also holds the
     // writer lease just acquired.
-    Seq("ivf", "ivf_seeded", "pq", "ivfpq", "_built")
+    // tombstones cleared too: a stale tombstone surviving a re-build
+    // would silently mask the fresh rows that share its vec_id.
+    Seq("ivf", "ivf_seeded", "pq", "ivfpq", "tombstones", "_has_removes",
+      "_built")
       .foreach(t => f.delete(new Path(s"$root/$t"), true))
     // The labeled twin of Similarity.quantizedQvNrm: the metadata label
     // rides the build scan so the inverted-list tables can serve
@@ -457,6 +461,18 @@ object AnnIndex extends OpModule {
     if (!ok) throw new IllegalStateException(
       s"index at $root has no v$BuildVersion commit marker (unbuilt, crashed " +
         "build, or an older build layout) — run build() before append().")
+    // Tombstoned ids must not be re-appended before a purge: readers
+    // anti-join tombstones by vec_id, so the new row would be masked by
+    // its predecessor's tombstone. Fail loudly — remove-then-add is an
+    // update and needs purgeTombstones() between the two.
+    tombstoneSet(spark, root).foreach { t =>
+      val n = newVecs.select(col("vec_id"))
+        .join(broadcast(t), Seq("vec_id"), "semi").count()
+      if (n > 0) throw new IllegalStateException(
+        s"ann append: $n batch vector(s) are tombstoned at $root — run " +
+          "purgeTombstones() before re-adding removed ids (re-added rows " +
+          "would be masked by their own tombstones).")
+    }
     // label is part of the v5 inverted-list layout — an append without
     // it would write null-labeled rows that silently vanish from every
     // filtered probe, so the batch must carry (vec_id, label, embedding).
@@ -518,6 +534,179 @@ object AnnIndex extends OpModule {
     } finally nv.unpersist()
   }
 
+  // ---- remove: logical deletion, physically applied by purge ----------
+
+  private def tombPath(root: String) = s"$root/tombstones"
+
+  /** Permanent "this index has seen deletions" flag — written by the
+    * FIRST [[remove]] (before its tombstone append, so a crashed remove
+    * can never leave tombstones without it), never deleted by a purge
+    * (post-purge the tombstone record is gone and qhead is the only
+    * witness of silenced queries), reset only by a fresh [[build]].
+    * Lets every read path skip the tombstone/qhead machinery with one
+    * FS stat while the index is deletion-free. */
+  private def removesMarker(root: String) = s"$root/_has_removes"
+
+  private def writeRemovesMarker(spark: SparkSession, root: String): Unit = {
+    val out = fs(spark, root).create(new Path(removesMarker(root)), true)
+    try out.write("v1\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def tableHasData(spark: SparkSession, p: String): Boolean = {
+    val hp = new Path(p)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(hp) && f.listStatus(hp).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** The live tombstone set (vec_id), or None when nothing is removed —
+    * the common fast path is one existence check per probe. */
+  private def tombstoneSet(spark: SparkSession, root: String): Option[DataFrame] =
+    if (tableHasData(spark, tombPath(root)))
+      Some(spark.read.parquet(tombPath(root)).select("vec_id").distinct())
+    else None
+
+  /** Drop tombstoned rows from any vec_id-keyed index read. Broadcast:
+    * the tombstone set is bounded by what was removed since the last
+    * purge, never by the corpus. */
+  private def live(spark: SparkSession, root: String, df: DataFrame): DataFrame =
+    tombstoneSet(spark, root)
+      // The trailing select undoes the USING join's column reorder
+      // (join keys move to the front), keeping positional consumers
+      // of the codes tables stable.
+      .map(t => df.join(broadcast(t), Seq("vec_id"), "anti")
+        .select(df.columns.map(col): _*))
+      .getOrElse(df)
+
+  /** Tombstoned ids below `bound` — the driver-side filter for the
+    * bounded query heads (a removed vector must stop ASKING queries,
+    * not just stop answering them). Bounded collect: ≤ bound rows. */
+  private def tombstonedBelow(spark: SparkSession, root: String,
+      bound: Long): Set[Long] =
+    tombstoneSet(spark, root) match {
+      case None => Set.empty
+      case Some(t) =>
+        t.filter(col("vec_id") < bound).collect().map(_.getLong(0)).toSet
+    }
+
+  /** A collected query head restricted to what the INDEX still asks:
+    * tombstoned members drop out, and the query range (vec_id < NQ) is
+    * intersected with `ivf/qhead` membership — after a purge the
+    * tombstone record is gone, and qhead (rewritten by the purge) is
+    * the index's durable record of who asks. Without the intersection a
+    * removed-then-purged query would resume asking from the corpus
+    * table. Non-query head rows (codebook seeds ≥ NQ) pass through —
+    * codebooks are frozen on disk and never un-trained by a delete. */
+  private def liveHead(spark: SparkSession, root: String,
+      head: Map[Long, Array[Long]]): Map[Long, Array[Long]] = {
+    // Deletion-free indexes (no `_has_removes` marker — one FS stat,
+    // no Spark job) skip both reads: the pq-family probes are
+    // job-floor-bound, so the common path must not grow a job.
+    if (head.isEmpty || !exists(spark, removesMarker(root))) return head
+    val afterTomb = head -- tombstonedBelow(spark, root, head.keysIterator.max + 1)
+    val asking = spark.read.parquet(s"$root/ivf/qhead")
+      .select("vec_id").filter(col("vec_id") < Similarity.NQ)
+      .collect().map(_.getLong(0)).toSet // bounded: ≤ NQ rows
+    afterTomb.filter { case (id, _) => id >= Similarity.NQ || asking.contains(id) }
+  }
+
+  /** Logically delete vectors from every index family: ids land in an
+    * append-only `tombstones` table and every probe anti-joins it — a
+    * remove costs O(batch) I/O however large the index is (the
+    * delete-vector pattern); [[purgeTombstones]] applies it physically.
+    * Codebooks stay FROZEN, the same contract as [[append]] — a
+    * deletion-heavy corpus eventually re-trains via [[build]]. Ids
+    * absent from the index are ignored; already-tombstoned ids are
+    * skipped, so crashed removes replay to the same state. Returns the
+    * count of newly tombstoned ids. */
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Long =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-remove")) {
+      require(buildParams(spark, root).isDefined,
+        s"index at $root has no v$BuildVersion commit marker — nothing to remove from")
+      val t = ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+        // Bounded tombstone set: only ids the index holds. pq/codes is
+        // the flat, always-written family — one column-pruned scan.
+        .join(spark.read.parquet(s"$root/pq/codes").select("vec_id"),
+          Seq("vec_id"), "semi")
+      val fresh = tombstoneSet(spark, root)
+        .map(existing => t.join(broadcast(existing), Seq("vec_id"), "anti"))
+        .getOrElse(t)
+        .cache()
+      val n = fresh.count()
+      if (n > 0) {
+        writeRemovesMarker(spark, root) // BEFORE the append: see its doc
+        fresh.write.mode("append").parquet(tombPath(root))
+      }
+      fresh.unpersist()
+      n
+    }
+
+  /** Physically apply the tombstone set. Partitioned families rewrite
+    * ONLY the cid directories that actually hold tombstoned rows (the
+    * touched set comes from one column-pruned (vec_id, cid) scan per
+    * family; untouched directories keep their files byte-identical —
+    * the bounded-I/O property AnnIndexSpec pins); a directory whose
+    * rows are all deleted is dropped outright, exactly what a fresh
+    * build of the reduced corpus would (not) write. The flat pq/codes
+    * and the tiny qhead rewrite wholesale (pq has no partitions — a
+    * purge there is compaction-class, which is why deletion splits
+    * into the cheap logical remove and this maintenance pass). The
+    * tombstone table is deleted LAST — the commit point: a crash
+    * anywhere earlier replays as no-op anti-join rewrites plus the
+    * re-run delete. Returns rows dropped per family. */
+  def purgeTombstones(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Long] =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-purge")) {
+      tombstoneSet(spark, root) match {
+        case None => Map.empty
+        case Some(t0) =>
+          val t = t0.cache()
+          t.count() // pin the set before the rewrites mutate anything
+          def minus(df: DataFrame): DataFrame =
+            df.join(broadcast(t), Seq("vec_id"), "anti")
+          val f = fs(spark, root)
+          // Partitioned families: rewrite only the touched cid subtrees.
+          val partitioned = Seq("ivf/codes", "ivf_seeded/codes", "ivfpq/codes")
+            .filter(fam => exists(spark, s"$root/$fam"))
+            .map { fam =>
+              val table = s"$root/$fam"
+              val touched = spark.read.parquet(table).select("vec_id", "cid")
+                .join(broadcast(t), Seq("vec_id"), "semi")
+                .groupBy("cid").count().collect()
+                .map(r => r.getAs[Number]("cid").longValue() -> r.getLong(1))
+              touched.foreach { case (cid, _) =>
+                val dir = s"$table/cid=$cid"
+                if (minus(spark.read.option("basePath", table).parquet(dir))
+                    .isEmpty)
+                  f.delete(new Path(dir), true)
+                else
+                  graft.olapsus.Warehouse.rewritePath(spark, dir,
+                    targetFileBytes, minus)
+              }
+              fam -> touched.map(_._2).sum
+            }
+          // Flat families: full rewrite (qhead is bounded-tiny; pq/codes
+          // is the one unpartitioned full-width table).
+          val flat = Seq("pq/codes", "ivf/qhead")
+            .filter(fam => exists(spark, s"$root/$fam"))
+            .map { fam =>
+              val p = s"$root/$fam"
+              val hit = spark.read.parquet(p)
+                .join(broadcast(t), Seq("vec_id"), "semi").count()
+              if (hit > 0)
+                graft.olapsus.Warehouse.rewritePath(spark, p, targetFileBytes, minus)
+              fam -> hit
+            }
+          t.unpersist()
+          f.delete(new Path(tombPath(root)), true)
+          (partitioned ++ flat).toMap
+      }
+    }
+
   /** Merge the per-batch append files each family's codes table
     * accumulates ([[append]] writes one file per batch per cell; a long
     * streaming-maintenance run — [[graft.streaming.DocStream
@@ -549,8 +738,10 @@ object AnnIndex extends OpModule {
   def probeIvf(spark: SparkSession, root: String): DataFrame = {
     // Prune set from the qhead table (ONE small file): filtering codes
     // itself for vec_id < NQ would open every file footer — linear in
-    // the file count, which the (cid, label) layout multiplies.
-    val qcells = spark.read.parquet(s"$root/ivf/qhead")
+    // the file count, which the (cid, label) layout multiplies. Read
+    // through live(): a removed query must stop asking, so its cell
+    // leaves the prune set unless another live query shares it.
+    val qcells = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
     // Read the query cells' DIRECTORIES only (v8): even the file-index
     // LISTING stays bounded by the prune set — a whole-table read lists
@@ -561,8 +752,9 @@ object AnnIndex extends OpModule {
     // top: semantically vacuous over the pruned read, but it keeps the
     // cell prune visible as a PartitionFilter in the plan (the audited
     // property) and guards a future caller passing wider paths.
-    val codes = readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
-      .withColumn("cid", col("cid").cast("long"))
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
 
@@ -589,7 +781,7 @@ object AnnIndex extends OpModule {
     // Bounded collect from qhead (ONE small file): ≤ NQ query rows
     // define the cell, label and label-bucket prune unions (lb is
     // stored in qhead so no driver-side mirror of the bucket hash).
-    val q = spark.read.parquet(s"$root/ivf/qhead")
+    val q = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
       .select("cid", "label", "lb").distinct().collect()
     val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
     val qlabels = q.map(_.get(1)).distinct.toSeq
@@ -601,8 +793,9 @@ object AnnIndex extends OpModule {
     // the exact label equality is a DATA filter the scan pushes into
     // parquet (row-group stats/dictionary), so rows outside the query
     // labels are skipped before they decode.
-    val codes = readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
-      .withColumn("cid", col("cid").cast("long"))
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivf/codes", qcells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
     Similarity.ivfCosineTopKFiltered(codes.filter(
       col("cid").isin(qcells: _*) && col("lb").isin(qbuckets: _*)
         && col("label").isin(qlabels: _*)))
@@ -620,13 +813,14 @@ object AnnIndex extends OpModule {
     // filtered codes for vec_id < NQ, which opened every file footer —
     // the exact listing sweep qhead exists to avoid.
     val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
-    val qcells = spark.read.parquet(s"$root/ivf/qhead")
+    val qcells = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
       .select("qv").collect()
       .map(r => Similarity.nearestIdL(r.getSeq[Long](0).toArray, seeded))
       .distinct.sorted.toSeq
-    val codes = readPruned(spark, s"$root/ivf_seeded/codes",
-      qcells.map(c => s"cid=$c"))
-      .withColumn("cid", col("cid").cast("long"))
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivf_seeded/codes",
+        qcells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
     Similarity.ivfCosineTopK(codes.filter(col("cid").isin(qcells: _*)))
   }
 
@@ -636,9 +830,10 @@ object AnnIndex extends OpModule {
     * probe plan itself is a joinless scan of the codes table. */
   def probePq(spark: SparkSession, dir: String, root: String): DataFrame = {
     val cb = readCodebook(spark, s"$root/pq/codebook")
-    val head = Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, Similarity.PQ_K).toLong)
-    Similarity.pqAdcTopK("s10", spark.read.parquet(s"$root/pq/codes"), head, cb)
+    val head = liveHead(spark, root, Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, Similarity.PQ_K).toLong))
+    Similarity.pqAdcTopK("s10",
+      live(spark, root, spark.read.parquet(s"$root/pq/codes")), head, cb)
   }
 
   /** IVF+PQ probe: cell-gated ADC over `ivfpq/codes`; the query cells
@@ -647,15 +842,16 @@ object AnnIndex extends OpModule {
   def probeIvfPq(spark: SparkSession, dir: String, root: String): DataFrame = {
     val coarse = readCentroids(spark, s"$root/ivfpq/coarse")
     val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
-    val head = Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+    val head = liveHead(spark, root, Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong))
     val qcells = head.filter(_._1 < Similarity.NQ).values
       .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
     // Query cells' directories only (v8): the listing, not just the
     // read, stays bounded by the prune set.
-    val codes = readPruned(spark, s"$root/ivfpq/codes",
-      qcells.map(c => s"cid=$c"))
-      .withColumn("cid", col("cid").cast("long"))
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivfpq/codes",
+        qcells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
       .filter(col("cid").isin(qcells: _*))
     Similarity.ivfpqAdcTopK("s11", codes, head, coarse, rcb)
   }
@@ -704,8 +900,8 @@ object AnnIndex extends OpModule {
     * corpus), so it shares s17's oracle. */
   def probePqRerank(spark: SparkSession, dir: String, root: String): DataFrame = {
     val cb = readCodebook(spark, s"$root/pq/codebook")
-    val head = Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, Similarity.PQ_K).toLong)
+    val head = liveHead(spark, root, Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, Similarity.PQ_K).toLong))
     // Stage 1's output is BOUNDED (≤ NQ × pool rows) — collected at
     // plan build, so the candidates' `fid` pointers can prune the
     // fetch's DIRECTORIES (v8; the previous form scanned all of
@@ -714,8 +910,8 @@ object AnnIndex extends OpModule {
     // job itself is the s10 probe's joinless ADC scan, re-run per
     // invocation like every stage of every op.
     val cands = Similarity.pqAdcTopK("s18",
-        spark.read.parquet(s"$root/pq/codes"), head, cb, Similarity.RerankPool,
-        passthrough = Seq("fid"))
+        live(spark, root, spark.read.parquet(s"$root/pq/codes")), head, cb,
+        Similarity.RerankPool, passthrough = Seq("fid"))
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
         col("fid"))
       .collect().toSeq
@@ -772,8 +968,9 @@ object AnnIndex extends OpModule {
     * full-vector-store partition pointer. */
   private[graft] def ivfpqRerankCands(spark: SparkSession, dir: String,
       root: String): DataFrame =
-    ivfpqRerankCandsWithHead(spark, root, Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong))
+    ivfpqRerankCandsWithHead(spark, root,
+      liveHead(spark, root, Similarity.collectHead(spark, dir,
+        math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)))
 
   private def ivfpqRerankCandsWithHead(spark: SparkSession, root: String,
       head: Map[Long, Array[Long]]): DataFrame = {
@@ -781,9 +978,10 @@ object AnnIndex extends OpModule {
     val rcb = readCodebook(spark, s"$root/ivfpq/codebook")
     val qcells = head.filter(_._1 < Similarity.NQ).values
       .map(v => Similarity.nearestIdL(v, coarse)).toSeq.distinct.sorted
-    val codes = readPruned(spark, s"$root/ivfpq/codes",
-      qcells.map(c => s"cid=$c"))
-      .withColumn("cid", col("cid").cast("long"))
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivfpq/codes",
+        qcells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
       .filter(col("cid").isin(qcells: _*))
     Similarity.ivfpqAdcTopK("s19", codes, head, coarse, rcb,
       pool = Similarity.RerankPool, passthrough = Seq("fid"))
@@ -805,8 +1003,8 @@ object AnnIndex extends OpModule {
     // ONE bounded head read feeds both stages (collecting it per stage
     // would add a whole Spark job to a probe whose cost is already
     // job-floor-bound).
-    val head = Similarity.collectHead(spark, dir,
-      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong)
+    val head = liveHead(spark, root, Similarity.collectHead(spark, dir,
+      math.max(Similarity.NQ, 2 * Similarity.PQ_K).toLong))
     val cands = ivfpqRerankCandsWithHead(spark, root, head)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
         col("fid"))
@@ -843,7 +1041,7 @@ object AnnIndex extends OpModule {
     // tail are BOTH the inline d18's own implementations
     // (Dedup.semCells/semDominance) — the probe ≡ inline guarantee is
     // structural, not a parallel re-implementation.
-    val codes = spark.read.parquet(s"$root/ivf/codes")
+    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
       .withColumn("cid", col("cid").cast("long"))
     Dedup.semDominance(Dedup.semCells(codes, cent))
   }
@@ -862,7 +1060,7 @@ object AnnIndex extends OpModule {
     * set-vs-table rule). */
   def probeSemDroppedIds(spark: SparkSession, root: String): DataFrame = {
     val cent = readCentroids(spark, s"$root/ivf/centroids")
-    val codes = spark.read.parquet(s"$root/ivf/codes")
+    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
       .withColumn("cid", col("cid").cast("long"))
     Dedup.semDominators(Dedup.semCells(codes, cent)).select("vec_id")
   }

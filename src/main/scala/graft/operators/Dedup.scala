@@ -111,43 +111,48 @@ object Dedup extends OpModule {
   private[operators] lazy val duckPairCtes: String = duckPairCtesFrom("documents")
 
   /** [[duckPairCtes]] parameterized by the source relation, so audits
-    * over a filtered corpus (d16's sample) reuse the exact chain. */
-  private[operators] def duckPairCtesFrom(docsRel: String): String = {
+    * over a filtered corpus (d16's sample) reuse the exact chain, and
+    * by a CTE-name prefix `p`, so an oracle that needs the chain TWICE
+    * in one WITH (d21 pairs the CLEANED corpus while its loser sets
+    * derive from the un-prefixed chain over the raw one) never
+    * collides on CTE names. */
+  private[operators] def duckPairCtesFrom(docsRel: String, p: String = ""): String = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"list_aggregate(list_transform(sh, h -> ($a * h + $b) % $MinhashP), 'min') AS h${i + 1}"
     }.mkString(",\n               ")
     val bandRows = (1 to BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, h${2 * b - 1} AS hx, h${2 * b} AS hy FROM hashed")
+      s"SELECT doc_id, $b AS band, h${2 * b - 1} AS hx, h${2 * b} AS hy FROM ${p}hashed")
       .mkString("\n        UNION ALL ")
-    s"""toks AS (
+    s"""${p}toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
         FROM $docsRel
-      ), sh AS (
+      ), ${p}sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 FOR i IN generate_series(1, len(w) - 2)]),
                  s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
                         & $MinhashMask)) AS sh
-        FROM toks WHERE len(w) >= 3
-      ), hashed AS (
+        FROM ${p}toks WHERE len(w) >= 3
+      ), ${p}hashed AS (
         SELECT doc_id, sh,
                $mins
-        FROM sh
-      ), bands AS (
+        FROM ${p}sh
+      ), ${p}bands AS (
         $bandRows
-      ), cand AS (
+      ), ${p}cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy
-                                  AND a.doc_id < b.doc_id
-      ), scored AS (
+        FROM ${p}bands a JOIN ${p}bands b
+          ON a.band = b.band AND a.hx = b.hx AND a.hy = b.hy
+         AND a.doc_id < b.doc_id
+      ), ${p}scored AS (
         SELECT doc_a, doc_b,
                CAST(len(sa.sh) + len(sb.sh)
                     - len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
                  / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
-        FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        FROM ${p}cand
+        JOIN ${p}sh sa ON sa.doc_id = doc_a
+        JOIN ${p}sh sb ON sb.doc_id = doc_b
       )"""
   }
 
@@ -1487,7 +1492,7 @@ object Dedup extends OpModule {
     * (one row per merged disjoint interval) plus `ntok`. Callers append
     * their own tails so the loser/interval semantics cannot drift
     * between the census and the corpus it claims to describe. */
-  private lazy val duckPlanPrefix: String = {
+  private[operators] lazy val duckPlanPrefix: String = {
     // duckPairCtes' `toks` is byte-identical to duckSpanCtes' — reuse
     // the former's and append the SHARED span-chain builder (no
     // substring splice: the chain has exactly one definition).
@@ -1687,6 +1692,28 @@ object Dedup extends OpModule {
   /** d19's assembly parameterized by the near-dup pair set — the same
     * persisted-pair seam as [[actionPlanFrom]]. */
   private[graft] def cleanedCorpusFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame =
+    cleanedTokensFrom(spark, dir, pairs)
+      .select(col("doc_id"), col("action"),
+        size(col("kt")).cast("long").as("kept_tokens"),
+        md5(array_join(col("kt"), " ")).as("text_md5"))
+      .orderBy("doc_id")
+
+  /** d19's surgery with the rebuilt TEXT materialized — one row per
+    * SURVIVING document, (doc_id, action keep|trim, text). What an
+    * index apply ([[graft.operators.Maintenance.applyPlan]]) feeds back
+    * when re-indexing trimmed documents: the rebuilt text is the
+    * space-joined kept-token stream, whose tokenization (and therefore
+    * shingle set) is exactly what a fresh build on the cleaned corpus
+    * would compute. */
+  private[graft] def cleanedDocsFrom(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame =
+    cleanedTokensFrom(spark, dir, pairs)
+      .select(col("doc_id"), col("action"), array_join(col("kt"), " ").as("text"))
+
+  /** Shared core of d19's two projections: survivors with their
+    * kept-token arrays, (doc_id, action, kt). */
+  private def cleanedTokensFrom(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     val parts = planParts(spark, dir, pairs)
     val ivs = parts.liveIntervals.groupBy("doc_id")
@@ -1703,9 +1730,7 @@ object Dedup extends OpModule {
           iv => (j + 1) >= iv("s") && (j + 1) <= iv("e"))))))
       .select(col("doc_id"),
         when(col("ivs").isNull, lit("keep")).otherwise(lit("trim")).as("action"),
-        size(col("kt")).cast("long").as("kept_tokens"),
-        md5(array_join(col("kt"), " ")).as("text_md5"))
-      .orderBy("doc_id")
+        col("kt"))
   }
 
   /** SemDeDup threshold: within-cell pairs at or above this cosine are

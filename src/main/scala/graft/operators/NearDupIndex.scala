@@ -94,6 +94,100 @@ object NearDupIndex {
     if (tableHasData(spark, p)) spark.read.parquet(p)
     else template.limit(0)
 
+  // ---- tombstones: logical deletion, physically applied by purge ------
+
+  private def tombPath(root: String) = path(root, "tombstones")
+
+  /** The live tombstone set (doc_id), or None when nothing is
+    * tombstoned — the common fast path is one existence check. */
+  private def tombstoneSet(spark: SparkSession, root: String): Option[DataFrame] =
+    if (tableHasData(spark, tombPath(root)))
+      Some(spark.read.parquet(tombPath(root)).select("doc_id").distinct())
+    else None
+
+  /** Drop tombstoned rows from a table carrying doc ids in `keys`
+    * (shingles/bands key on doc_id; pairs on BOTH sides — a pair whose
+    * either member is deleted no longer exists, exactly as a fresh
+    * build on the reduced corpus would never find it). Broadcast: the
+    * tombstone set is bounded by what was removed since the last purge,
+    * never by the corpus. */
+  private def minusTombstones(df: DataFrame, tomb: DataFrame,
+      keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) =>
+      d.join(broadcast(tomb.withColumnRenamed("doc_id", k)), Seq(k), "anti"))
+      // A USING join moves the join column to the FRONT of the output —
+      // positional consumers of pairs() would see (doc_b, doc_a, …).
+      .select(df.columns.map(col): _*)
+
+  /** Logically delete documents from the index: their ids land in an
+    * append-only `tombstones` table and every read path (pair probes,
+    * append candidate generation) anti-joins it — the delete-vector
+    * pattern, so a remove costs O(batch) I/O however large the index
+    * is. [[purgeTombstones]] later applies the deletion physically.
+    * Ids not present in the index are ignored (bounded tombstone set);
+    * already-tombstoned ids are skipped, so crashed removes replay to
+    * the same state. Returns the count of newly tombstoned ids. */
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Long =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("neardup-remove")) {
+      if (!tableHasData(spark, path(root, "shingles"))) 0L
+      else {
+        requireFamily(spark, root, "near-dup index")
+        val t = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+          // bounded: only ids the index actually holds become tombstones
+          .join(spark.read.parquet(path(root, "shingles")).select("doc_id"),
+            Seq("doc_id"), "semi")
+        val fresh = tombstoneSet(spark, root)
+          .map(existing => t.join(broadcast(existing), Seq("doc_id"), "anti"))
+          .getOrElse(t)
+          .cache()
+        val n = fresh.count()
+        if (n > 0) fresh.write.mode("append").parquet(tombPath(root))
+        fresh.unpersist()
+        n
+      }
+    }
+
+  /** Physically apply the tombstone set: rewrite each subtable without
+    * the deleted rows (crash-safe tmp/bak rename per table, `_family`
+    * markers carried), then delete the tombstone table LAST — the
+    * commit point. A crash anywhere earlier replays safely: the
+    * rewrites are anti-joins against the still-present tombstones, so
+    * re-running them on already-filtered tables is a no-op, and the
+    * final delete re-runs. These subtables are flat (unpartitioned),
+    * so a purge is a full rewrite of each — the same cost class as
+    * [[compact]], which is why deletion is split into the cheap
+    * logical remove and this compaction-cadence physical pass.
+    * Returns rows dropped per table. */
+  def purgeTombstones(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Long] =
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("neardup-purge")) {
+      tombstoneSet(spark, root) match {
+        case None => Map.empty
+        case Some(t0) =>
+          val t = t0.cache()
+          t.count() // pin the set: the rewrites must not re-read a moving table
+          val dropped = Seq(
+            "shingles" -> Seq("doc_id"), "bands" -> Seq("doc_id"),
+            "pairs" -> Seq("doc_a", "doc_b"))
+            .filter { case (tb, _) => tableHasData(spark, path(root, tb)) }
+            .map { case (tb, keys) =>
+              val p = path(root, tb)
+              val all = spark.read.parquet(p)
+              val hit = all.count() - minusTombstones(all, t, keys).count()
+              if (hit > 0)
+                graft.olapsus.Warehouse.rewritePath(spark, p, targetFileBytes,
+                  minusTombstones(_, t, keys))
+              tb -> hit
+            }.toMap
+          t.unpersist()
+          val hp = new org.apache.hadoop.fs.Path(tombPath(root))
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          dropped
+      }
+    }
+
   /** Index a batch of documents (doc_id, text, …). Returns the number
     * of NEW pairs found (new×new and new×old). */
   def addDocuments(spark: SparkSession, docs: DataFrame, root: String): Long =
@@ -119,14 +213,31 @@ object NearDupIndex {
       writeFamilyStamp(spark, path(root, "pairs"))
     }
     val newShAll = Dedup.shingled(docs)
-    val oldSh = readOrEmpty(spark, path(root, "shingles"), newShAll.select("doc_id", "sh"))
+    // Tombstoned ids must not be silently re-adopted NOR silently
+    // skipped: a remove-then-add is an UPDATE, and serving it needs the
+    // old rows physically gone first (readers anti-join tombstones by
+    // id, so a re-added row would vanish with its predecessor). Fail
+    // loudly — run purgeTombstones, then re-add.
+    val tomb = tombstoneSet(spark, root)
+    tomb.foreach { t =>
+      val n = newShAll.select("doc_id")
+        .join(broadcast(t), Seq("doc_id"), "semi").count()
+      if (n > 0) throw new IllegalStateException(
+        s"addDocuments: $n batch document(s) are tombstoned in the index at " +
+          s"$root — run purgeTombstones() before re-adding removed ids " +
+          "(re-added rows would be masked by their own tombstones).")
+    }
+    def live(df: DataFrame): DataFrame =
+      tomb.map(t => minusTombstones(df, t, Seq("doc_id"))).getOrElse(df)
+    val oldSh = live(
+      readOrEmpty(spark, path(root, "shingles"), newShAll.select("doc_id", "sh")))
     // Idempotency: drop docs already in the index.
     val newSh = newShAll
       .join(oldSh.select("doc_id"), Seq("doc_id"), "anti")
       .cache()
     val newBands = Dedup.minhashBands(newSh)
       .cache() // three uses: union side, probe side, final append
-    val oldBands = readOrEmpty(spark, path(root, "bands"), newBands)
+    val oldBands = live(readOrEmpty(spark, path(root, "bands"), newBands))
     // Probe: every candidate has at least one NEW side, so old×old work
     // is never repeated. least/greatest normalizes the pair (old ids are
     // not always smaller than new ones) and distinct collapses the
@@ -190,15 +301,35 @@ object NearDupIndex {
     * shingles/bands append re-appends the same rows on retry (see the
     * commit-order note in [[addDocuments]]), and exact-duplicate
     * collapse on read is what makes that retry safe for counts and
-    * joins alike. */
-  def pairs(spark: SparkSession, root: String): DataFrame =
-    pairsTable(spark, path(root, "pairs"))
+    * joins alike. Tombstoned documents' pairs are filtered out — a
+    * [[remove]] is visible immediately, before any [[purgeTombstones]]
+    * pass physically drops the rows. */
+  def pairs(spark: SparkSession, root: String): DataFrame = {
+    val p = pairsTable(spark, path(root, "pairs"))
+    tombstoneSet(spark, root)
+      .map(t => minusTombstones(p, t, Seq("doc_a", "doc_b")))
+      .getOrElse(p)
+  }
 
   /** Read a standalone pair table (the index's `pairs` dir or a
     * [[Curation.persistNearDupPairs]] output) tolerating the data-less
     * marker-only state. */
   private[operators] def pairsTable(spark: SparkSession, p: String): DataFrame =
     pairsTableRaw(spark, p).distinct()
+
+  /** Per-document index membership census: one row per LIVE indexed
+    * document with its stored shingle-set size — the d21 gate's view of
+    * "what the index holds now" (tombstoned docs excluded, exactly as
+    * every other read). */
+  def docStats(spark: SparkSession, root: String): DataFrame = {
+    val sh = readOrEmpty(spark, path(root, "shingles"),
+      spark.range(0).select(col("id").as("doc_id"),
+        array(col("id")).as("sh")))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+    tombstoneSet(spark, root)
+      .map(t => minusTombstones(sh, t, Seq("doc_id")))
+      .getOrElse(sh)
+  }
 
   /** As [[pairsTable]] but WITHOUT the exact-duplicate collapse —
     * consumers that project + distinct a single column (the curation

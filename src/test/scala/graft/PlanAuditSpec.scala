@@ -343,6 +343,39 @@ class PlanAuditSpec extends SparkSpecBase {
       "dominance became a window (per-cell sort buffering):\n" + p.take(1500))
   }
 
+  test("c6: storage-served curation — no banded self-join, no Lloyd, no raw embeddings") {
+    // c6 is c5 with BOTH expensive subtrees replaced by storage reads:
+    // the lexical drop set from the persisted pair table (no minhash,
+    // no band self-join — the band keys hx/hy must be absent from the
+    // whole plan) and the semantic verdicts from the ANN index's
+    // dominance join (no embeddings scan, no training aggregates).
+    val p = plan("c6_semantic_curation_served")
+    assert(!p.contains("embeddings.parquet"),
+      "semantic stage re-scanned the raw corpus (Lloyd crept back in):\n" + p.take(1500))
+    assert(!p.contains("hx"),
+      "lexical stage re-ran the banded self-join:\n" + p.take(1500))
+    assert(p.contains("graft_pairs_tbl"),
+      "lexical drop set not served from the persisted pair table:\n" + p.take(1500))
+    assert(p.contains("ivf"),
+      "semantic verdicts not served from the ANN index:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "curation degraded to an all-pairs comparison:\n" + p.take(1500))
+  }
+
+  test("d21: the applied-index census reads only index tables") {
+    // The apply itself (ensureApplied) runs once per corpus; the CENSUS
+    // — the steady-state read path — must serve from the purged index's
+    // shingles and pairs tables alone: no corpus re-scan, no re-derived
+    // pair chain (band keys absent), no all-pairs shape.
+    val p = plan("d21_apply_action_plan")
+    assert(!p.contains("documents.parquet"),
+      "census re-scanned the corpus:\n" + p.take(1500))
+    assert(!p.contains("hx"),
+      "census re-ran the banded self-join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "census degraded to an all-pairs comparison:\n" + p.take(1500))
+  }
+
   test("m7: the phash projection is scan-local; banding is a hash join, never all-pairs") {
     // Payloads must never shuffle: the 56-bit hash is computed inside
     // the scan projection, only (doc_id, media_type, ph) reaches the
