@@ -406,34 +406,41 @@ object ScaleCheck {
     // re-run landed 43 s — exactly the same-process degradation the
     // bench's isolated_fresh escalation exists to escape, so the deep
     // tier escapes it unconditionally. The child measures base as
-    // min-of-2 after one JIT warm-up, then ONE deep run (the code
-    // paths are hot by then) — base and deep share one controlled
-    // process, so the ratio is self-consistent. A crashed/hung child
-    // falls back to the in-parent measure, tagged "fresh_jvm":false.
+    // min-of-2 after one JIT warm-up, then min-of-2 deep runs (r13's
+    // single-sample walls swung ~3× between same-code runs) and its own
+    // calib_s — base and deep share one controlled process, so the
+    // ratio is self-consistent and the wall carries its window's speed.
+    // A crashed/hung child falls back to the in-parent measure, tagged
+    // "fresh_jvm":false.
     val deepLines =
       if (deepFactor <= 0) Seq.empty[String]
       else {
         val deepDir = s"$scaled/deep"
         def deepLine(name: String, base: Double, big: Double,
-            fresh: Boolean): String = {
+            fresh: Boolean, childCalib: Double = -1.0): String = {
           val ratio = big / math.max(base, 1e-9)
+          val calibField =
+            if (childCalib > 0) s""","child_calib_s":${fmt(childCalib)}"""
+            else ""
           val line =
             s"""{"op":"$name","base_s":${fmt(base)},"scaled_s":${fmt(big)},""" +
               s""""ratio":${fmt(ratio)},"data_ratio":$deepFactor,""" +
-              s""""linear":${ratio <= 1.5 * deepFactor},"fresh_jvm":$fresh}"""
+              s""""linear":${ratio <= 1.5 * deepFactor},"fresh_jvm":$fresh$calibField}"""
           println(line)
           line
         }
-        def deepProbeFresh(name: String): Option[(Double, Double)] =
+        def deepProbeFresh(name: String): Option[(Double, Double, Double)] =
           ChildJvm.run("graft.DeepProbe", Seq(sfDir, deepDir, name),
               Map("SPARK_GRAFT_CPUS" -> cpus), timeoutMinutes = 30)
             .flatMap(out =>
-              """DEEPPROBE \S+ base=([0-9.]+) deep=([0-9.]+)""".r
+              """DEEPPROBE \S+ base=([0-9.]+) deep=([0-9.]+)(?: calib=([0-9.]+))?""".r
                 .findFirstMatchIn(out)
-                .map(m => (m.group(1).toDouble, m.group(2).toDouble)))
+                .map(m => (m.group(1).toDouble, m.group(2).toDouble,
+                  Option(m.group(3)).map(_.toDouble).getOrElse(-1.0))))
         def deepProbe(name: String): String =
           deepProbeFresh(name) match {
-            case Some((base, big)) => deepLine(name, base, big, fresh = true)
+            case Some((base, big, cc)) =>
+              deepLine(name, base, big, fresh = true, childCalib = cc)
             case None =>
               val fn = SparkEntry.queries(name)
               val base = baseTimes.getOrElse(name,
@@ -443,7 +450,8 @@ object ScaleCheck {
         scaleDocuments(spark, sfDir, deepDir, deepFactor)
         val docLines = Seq(
           "d4_dedup_ngram_jaccard", "d13_containment_pairs",
-          "d14_repeated_spans", "d9_canonical_docs", "c1_corpus_curation")
+          "d14_repeated_spans", "d9_canonical_docs", "c1_corpus_curation",
+          "m7_media_phash_pairs")
           .map(deepProbe)
         scaleRelational(spark, sfDir, deepDir, deepFactor)
         val relLines = Seq(
@@ -518,8 +526,20 @@ object DeepProbe {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     time(baseDir) // codegen/JIT warm-up
     val base = (1 to 2).map(_ => time(baseDir)).min
-    val deep = time(deepDir)
-    println(s"DEEPPROBE $name base=${fmt(base)} deep=${fmt(deep)}")
+    // min-of-2 for the deep wall too (r13's committed single-sample
+    // walls swung ~3× between same-code runs): ambient contention only
+    // ever ADDS time, so of two same-code runs the faster is the more
+    // representative — the bench's keep-the-faster doctrine. Marginal
+    // cost ≈ one extra deep wall per probe; the corpus is already built.
+    val deep = (1 to 2).map(_ => time(deepDir)).min
+    // The child's own machine-speed calibration (Bench's fixed
+    // CPU-bound probe), so a cross-session wall comparison has a
+    // denominator measured in the SAME process and window as the wall.
+    val ct0 = System.nanoTime()
+    spark.range(0L, 500000000L, 1L, cpus.toInt)
+      .selectExpr("bit_xor(xxhash64(id)) as s").collect()
+    val calib = (System.nanoTime() - ct0) / 1e9
+    println(s"DEEPPROBE $name base=${fmt(base)} deep=${fmt(deep)} calib=${fmt(calib)}")
     spark.stop()
   }
 }
