@@ -290,6 +290,60 @@ object AnnIndex extends OpModule {
       buildLeased(spark, dir, root, nc, kc, pc, maxCellRows)
     }
 
+  /** Retrain-and-cutover — the lifecycle answer to the frozen-codebook
+    * contract's drift: [[append]]/[[remove]] never retrain, so a
+    * corpus that has grown or rotated far past its training snapshot
+    * eventually needs fresh codebooks. rebuild() trains a COMPLETE new
+    * index (every family, current corpus, fresh Lloyd/PQ codebooks)
+    * into a hidden sibling root, then publishes it with the repo's
+    * bak-protected atomic-rename protocol (the compactPath swap):
+    * readers of `root` serve the old index until the rename and the
+    * new one after — there is no window in which a probe sees mixed
+    * generations, and a crash leaves either the old root intact (a
+    * stale tmp is deleted on the next rebuild) or the new root fully
+    * committed (a stale bak likewise). The one crash window both this
+    * and compact share — died between the two renames, root missing —
+    * is HEALED on the next rebuild entry (bak restores). Lease-guarded
+    * on the live root, so builds/appends/purges/compactions serialize
+    * against the swap; the lease file itself rides the rename into bak
+    * and is discarded with it (the new root is born lease-free, like
+    * any fresh build). */
+  def rebuild(spark: SparkSession, dir: String, root: String,
+      nc: Int = Similarity.NC, kc: Int = Similarity.KC,
+      pc: Int = Similarity.PQ_K,
+      maxCellRows: Long = DefaultMaxCellRows): Unit = {
+    val rp = new Path(root)
+    val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(rp.getParent, s".${rp.getName}_rebuild_tmp")
+    val bak = new Path(rp.getParent, s".${rp.getName}_rebuild_bak")
+    // Heal the between-renames crash window: root gone, bak holding the
+    // old generation — restore it before anything else (readers first).
+    if (!f.exists(rp) && f.exists(bak)) {
+      if (!f.rename(bak, rp))
+        throw new java.io.IOException(s"rebuild: could not restore $bak to $rp")
+    }
+    // Rebuilding a root that was never built is just a build — no old
+    // generation to keep serving, nothing to swap (and build takes the
+    // root lease itself).
+    if (!f.exists(rp)) { build(spark, dir, root, nc, kc, pc, maxCellRows); return }
+    graft.WriterLease.withLease(spark, root,
+      graft.WriterLease.processOwner("ann-rebuild")) {
+      f.delete(tmp, true)
+      f.delete(bak, true)
+      // A full fresh build into the sibling (its own lease, its own
+      // commit marker — tmp is a complete, committed index root before
+      // the swap is attempted).
+      build(spark, dir, tmp.toString, nc, kc, pc, maxCellRows)
+      if (!f.rename(rp, bak))
+        throw new java.io.IOException(s"rebuild: could not move $rp aside")
+      if (!f.rename(tmp, rp)) {
+        f.rename(bak, rp) // roll back: old generation keeps serving
+        throw new java.io.IOException(s"rebuild: could not publish $tmp; rolled back")
+      }
+      f.delete(bak, true)
+    }
+  }
+
   private def buildLeased(spark: SparkSession, dir: String, root: String,
       nc: Int, kc: Int, pc: Int, maxCellRows: Long): Unit = {
     val f = fs(spark, root)
@@ -1053,6 +1107,29 @@ object AnnIndex extends OpModule {
     probeSemDedup(spark, root)
   })
 
+  /** d22 served from the persisted index (the d18→d20 move applied to
+    * the multi-assignment variant): stored vectors + stored centroids,
+    * the second assignment computed at probe time by the SAME
+    * [[Similarity.nearest2Ids]] expression the inline op uses (the
+    * index stores each row under its rank-1 cell; rank 2 is one
+    * codegen'd projection over the stored (qv) — still no Lloyd
+    * aggregates, no raw-corpus read), then the ONE shared
+    * [[Dedup.semCellsMulti]]/[[Dedup.semDominanceMulti]] tail. Shares
+    * d22's oracle: same trainer, same corpus, same kc. */
+  def probeSemDedupMulti(spark: SparkSession, root: String): DataFrame = {
+    val cent = readCentroids(spark, s"$root/ivf/centroids")
+    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
+      .select("vec_id", "qv", "nrm")
+    Dedup.semDominanceMulti(Dedup.semCellsMulti(codes, cent))
+  }
+
+  val d23SemDedupMultiProbe: Op = Op(
+    "d23_semdedup_multicell_probe", Dedup.d22SemDedupMulti.oracle)((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    probeSemDedupMulti(spark, root)
+  })
+
   /** The UNSORTED dominated-id set served from the index — what a
     * composing consumer (the persisted-path c5 census) anti-joins;
     * [[probeSemDedup]]'s full verdict table additionally re-attaches
@@ -1079,5 +1156,6 @@ object AnnIndex extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe,
-      s18PqRerankProbe, s19IvfPqRerankProbe, d20SemDedupProbe)
+      s18PqRerankProbe, s19IvfPqRerankProbe, d20SemDedupProbe,
+      d23SemDedupMultiProbe)
 }

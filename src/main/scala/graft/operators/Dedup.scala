@@ -1874,7 +1874,7 @@ object Dedup extends OpModule {
     * oracle) rests on bit-identical cdist on both paths, so the
     * arithmetic must not exist twice. */
   private[graft] def semCells(assigned: DataFrame,
-      cent: Seq[(Long, Array[Long])]): DataFrame = {
+      cent: Seq[(Long, Array[Long])], extra: Seq[String] = Nil): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val centDf = broadcast(cent.map { case (cid, cv) =>
@@ -1883,7 +1883,7 @@ object Dedup extends OpModule {
       .join(centDf, Seq("cid"))
       .withColumn("cdist",
         col("nrm") + col("cnrm") - lit(2L) * VectorFns.dot(col("qv"), col("cv")))
-      .select("vec_id", "qv", "nrm", "cid", "cdist")
+      .select((Seq("vec_id", "qv", "nrm", "cid", "cdist") ++ extra).map(col): _*)
       .cache()
   }
 
@@ -1916,10 +1916,134 @@ object Dedup extends OpModule {
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(count(lit(1)).as("nd"))
 
+  // ---- d22: multi-assignment SemDeDup (the cross-cell blind-spot fix) --
+
+  /** The MULTI-ASSIGNED cell relation: TWO rows per vector — its
+    * nearest cell (rk=1, d18's assignment) and its second-nearest
+    * (rk=2) — each row carrying the exact centroid distance TO THAT
+    * CELL (the shared [[semCells]] arithmetic). The standard answer to
+    * SemDeDup's cross-cell blind spot: a near-dup pair straddling a
+    * cell boundary meets in whichever cell both assignments cover.
+    * Assignment order is [[Similarity.nearest2Ids]]' (distance, id) —
+    * bit-identical to the single-assignment path's argmin at rank 1,
+    * so d22's primary cells equal d18's. */
+  private[graft] def semCellsMulti(vecs: DataFrame,
+      cent: Seq[(Long, Array[Long])]): DataFrame = {
+    val two = vecs
+      .withColumn("cids", Similarity.nearest2Ids(col("qv"), cent))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(col("cids")).as(Seq("pos", "cid")))
+      .withColumn("rk", col("pos") + 1)
+    semCells(two, cent, extra = Seq("rk"))
+  }
+
+  /** Dominance over the multi-assignment: candidates are pairs sharing
+    * ANY assigned cell, but the diversity order is GLOBAL — each
+    * vector's distance to its OWN primary centroid, descending, ties to
+    * the lower vec_id (the paper's order, computed once per vector).
+    * Within a single cell of primary members this reduces EXACTLY to
+    * d18's rule (both pcdist are distances to the same centroid), so
+    * d22's verdicts are a superset of d18's; and because (pcdist,
+    * vec_id) is a strict total order, domination is antisymmetric — the
+    * rejected per-cell-order form let a boundary pair dominate EACH
+    * OTHER through their two shared cells (v2 farther in cell A, v3
+    * farther in cell B) and deleted every copy of the near-dup group,
+    * which the forged-pair spec caught. `n_dom` counts DISTINCT
+    * dominators (one sharing both of a victim's cells must not count
+    * twice). One row per VECTOR: primary cell/centroid distance, the
+    * second cell, and the merged verdict. */
+  private[graft] def semDominanceMulti(cells: DataFrame): DataFrame = {
+    val withP = cells.join(
+      cells.filter(col("rk") === 1).select(col("vec_id"), col("cdist").as("pcd")),
+      Seq("vec_id"))
+    val dom = withP.as("a")
+      .join(withP.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
+          && (col("a.pcd") > col("b.pcd")
+            || (col("a.pcd") === col("b.pcd")
+              && col("a.vec_id") < col("b.vec_id"))))
+      .filter(VectorFns.cosine(VectorFns.dot(col("a.qv"), col("b.qv")),
+        col("a.nrm"), col("b.nrm")) >= SemTau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(countDistinct(col("a.vec_id")).as("nd"))
+    cells.filter(col("rk") === 1)
+      .join(cells.filter(col("rk") === 2)
+        .select(col("vec_id"), col("cid").as("cell2")), Seq("vec_id"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cell"), col("cell2"),
+        col("cdist").as("cent_dist"),
+        col("nd").isNull.as("kept"), coalesce(col("nd"), lit(0L)).as("n_dom"))
+      .orderBy("vec_id")
+  }
+
+  /** d22's body parameterized by the cell count (the d18 twin: kc ≤ 0
+    * derives from the corpus, the registered Op pins Similarity.KC for
+    * its unrolled oracle). */
+  private[graft] def semDeDupMulti(spark: SparkSession, dir: String,
+      kc: Int = 0): DataFrame = {
+    val vecs = Similarity.quantizedQvNrm(spark, dir).cache()
+    val cells0 = if (kc > 0) kc else semCellCount(vecs.count())
+    val cent = Similarity.trainIvf(spark, dir, vecs, cells0)
+    semDominanceMulti(semCellsMulti(vecs, cent))
+  }
+
+  /** Multi-assignment SemDeDup — the cross-cell blind-spot fix d18
+    * documents (standard in practice: FAISS-style multi-probe applied
+    * to the dedup side). Each vector joins the dominance pass in its
+    * TOP-2 cells; near-dups Lloyd separates across a cell boundary now
+    * meet wherever their assignment sets overlap, while d18's verdicts
+    * are preserved in the primary cells (adding members to a cell only
+    * ADDS dominance opportunities — drops(d22) ⊇ drops(d18),
+    * SemDedupSpec pins both the superset and the caught boundary
+    * pair). The oracle re-derives the 2-cell assignment with a ranked
+    * all-distances CTE over the same Lloyd centroids and mirrors the
+    * distinct-dominator count. */
+  val d22SemDedupMulti: Op = Op(
+    "d22_semdedup_multicell",
+    Some(s"""
+      WITH ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      alldist AS (
+        SELECT a.vec_id, a.qv, a.nrm, c.cid,
+               a.nrm + ${VectorFns.duckNorm2("c.cv")}
+                 - 2 * (${VectorFns.duckDot("a.qv", "c.cv")}) AS cdist
+        FROM af a CROSS JOIN ${Similarity.duckLloydCentTbl} c
+      ),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cdist, cid) AS rk
+        FROM alldist
+      ),
+      asg AS (
+        SELECT r.*, p.cdist AS pcd
+        FROM ranked r JOIN ranked p ON p.vec_id = r.vec_id AND p.rk = 1
+        WHERE r.rk <= 2
+      ),
+      mdom AS (
+        SELECT b.vec_id AS vec_id, COUNT(DISTINCT a.vec_id) AS n_dom
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          AND (a.pcd > b.pcd OR (a.pcd = b.pcd AND a.vec_id < b.vec_id))
+        WHERE CAST(${VectorFns.duckDot("a.qv", "b.qv")} AS DOUBLE)
+                / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+              >= $SemTau
+        GROUP BY b.vec_id
+      )
+      SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cell,
+             CAST(s.cid AS BIGINT) AS cell2, p.cdist AS cent_dist,
+             d.vec_id IS NULL AS kept,
+             CAST(COALESCE(d.n_dom, 0) AS BIGINT) AS n_dom
+      FROM asg p
+      JOIN asg s ON s.vec_id = p.vec_id AND s.rk = 2
+      LEFT JOIN mdom d ON d.vec_id = p.vec_id
+      WHERE p.rk = 1
+      ORDER BY p.vec_id
+    """))((spark, dir) => semDeDupMulti(spark, dir, Similarity.KC))
+
   override def ops: Seq[Op] =
     Seq(d1Exact, d2MinHashLsh, d3SimHash, d4NgramJaccard, d5EmbeddingNearDup,
       d6Clusters, d7SimHashPairs, d8EmbeddingMultiProbe, d9CanonicalDocs,
       d10DupGramFraction, d11EmbeddingClusters, d12CanonicalVectors,
       d13ContainmentPairs, d14RepeatedSpans, d15SpanTrimCensus,
-      d16LshRecallAudit, d17DedupActionPlan, d18SemDedup, d19CleanedCorpus)
+      d16LshRecallAudit, d17DedupActionPlan, d18SemDedup, d19CleanedCorpus,
+      d22SemDedupMulti)
 }

@@ -96,6 +96,25 @@ object Similarity extends OpModule {
   private[operators] def nearestIdL(v: Array[Long], entries: Seq[(Long, Array[Long])]): Long =
     entries.map { case (id, c) => (d2L(v, c), id) }.min._2
 
+  /** Top-2 nearest entry ids as a 2-element array column, by the SAME
+    * (distance, id) ordering as [[nearestId]] (one array_sort over the
+    * literal candidate structs instead of a least()). The multi-
+    * assignment semantic-dedup family's front door: like [[nearestId]]
+    * this is the flat literal form, exact and codegen'd at the
+    * oracle-pinned small-K geometries (KC=8) every registered caller
+    * uses; a corpus-scaled K would need the two-level treatment. */
+  private[operators] def nearest2Ids(v: Column,
+      entries: Seq[(Long, Array[Long])]): Column = {
+    require(entries.sizeIs >= 2, "top-2 assignment needs >= 2 entries")
+    val cands = entries.map { case (id, c) =>
+      struct((lit(dotL(c, c)) - lit(2L) * VectorFns.dot(v, typedLit(c))).as("pd"),
+        lit(id).as("id"))
+    }
+    val sorted = array_sort(array(cands: _*))
+    array(element_at(sorted, 1).getField("id"),
+      element_at(sorted, 2).getField("id"))
+  }
+
   /** Two-level (coarse → fine) nearest-entry assignment for LARGE
     * codebooks: the flat [[nearestId]] argmin costs O(K) literal dots
     * per row, which turns quadratic when the cell count scales with the

@@ -376,6 +376,20 @@ class PlanAuditSpec extends SparkSpecBase {
       "census degraded to an all-pairs comparison:\n" + p.take(1500))
   }
 
+  test("d23 probe: dominance-only multi-assignment — no Lloyd, no raw scan, no window") {
+    // The d20 contract extended to the multi-assignment variant: the
+    // second cell comes from one codegen'd projection over the STORED
+    // vectors (never a training aggregate or a per-vector rank window —
+    // rk is a generator ordinal), and dominance stays a join predicate.
+    val p = plan("d23_semdedup_multicell_probe")
+    assert(!p.contains("embeddings.parquet"),
+      "probe re-scanned the raw corpus (training crept back in):\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dominance degraded to an all-pairs comparison:\n" + p.take(1500))
+    assert(!p.contains("row_number"),
+      "assignment/dominance became a window:\n" + p.take(1500))
+  }
+
   test("m7: the phash projection is scan-local; banding is a hash join, never all-pairs") {
     // Payloads must never shuffle: the 56-bit hash is computed inside
     // the scan projection, only (doc_id, media_type, ph) reaches the

@@ -260,5 +260,63 @@ class SemDedupSpec extends SparkSpecBase {
     assert(probe == inline, s"probe=$probe\ninline=$inline")
     assert(probe.exists(!_._4), "no dominated member — the forged groups went inert")
     assert(probe.exists(_._4), "everything dominated — degenerate forge")
+
+    // d23 ≡ d22 on the same index: the multi-assignment probe reads the
+    // SAME stored cells/centroids, computes rank 2 with the same
+    // expression, and must replay the inline verdicts row for row.
+    def mverdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5))).toSeq
+    val mprobe = mverdicts(graft.operators.AnnIndex.probeSemDedupMulti(spark, root))
+    val minline = mverdicts(Dedup.semDeDupMulti(spark, tmp, 4))
+    assert(mprobe == minline, s"probe=$mprobe\ninline=$minline")
+    assert(mprobe.exists(!_._5), "no dominated member in the multi variant")
+  }
+
+  test("d22: the cross-cell boundary pair d18 misses is CAUGHT by multi-assignment") {
+    // The EXACT corpus of the d18 blind-spot test above: v2 (cell of
+    // seed 0) and v3 (cell of seed 1) are near-duplicates across the
+    // cell boundary, and d18 keeps all four (pinned above). Under
+    // top-2 assignment at kc=2 every vector joins both cells, so the
+    // pair meets — exactly one of v2/v3 is dominated (by the other;
+    // nothing else crosses τ, so n_dom is exactly 1 and the other two
+    // vectors stay untouched).
+    val dir = writeVecs(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 0f, 1f, 0f),
+      2L -> Seq(0.3f, 1f, 0f, 0f),
+      3L -> Seq(0.3f, 1f, 0.45f, 0f)))
+    val got = Dedup.semDeDupMulti(spark, dir, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4),
+        r.getLong(5))).toSeq
+    val byId = got.map(g => g._1 -> g).toMap
+    // Primary cells match d18's assignment; cell2 is the OTHER cell.
+    assert(got.forall(g => g._2 != g._3), s"cell2 degenerate: $got")
+    assert(byId(0L)._4 && byId(1L)._4, s"an unrelated vector was dropped: $got")
+    val pair = Seq(byId(2L), byId(3L))
+    assert(pair.count(!_._4) == 1,
+      s"expected exactly one of the boundary pair dropped: $got")
+    assert(pair.filter(!_._4).forall(_._5 == 1L),
+      s"the dropped member should have exactly one dominator: $got")
+  }
+
+  test("d22 on testdata: drops are a superset of d18's; primary geometry unchanged") {
+    // Adding second-assignment members to a cell only ADDS dominance
+    // opportunities — the original cell-mates keep their cdist — so
+    // every d18 drop must survive into d22, and d22's primary
+    // cell/centroid distance per vector must equal d18's.
+    val d18 = SparkEntry.queries("d18_semdedup")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val d22 = SparkEntry.queries("d22_semdedup_multicell")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(d18.map(_._1).toSeq == d22.map(_._1).toSeq)
+    d18.zip(d22).foreach { case ((id, cell, cd, _), (id2, cell2, cd2, _)) =>
+      assert(id == id2 && cell == cell2 && cd == cd2,
+        s"primary geometry drifted for vec $id")
+    }
+    val drop18 = d18.filter(!_._4).map(_._1).toSet
+    val drop22 = d22.filter(!_._4).map(_._1).toSet
+    assert(drop18.subsetOf(drop22),
+      s"d18 drops lost in d22: ${drop18 -- drop22}")
   }
 }

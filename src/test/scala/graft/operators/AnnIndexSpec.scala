@@ -378,6 +378,69 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(fetchDirs <= allCells, s"fetch listed $fetchDirs of $allCells dirs")
   }
 
+  test("rebuild retrains and cuts over atomically; appends replay across it") {
+    // Build on HALF the corpus, append the rest: codebooks are frozen at
+    // the half-corpus training, so the drifted index differs from a
+    // full-corpus build (the rebuild's reason to exist).
+    val all = Tables.embeddings(spark, sf())
+    val split = all.count() / 2
+    val dirA = Files.createTempDirectory("ann-reb-sub").toString
+    all.filter(col("vec_id") < split).write.parquet(s"$dirA/embeddings.parquet")
+    val root = Files.createTempDirectory("ann-reb").toString
+    AnnIndex.build(spark, dirA, root)
+    AnnIndex.append(spark, root,
+      all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding"))
+    val drifted = rows(AnnIndex.probeIvf(spark, root))
+    // The cutover: retrain on the corpus as it stands NOW. Every probe
+    // family must equal a one-shot fresh build on the full corpus.
+    AnnIndex.rebuild(spark, sf(), root)
+    val freshRoot = Files.createTempDirectory("ann-reb-fresh").toString
+    AnnIndex.build(spark, sf(), freshRoot)
+    assert(rows(AnnIndex.probeIvf(spark, root))
+      == rows(AnnIndex.probeIvf(spark, freshRoot)))
+    assert(rows(AnnIndex.probePq(spark, sf(), root))
+      == rows(AnnIndex.probePq(spark, sf(), freshRoot)))
+    assert(rows(AnnIndex.probeIvfPq(spark, sf(), root))
+      == rows(AnnIndex.probeIvfPq(spark, sf(), freshRoot)))
+    // The retrain was LIVE: the ivf family's trained cells differ from
+    // the half-corpus codebooks' (else the cutover tested nothing).
+    assert(rows(AnnIndex.probeIvf(spark, root)) != drifted,
+      "full-corpus retrain produced the half-corpus assignment — inert rebuild")
+    // Append replay across the cutover: the rebuilt index already holds
+    // every row, so re-appending the second half is a no-op.
+    val tables = Seq("ivf/codes", "pq/codes", "ivfpq/codes")
+    val before = tables.map(t => spark.read.parquet(s"$root/$t").count())
+    AnnIndex.append(spark, root,
+      all.filter(col("vec_id") >= split).select("vec_id", "label", "embedding"))
+    assert(tables.map(t => spark.read.parquet(s"$root/$t").count()) == before)
+    // No construction debris survives a completed rebuild.
+    val parent = new java.io.File(root).getParentFile
+    val base = new java.io.File(root).getName
+    assert(!new java.io.File(parent, s".${base}_rebuild_tmp").exists())
+    assert(!new java.io.File(parent, s".${base}_rebuild_bak").exists())
+
+    // Crash forged between the two publish renames (root missing, bak
+    // holding the old generation): the next rebuild heals and completes.
+    val hroot = new org.apache.hadoop.fs.Path(root)
+    val hfs = hroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hbak = new org.apache.hadoop.fs.Path(hroot.getParent,
+      s".${hroot.getName}_rebuild_bak")
+    assert(hfs.rename(hroot, hbak))
+    AnnIndex.rebuild(spark, sf(), root)
+    assert(rows(AnnIndex.probeIvf(spark, root))
+      == rows(AnnIndex.probeIvf(spark, freshRoot)))
+    assert(!new java.io.File(parent, s".${base}_rebuild_bak").exists())
+
+    // The swap serializes through the root's writer lease: a live
+    // holder makes rebuild fail fast, with the old root still serving.
+    val held = graft.WriterLease.acquire(spark, root, "spec-holder")
+    try {
+      intercept[IllegalStateException] { AnnIndex.rebuild(spark, sf(), root) }
+      assert(rows(AnnIndex.probeIvf(spark, root))
+        == rows(AnnIndex.probeIvf(spark, freshRoot)))
+    } finally held.release()
+  }
+
   test("streaming appends converge to the batch-append index") {
     val all = Tables.embeddings(spark, sf())
     val split = all.count() / 2
