@@ -385,6 +385,55 @@ object Multimodal extends OpModule {
     * candidates grow with bucket cohorts, never corpus-quadratically —
     * and the Hamming verification is a bit_count over the two 56-bit
     * words. */
+  /** m7's 56-bit dHash over an explicit value stream — the JVM twin of
+    * the op's codegen'd expression chain, arithmetic mirrored term for
+    * term (proportional 64-cell partition with floor boundaries, exact
+    * integer cell means, right-neighbor comparisons per grid row;
+    * PhashSpec pins the two paths bit-identical on forged payloads).
+    * ONE definition of the hash a real decoder plugs into: feed it
+    * pixels and it is a real dHash; feed it the stub code-point stream
+    * and it is the registered op. */
+  private[graft] def dHash56(codes: Array[Int]): Long = {
+    val n = codes.length.toLong
+    val g2 = PG * PG
+    val cells = Array.tabulate(g2) { k =>
+      val from = k * n / g2
+      val to = (k + 1) * n / g2
+      if (to > from) {
+        var s = 0L; var i = from
+        while (i < to) { s += codes(i.toInt); i += 1 }
+        s / (to - from)
+      } else 0L
+    }
+    var h = 0L
+    for (r <- 0 until PG; c <- 0 until PG - 1) {
+      val p = r * PG + c
+      if (cells(p + 1) > cells(p)) h |= 1L << (r * (PG - 1) + c)
+    }
+    h
+  }
+
+  /** The m2-seam production path for m7's hash: per-partition batched
+    * decode, REAL pixels when the payload is a recognized raster
+    * ([[MediaHeaders.decodeGray]] — row-major grayscale stream),
+    * the stub code-point stream otherwise. On text payloads this is
+    * bit-identical to the registered op's codegen'd form (PhashSpec
+    * pins it), so swapping a real decoder in changes WHAT is hashed,
+    * never HOW — banding, thresholds and the pair join downstream are
+    * untouched. Payloads under the length gate are dropped, exactly as
+    * the op's filter drops them. */
+  def phashPartition(rows: Iterator[MediaRaw]): Iterator[(Long, String, Long)] =
+    rows.flatMap { r =>
+      val codes = MediaHeaders.decodeGray(r.payload) match {
+        case Some((_, _, pix)) => pix
+        case None =>
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+      }
+      if (codes.length < PhashMinLen) None
+      else Some((r.doc_id, r.media_type, dHash56(codes)))
+    }
+
   val m7PhashPairs: Op = Op(
     "m7_media_phash_pairs", {
       val g2 = PG * PG
@@ -433,7 +482,14 @@ object Multimodal extends OpModule {
 
   /** m7's body (shared with the spec, which drives forged payloads
     * through the same plan). */
-  private[graft] def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsFrom(phashTable(spark, dir))
+
+  /** The op's codegen'd hash stage alone — (doc_id, media_type, ph),
+    * cached (the banded self-join reads it once per side). Exposed so
+    * PhashSpec can pin it bit-identical to the JVM [[phashPartition]]
+    * path on the same payloads. */
+  private[graft] def phashTable(spark: SparkSession, dir: String): DataFrame = {
     val g2 = PG * PG
     val docs = mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"),
@@ -464,11 +520,13 @@ object Multimodal extends OpModule {
       when(element_at(col("cells"), p + 2) > element_at(col("cells"), p + 1),
         lit(1L << (r * (PG - 1) + c))).otherwise(lit(0L))
     }).reduce(_ + _)
-    // Cached: the banded self-join reads the hashed projection once per
-    // side (fresh-expression-id rule, as d7).
-    val ph = cells
+    cells
       .select(col("doc_id"), col("media_type"), hashExpr.as("ph"))
       .cache()
+  }
+
+  /** m7's banding + pair tail over any (doc_id, media_type, ph) frame. */
+  private def phashPairsFrom(ph: DataFrame): DataFrame = {
     val bands = ph.select(
       col("doc_id"), col("media_type"), col("ph"),
       explode(array((0 until PhashBands).map(b =>
@@ -600,6 +658,153 @@ object MediaHeaders {
       parseJpeg(b)
     else None
   }
+
+  // ---- real pixel codecs (the m2 seam's decode step made real) -------
+
+  /** A COMPLETE 24-bpp uncompressed BMP carrying `pix` as grayscale
+    * pixels (value replicated into B,G,R), row-major top-down input,
+    * stored bottom-up with 4-byte row padding — the layout every
+    * uncompressed-BMP writer emits. */
+  def makeBmp24(width: Int, height: Int, pix: Array[Int]): Array[Byte] = {
+    require(pix.length == width * height, "pixel count != w*h")
+    val stride = (width * 3 + 3) / 4 * 4
+    val data = new Array[Byte](stride * height)
+    for (y <- 0 until height; x <- 0 until width) {
+      val v = (pix(y * width + x) & 0xff).toByte
+      val off = (height - 1 - y) * stride + x * 3 // bottom-up rows
+      data(off) = v; data(off + 1) = v; data(off + 2) = v
+    }
+    val total = 54 + data.length
+    "BM".getBytes("US-ASCII") ++ le32(total) ++ Array[Byte](0, 0, 0, 0) ++
+      le32(54) ++ le32(40) ++ le32(width) ++ le32(height) ++
+      le16(1) ++ le16(24) ++ Array.fill[Byte](24)(0) ++ data
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A COMPLETE 8-bit grayscale PNG carrying `pix`, every scanline
+    * encoded under `filter` (0 none / 1 sub / 2 up / 3 average /
+    * 4 paeth — the five standard type-0 filters, so the decoder's
+    * defilter paths are each forgeable), IDAT zlib-deflated. */
+  def makeGrayPng(width: Int, height: Int, pix: Array[Int],
+      filter: Int = 0): Array[Byte] = {
+    require(pix.length == width * height, "pixel count != w*h")
+    require(filter >= 0 && filter <= 4, "PNG filter type 0-4")
+    val raw = new Array[Byte]((width + 1) * height)
+    for (y <- 0 until height) {
+      raw(y * (width + 1)) = filter.toByte
+      for (x <- 0 until width) {
+        val cur = pix(y * width + x) & 0xff
+        val left = if (x > 0) pix(y * width + x - 1) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * width + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) pix((y - 1) * width + x - 1) & 0xff else 0
+        val enc = filter match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (width + 1) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val outLen = {
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end(); n
+    }
+    val idatData = buf.take(outLen)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val body = tag.getBytes("US-ASCII") ++ data
+      be32(data.length) ++ body ++ be32(crc32(body, 0, body.length))
+    }
+    val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 0, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode a recognized RASTER payload to its row-major grayscale
+    * pixel stream — the m2 seam's "real decoder", pure JVM: 24-bpp
+    * uncompressed BMP (bottom-up, stride-padded; gray = (r+g+b)/3
+    * exact integer) and 8-bit grayscale PNG (concatenated IDAT chunks
+    * inflated with java.util.zip, all five standard scanline filters
+    * inverted). None for anything else — truncated pixel data, other
+    * bit depths/color types, or a non-raster payload — so callers fall
+    * back to the stub stream rather than misread bytes. */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parse(b) match {
+      case Some(("bmp", w, h)) if w > 0 && h > 0 =>
+        // Only the exact layout makeBmp24 documents: 24 bpp (offset
+        // 28), BI_RGB compression 0 (offset 30), pixel data at the
+        // stated offset (offset 10) covering stride*h bytes.
+        val pixOff = readLe32(b, 10)
+        val stride = (w * 3 + 3) / 4 * 4
+        if (readLe16(b, 28) != 24 || readLe32(b, 30) != 0
+            || pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length)
+          None
+        else Some((w, h, Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val off = pixOff + (h - 1 - y) * stride + x * 3
+          ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) / 3
+        }))
+      case Some(("png", w, h)) if w > 0 && h > 0 =>
+        // 8-bit grayscale only (IHDR depth 8, color type 0).
+        if (b(24) != 8 || b(25) != 0) return None
+        // Walk chunks, concatenating IDAT payloads (encoders may split).
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8
+        var ok = true
+        while (ok && off + 8 <= b.length) {
+          val len = readBe32(b, off)
+          if (len < 0 || off + 12 + len > b.length) ok = false
+          else {
+            val tag = new String(b, off + 4, 4, "US-ASCII")
+            if (tag == "IDAT") idat.write(b, off + 8, len)
+            off += 12 + len
+            if (tag == "IEND") off = b.length // done
+          }
+        }
+        if (!ok || idat.size() == 0) return None
+        val raw = new Array[Byte]((w + 1) * h)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val got = try {
+          var n = 0
+          while (!inf.finished() && n < raw.length && !inf.needsInput())
+            n += inf.inflate(raw, n, raw.length - n)
+          n
+        } catch { case _: java.util.zip.DataFormatException => -1 }
+        finally inf.end()
+        if (got != raw.length) return None
+        // Invert the per-scanline filter (bpp = 1 byte for gray8).
+        val pix = new Array[Int](w * h)
+        for (y <- 0 until h) {
+          val f = raw(y * (w + 1)) & 0xff
+          if (f > 4) return None
+          for (x <- 0 until w) {
+            val enc = raw(y * (w + 1) + 1 + x) & 0xff
+            val left = if (x > 0) pix(y * w + x - 1) else 0
+            val up = if (y > 0) pix((y - 1) * w + x) else 0
+            val ul = if (x > 0 && y > 0) pix((y - 1) * w + x - 1) else 0
+            pix(y * w + x) = f match {
+              case 0 => enc
+              case 1 => (enc + left) & 0xff
+              case 2 => (enc + up) & 0xff
+              case 3 => (enc + (left + up) / 2) & 0xff
+              case 4 => (enc + paeth(left, up, ul)) & 0xff
+            }
+          }
+        }
+        Some((w, h, pix))
+      case _ => None
+    }
 
   /** A canonical 44-byte PCM WAV header plus a zero-filled data chunk of
     * `nSamples` frames — the exact RIFF layout every encoder emits:

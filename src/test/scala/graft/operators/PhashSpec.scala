@@ -71,4 +71,75 @@ class PhashSpec extends SparkSpecBase {
         s"base U+${base.toHexString}: ${got.mkString(",")}")
     }
   }
+
+  test("m7 seam: the JVM hash path is bit-identical to the op's codegen'd form") {
+    import spark.implicits._
+    // The production decode path (phashPartition) must reproduce the
+    // registered op's hashes EXACTLY on stub (text) payloads — that
+    // equality is what makes a real pixel decoder a drop-in: it changes
+    // WHAT is hashed, never HOW. Forged payloads cover ASCII, 2-byte
+    // and 3-byte code points, ragged lengths (cells of unequal width —
+    // the floor-boundary arithmetic), and the length gate.
+    def gridText(baseCp: Int)(cell: Int => Int): String =
+      (0 until 64).flatMap(k =>
+        Character.toChars(baseCp + cell(k)).toSeq ++
+          Character.toChars(baseCp + cell(k)).toSeq).mkString
+    val docs = Seq(
+      0L -> gridText(0x28)(k => 40 + k),
+      3L -> gridText(0x100)(k => if (k == 1) 40 else 40 + k),
+      6L -> gridText(0x4E00)(k => 103 - k),
+      9L -> (0 until 157).map(i => ('a' + i % 26).toChar).mkString, // ragged: 157 % 64 != 0
+      12L -> "short-gated")
+    val dir = java.nio.file.Files.createTempDirectory("graft-m7jvm").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sql = Multimodal.phashTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val jvm = Multimodal.mediaTable(spark, dir)
+      .as[Multimodal.MediaRaw].mapPartitions(Multimodal.phashPartition)
+      .collect().toSet
+    assert(sql.nonEmpty && sql == jvm, s"sql=$sql\njvm=$jvm")
+    assert(!jvm.exists(_._1 == 12L), "length gate diverged")
+  }
+
+  test("m7 seam: real BMP/PNG pixels decode exactly and hash with locality") {
+    // The same hand-derivable 64-cell geometry as the text forges, now
+    // as REAL image payloads: a 16×8 grayscale image whose row-major
+    // stream puts two pixels in each dHash cell. The decoders must
+    // recover the pixel grid exactly (BMP through the stride-padded
+    // bottom-up layout; PNG through inflate + each of the five scanline
+    // filters), both containers must hash to the SAME ph
+    // (container-independence), and a one-cell perturbation must land
+    // at Hamming exactly 1 — the locality property over real pixels.
+    val w = 16; val h = 8
+    val grid = (0 until 64).flatMap(k => Seq(40 + k, 40 + k)).toArray
+    val bmp = MediaHeaders.makeBmp24(w, h, grid)
+    assert(MediaHeaders.decodeGray(bmp).exists {
+      case (dw, dh, pix) => dw == w && dh == h && pix.sameElements(grid) },
+      "BMP pixel round-trip failed")
+    for (f <- 0 to 4) {
+      val png = MediaHeaders.makeGrayPng(w, h, grid, filter = f)
+      assert(MediaHeaders.decodeGray(png).exists {
+        case (dw, dh, pix) => dw == w && dh == h && pix.sameElements(grid) },
+        s"PNG filter $f pixel round-trip failed")
+    }
+    def ph(payload: Array[Byte]): Long =
+      Multimodal.phashPartition(Iterator(
+        Multimodal.MediaRaw(0L, "image", payload))).next()._3
+    val phBmp = ph(bmp)
+    assert(phBmp == ph(MediaHeaders.makeGrayPng(w, h, grid, filter = 4)),
+      "containers of the same pixels hashed differently")
+    // All-ascending cells → all 56 comparison bits set; the perturbed
+    // image (cell 1 lowered to 40) flips exactly bit 0.
+    assert(phBmp == (1L << 56) - 1, s"expected all-ones hash, got $phBmp")
+    val pert = grid.clone(); pert(2) = 40; pert(3) = 40 // cell 1 = stream 2..3
+    assert(java.lang.Long.bitCount(phBmp ^ ph(MediaHeaders.makeBmp24(w, h, pert))) == 1,
+      "one-cell pixel perturbation did not land at Hamming 1")
+    // A paletted/odd payload falls back to the stub stream, not a
+    // misread: 16-bpp BMPs and non-gray PNGs are refused by decodeGray.
+    assert(MediaHeaders.decodeGray(MediaHeaders.make("bmp", 4, 4)).isEmpty,
+      "a header-only BMP (no pixel data) must not decode")
+    assert(MediaHeaders.decodeGray(MediaHeaders.make("png", 4, 4)).isEmpty,
+      "an RGB header-only PNG must not decode as gray8")
+  }
 }
