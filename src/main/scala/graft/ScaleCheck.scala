@@ -274,6 +274,11 @@ object ScaleCheck {
       // so banding recall on borderline pairs differs per replica (the
       // d2 minhash caveat) — the probe grades wall growth, not recall.
       "m7_media_phash_pairs",
+      // Applied-index census: ensureApplied amortizes the one-time
+      // apply (index build + plan + purge + re-index) into the warm-up
+      // run; the timed runs measure the steady-state census read —
+      // shingles + pairs of the applied index, linear by design.
+      "d21_apply_action_plan",
       "q3_star_join", "q8_pivot", "q10_topk_per_group", "q18_sessionize")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.sharedState.cacheManager.clearCache()
@@ -366,13 +371,44 @@ object ScaleCheck {
       // row — linear BY DESIGN (the d18 training cost is what the
       // probe deletes), so no flat expectation.
       ("d20_semdedup_probe",
-        root => AnnIndex.probeSemDedup(spark, root), false))
+        root => AnnIndex.probeSemDedup(spark, root), false),
+      // Multi-assignment semantic dedup from the index: same linear-by-
+      // design shape as d20 (every vector gets a verdict row) plus the
+      // top-2 literal assignment — the scaled build's kc grows with the
+      // corpus, so this also probes nearest2Ids at factor× entries.
+      ("d23_semdedup_multicell_probe",
+        root => AnnIndex.probeSemDedupMulti(spark, root), false))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))
       val base = (1 to 2).map(_ => timeDf(mk(baseRoot))).min
       timeDf(mk(scaledRoot))
       val big = (1 to 2).map(_ => timeDf(mk(scaledRoot))).min
       val line = probeLine(name, base, big, expectFlat)
+      println(line)
+      line
+    }
+    // c6 at its production shape: BOTH storage artifacts — the persisted
+    // d2 pair table and the ANN index — built once per corpus (the
+    // amortized cost every index probe excludes), timed runs measuring
+    // the census read path. The scaled side reuses the scaled-cells
+    // index above, so the semantic stage rides cells ∝ n.
+    val c6Line = {
+      import graft.operators.Curation
+      def pairsFor(dir: String): String = {
+        val out = s"$scaled/pairs_${new java.io.File(dir).getName}"
+        Curation.persistNearDupPairs(spark, dir, out)
+        out
+      }
+      val basePairs = pairsFor(sfDir)
+      val scaledPairs = pairsFor(scaled)
+      def run(dir: String, pairs: String, root: String): Double =
+        timeDf(Curation.fromPersisted(spark, dir, pairs).semanticCensus(root))
+      run(sfDir, basePairs, baseRoot)
+      val base = (1 to 2).map(_ => run(sfDir, basePairs, baseRoot)).min
+      run(scaled, scaledPairs, scaledRoot)
+      val big = (1 to 2).map(_ => run(scaled, scaledPairs, scaledRoot)).min
+      val line = probeLine("c6_semantic_curation_served", base, big,
+        expectFlat = false)
       println(line)
       line
     }
@@ -459,7 +495,7 @@ object ScaleCheck {
           .map(deepProbe)
         docLines ++ relLines
       }
-    val json = (lines ++ probeLines ++ Seq(d18Line) ++ deepLines)
+    val json = (lines ++ probeLines ++ Seq(c6Line, d18Line) ++ deepLines)
       .mkString("[", ",\n", "]")
     Files.write(Paths.get("SCALECHECK.json"), json.getBytes(StandardCharsets.UTF_8))
     } finally {
