@@ -244,6 +244,51 @@ class OlapSusSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("star-schema scans: dt partitions prune; dim predicates push into parquet") {
+    // The §2.10 scan-audit pin for the warehouse side (the twin of the
+    // index probes' pruned-directory pins): the dt-partitioned facts
+    // must answer day-scoped reads through PARTITION pruning, and the
+    // serving pack's dimension predicates must reach the parquet scans
+    // as PushedFilters — a star join that filters post-scan re-reads
+    // the full dimension at every query, which at warehouse scale is
+    // the difference between an index lookup and a table sweep.
+    import org.apache.spark.sql.functions.col
+    Pipeline.ingestSim(wh, simCsv, "2020-01-15") // idempotent if run alone
+    Pipeline.ingestSim(wh, simCsv, "2020-01-16") // second day: pruning observable
+    val day = wh.table("factObitos").where(col("dt") === "2020-01-15")
+    val dayPlan = day.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(dayPlan).isDefined,
+      "dt filter did not become a partition filter:\n" + dayPlan.take(1200))
+    // The pruning is real: the day read scans strictly fewer files than
+    // the whole fact table (two ingested days on disk).
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val allFiles = filesScanned(wh.table("factObitos"))
+    assert(filesScanned(day) < allFiles,
+      s"day read scanned all $allFiles fact files — no partition pruning")
+    // Serving pack: the city/year and familia predicates reach the dim
+    // scans as pushed filters, and every dim join stays hash-based.
+    val slice = ServingQueries.sliceAndDice(wh, "São Carlos", 2019, 2021)
+    val slicePlan = slice.queryExecution.executedPlan.toString
+    assert(slicePlan.contains("PushedFilters:")
+        && "PushedFilters: \\[[^\\]]*nome_municipio".r.findFirstIn(slicePlan).isDefined,
+      "city equality not pushed into the municipio dim scan:\n" + slicePlan.take(1500))
+    assert("PushedFilters: \\[[^\\]]*ano".r.findFirstIn(slicePlan).isDefined,
+      "year bounds not pushed into the date dim scan:\n" + slicePlan.take(1500))
+    val top10 = ServingQueries.top10CausesByOccupation(wh, "TRABALHADORES")
+    val topPlan = top10.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*descricao_familia".r.findFirstIn(topPlan).isDefined,
+      "familia equality not pushed into the CBO dim scan:\n" + topPlan.take(1500))
+    for ((name, p) <- Seq(("slice", slicePlan), ("top10", topPlan))) {
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("SortMergeJoin"), s"$name lost its hash joins")
+    }
+  }
+
   test("landing listing + ingest work through a non-local FileSystem scheme") {
     // Register a distinct URI scheme whose FileSystem is resolved via
     // Hadoop's fs.<scheme>.impl mechanism — the same resolution path an
