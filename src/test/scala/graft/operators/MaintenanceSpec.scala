@@ -104,16 +104,60 @@ class MaintenanceSpec extends SparkSpecBase {
       spark.read.parquet(s"$c1/_apply_staging/plan").select("doc_id"))
     assert(Maintenance.applyPlan(spark, sf(), c1) != null)
     assert(state(c1) == want)
-    // Crash point 2: staged, removed AND purged — died before the
-    // trimmed docs were re-indexed.
+    // Crash point 2: staged, removed, and died MID-PURGE — one table
+    // already rewritten without the tombstoned rows, the others and the
+    // tombstone table (the commit point) still in place. The replayed
+    // purge's anti-join re-runs as a no-op on the rewritten table and
+    // completes the rest.
     val c2 = Files.createTempDirectory("maint-crash2").toString
     NearDupIndex.addDocuments(spark, docs, c2)
     Maintenance.stagePlan(spark, sf(), c2)
     NearDupIndex.remove(spark, c2,
       spark.read.parquet(s"$c2/_apply_staging/plan").select("doc_id"))
-    NearDupIndex.purgeTombstones(spark, c2)
+    val tomb = spark.read.parquet(s"$c2/tombstones").select("doc_id")
+    graft.olapsus.Warehouse.rewritePath(spark, s"$c2/bands", 128L * 1024 * 1024,
+      df => df.join(org.apache.spark.sql.functions.broadcast(tomb),
+        Seq("doc_id"), "anti"))
     Maintenance.applyPlan(spark, sf(), c2)
     assert(state(c2) == want)
+    // Crash point 3: staged, removed AND fully purged — died before the
+    // trimmed docs were re-indexed.
+    val c3 = Files.createTempDirectory("maint-crash3").toString
+    NearDupIndex.addDocuments(spark, docs, c3)
+    Maintenance.stagePlan(spark, sf(), c3)
+    NearDupIndex.remove(spark, c3,
+      spark.read.parquet(s"$c3/_apply_staging/plan").select("doc_id"))
+    NearDupIndex.purgeTombstones(spark, c3)
+    Maintenance.applyPlan(spark, sf(), c3)
+    assert(state(c3) == want)
+  }
+
+  test("applyPlan's embedding side drops the dropped docs' vectors") {
+    // vec_id ≡ doc_id for this corpus: the plan's DROPS must leave the
+    // ANN index (trims keep their vectors — re-embedding edited text is
+    // an upstream model call, the documented seam), and the purge must
+    // be physical. Probes keep serving afterwards.
+    val root = Files.createTempDirectory("maint-ann-apply").toString
+    NearDupIndex.addDocuments(spark, Tables.documents(spark, sf()), root)
+    val annRoot = Files.createTempDirectory("maint-ann-apply-idx").toString
+    AnnIndex.build(spark, sf(), annRoot)
+    val census = Maintenance.applyPlan(spark, sf(), root, Some(annRoot))
+    assert(census("dropped_docs") > 0)
+    val allVecs = Tables.embeddings(spark, sf())
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val plan = Dedup.actionPlanFrom(spark, sf(), Dedup.d2Pairs(spark, sf()))
+      .filter(col("action").startsWith("drop")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val droppedVecs = plan.intersect(allVecs)
+    assert(droppedVecs.nonEmpty, "no dropped doc has a vector — vacuous case")
+    val left = spark.read.parquet(s"$annRoot/pq/codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(droppedVecs.intersect(left).isEmpty,
+      s"dropped vectors still indexed: ${droppedVecs.intersect(left).take(5)}")
+    assert((allVecs -- plan).subsetOf(left), "a kept vector was purged")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(annRoot, "tombstones")))
+    assert(AnnIndex.probeIvf(spark, annRoot).count() > 0)
   }
 
   test("near-dup remove is immediately visible; purge is physical; replays no-op") {
