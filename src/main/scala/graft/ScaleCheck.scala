@@ -377,7 +377,19 @@ object ScaleCheck {
       // top-2 literal assignment — the scaled build's kc grows with the
       // corpus, so this also probes nearest2Ids at factor× entries.
       ("d23_semdedup_multicell_probe",
-        root => AnnIndex.probeSemDedupMulti(spark, root), false))
+        root => AnnIndex.probeSemDedupMulti(spark, root), false),
+      // External-query search: a fixed request batch against a K×
+      // corpus under cells ∝ n — the serving read is cell-pruned, so
+      // flat is the expectation (the vector-store latency contract).
+      ("s20_ann_external_query_search", root => {
+        val dir = if (root == baseRoot) sfDir else scaled
+        val q = graft.Tables.embeddings(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.NQ)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.reverse(
+              org.apache.spark.sql.functions.col("embedding")).as("embedding"))
+        AnnIndex.searchIvf(spark, root, q)
+      }, true))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))
       val base = (1 to 2).map(_ => timeDf(mk(baseRoot))).min

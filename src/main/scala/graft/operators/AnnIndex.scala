@@ -1107,6 +1107,101 @@ object AnnIndex extends OpModule {
     probeSemDedup(spark, root)
   })
 
+  /** External-query IVF search — the request shape a vector store
+    * actually serves: top-k cosine neighbors for ARBITRARY query
+    * vectors, not corpus rows (every s-family op so far asks with
+    * vec_id < NQ corpus vectors; a real serving layer is handed new
+    * embeddings). `queries` = (id, embedding float array), DRIVER-
+    * BOUNDED by contract like every probe head — a serving layer
+    * answers per-request batches; corpus×corpus questions belong to
+    * the s-family probes and the dedup family. Each query is
+    * quantized, assigned to its nearest stored centroid driver-side,
+    * and the candidate read prunes to the UNION of assigned cell
+    * DIRECTORIES (the v8 bounded-listing rule); candidates ride one
+    * broadcast probe join — no corpus shuffle, no training, and the
+    * tombstone filter applies like every index read. External queries
+    * have no corpus identity, so every indexed vector is a legal
+    * neighbor (no self-exclusion). */
+  def searchIvf(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = Similarity.K): DataFrame = {
+    import spark.implicits._
+    val cent = readCentroids(spark, s"$root/ivf/centroids")
+    val idCol = queries.columns.head
+    val vecCol = queries.columns(1)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.functions.VectorFns.quantize(col(vecCol)).as("q_qv"))
+      .collect() // bounded by the serving contract: one request batch
+      .map { r =>
+        val qv = r.getSeq[Long](1).toArray
+        (r.getLong(0), qv.toSeq, Similarity.dotL(qv, qv),
+          Similarity.nearestIdL(qv, cent))
+      }
+    val cells = q.map(_._4).distinct.sorted.toSeq
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivf/codes", cells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
+      .filter(col("cid").isin(cells: _*))
+    val qDf = broadcast(q.toSeq.toDF("query_id", "q_qv", "q_nrm", "q_cid"))
+    val pairs = codes.join(qDf, col("cid") === col("q_cid"))
+      .withColumn("cos", graft.functions.VectorFns.cosine(
+        graft.functions.VectorFns.dot(col("q_qv"), col("qv")),
+        col("q_nrm"), col("nrm")))
+    Similarity.topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cid").as("cell"), col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s20: [[searchIvf]] oracle-checked with DERIVED query vectors —
+    * each query is the dimension-REVERSED embedding of a head corpus
+    * row, so DuckDB can mirror the exact vectors (list_reverse) while
+    * the vectors themselves are genuinely foreign to the index (a
+    * reversed vector shares only its norm with its source). The oracle
+    * assigns each query to its nearest Lloyd centroid with the same
+    * (distance, cid) tie rule and ranks exact cosine within the cell. */
+  val s20ExternalSearch: Op = Op(
+    "s20_ann_external_query_search",
+    Some(s"""
+      WITH ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      q AS (
+        SELECT vec_id AS query_id, list_reverse(qv) AS q_qv, nrm AS q_nrm
+        FROM af WHERE vec_id < ${Similarity.NQ}
+      ),
+      qd AS (
+        SELECT q.query_id, q.q_qv, q.q_nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ${graft.functions.VectorFns.duckNorm2("c.cv")}
+                   - 2 * (${graft.functions.VectorFns.duckDot("q.q_qv", "c.cv")}),
+                 c.cid) AS rk
+        FROM q CROSS JOIN ${Similarity.duckLloydCentTbl} c
+      ),
+      qa AS (SELECT query_id, q_qv, q_nrm, cid FROM qd WHERE rk = 1),
+      pairs AS (
+        SELECT qa.query_id, a.vec_id, qa.cid,
+               CAST(${graft.functions.VectorFns.duckDot("qa.q_qv", "a.qv")} AS DOUBLE)
+                 / (sqrt(CAST(qa.q_nrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+        FROM qa JOIN af a ON a.cid = qa.cid
+      ),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, vec_id AS neighbor_id, CAST(cid AS BIGINT) AS cell,
+             CAST(rnk AS INTEGER) AS rnk, cos AS cosine
+      FROM ranked WHERE rnk <= ${Similarity.K}
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    val queries = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.NQ)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    searchIvf(spark, root, queries)
+  })
+
   /** d22 served from the persisted index (the d18→d20 move applied to
     * the multi-assignment variant): stored vectors + stored centroids,
     * the second assignment computed at probe time by the SAME
@@ -1157,5 +1252,5 @@ object AnnIndex extends OpModule {
   override def ops: Seq[Op] =
     Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe,
       s18PqRerankProbe, s19IvfPqRerankProbe, d20SemDedupProbe,
-      d23SemDedupMultiProbe)
+      d23SemDedupMultiProbe, s20ExternalSearch)
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Similarity extends OpModule {
 
   private[operators] val K = 5
-  private[operators] val NQ = 10 // query set: vec_id < 10
+  private[graft] val NQ = 10 // query set: vec_id < 10
 
   /** Per-query top-k as a rank-filtered window. The NQ-partition funnel
     * this APPEARS to create is not one: Spark's InferWindowGroupLimit

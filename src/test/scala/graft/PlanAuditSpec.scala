@@ -376,6 +376,21 @@ class PlanAuditSpec extends SparkSpecBase {
       "census degraded to an all-pairs comparison:\n" + p.take(1500))
   }
 
+  test("s20: external-query search — broadcast probe join over pruned cells, group-limited") {
+    // The candidate side joins ONLY through the broadcast query batch
+    // (no corpus shuffle), the top-k window carries its group limit,
+    // and nothing trains (the query side's bounded head read is a
+    // collect at plan build, not part of this plan).
+    val p = plan("s20_ann_external_query_search")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+        && !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      "external search degraded to a shuffled or all-pairs join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k lost its group limit:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "search plan contains an aggregate (training crept in):\n" + p.take(1500))
+  }
+
   test("d23 probe: dominance-only multi-assignment — no Lloyd, no raw scan, no window") {
     // The d20 contract extended to the multi-assignment variant: the
     // second cell comes from one codegen'd projection over the STORED

@@ -365,6 +365,15 @@ class AnnIndexSpec extends SparkSpecBase {
     assertPruned(s18, "ivf/codes")
     val s19 = AnnIndex.probeIvfPqRerank(spark, sf(), root)
     assertPruned(s19, "ivf/codes")
+    // External-query search: the candidate side must read pruned cell
+    // directories too (the query side is a bounded head read of the
+    // corpus table, which legitimately appears in the collect phase,
+    // never in this returned plan).
+    val extQ = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < Similarity.NQ)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.reverse(col("embedding")).as("embedding"))
+    assertPruned(AnnIndex.searchIvf(spark, root, extQ), "ivf/codes")
     // fid pointer integrity: every neighbor a rerank returns was
     // readable through its pruned directory, so the exact cosines must
     // match the inline s17 for the same (query, neighbor) pairs — a
@@ -439,6 +448,28 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(rows(AnnIndex.probeIvf(spark, root))
         == rows(AnnIndex.probeIvf(spark, freshRoot)))
     } finally held.release()
+  }
+
+  test("external-query search: an exact corpus copy retrieves itself at rank 1") {
+    // The retrieval sanity every vector store owes: querying with a
+    // vector IDENTICAL to an indexed one must return that vector first
+    // at cosine exactly 1.0 (external queries have no corpus identity,
+    // so self-retrieval is the expected behavior, not an exclusion) —
+    // and a query that is NOT a corpus row (the reversed head) must
+    // answer from its assigned cell without crashing or padding.
+    val root = Files.createTempDirectory("ann-ext").toString
+    AnnIndex.build(spark, sf(), root)
+    val twin = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") === 20L)
+      .select((col("vec_id") * 1000).as("qid"), col("embedding"))
+    val got = AnnIndex.searchIvf(spark, root, twin).collect()
+    assert(got.nonEmpty)
+    val first = got.head
+    assert(first.getLong(0) == 20000L && first.getLong(1) == 20L
+      && first.getInt(3) == 1 && math.abs(first.getDouble(4) - 1.0) < 1e-12,
+      s"exact twin not retrieved at rank 1 / cosine 1.0: ${got.take(3).mkString(",")}")
+    // Every answered row sits in the query's one assigned cell.
+    assert(got.map(_.getLong(2)).distinct.length == 1)
   }
 
   test("streaming appends converge to the batch-append index") {
