@@ -720,8 +720,14 @@ object AnnIndex extends OpModule {
         case Some(t0) =>
           val t = t0.cache()
           t.count() // pin the set before the rewrites mutate anything
+          // Re-select after the USING join: the join key moves to the
+          // front of the output, and a purged file written with
+          // reordered columns would diverge physically from its
+          // untouched siblings (readers merge by name, but one table
+          // should not carry two column layouts).
           def minus(df: DataFrame): DataFrame =
             df.join(broadcast(t), Seq("vec_id"), "anti")
+              .select(df.columns.map(col): _*)
           val f = fs(spark, root)
           // Partitioned families: rewrite only the touched cid subtrees.
           val partitioned = Seq("ivf/codes", "ivf_seeded/codes", "ivfpq/codes")
@@ -1137,6 +1143,16 @@ object AnnIndex extends OpModule {
         (r.getLong(0), qv.toSeq, Similarity.dotL(qv, qv),
           Similarity.nearestIdL(qv, cent))
       }
+    // An empty request batch answers zero rows, not a crash (readPruned
+    // requires a non-empty prune set — the rerankFetch empty-candidate
+    // rule).
+    if (q.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cell", LongType), StructField("rnk", IntegerType),
+          StructField("cosine", DoubleType))))
     val cells = q.map(_._4).distinct.sorted.toSeq
     val codes = live(spark, root,
       readPruned(spark, s"$root/ivf/codes", cells.map(c => s"cid=$c"))

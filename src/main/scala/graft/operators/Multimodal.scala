@@ -424,14 +424,19 @@ object Multimodal extends OpModule {
     * the op's filter drops them. */
   def phashPartition(rows: Iterator[MediaRaw]): Iterator[(Long, String, Long)] =
     rows.flatMap { r =>
-      val codes = MediaHeaders.decodeGray(r.payload) match {
-        case Some((_, _, pix)) => pix
-        case None =>
-          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-            .codePoints().toArray
+      // A null payload is dropped exactly as the op's isNotNull filter
+      // drops a null text — never decoded, never hashed.
+      if (r.payload == null) None
+      else {
+        val codes = MediaHeaders.decodeGray(r.payload) match {
+          case Some((_, _, pix)) => pix
+          case None =>
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+              .codePoints().toArray
+        }
+        if (codes.length < PhashMinLen) None
+        else Some((r.doc_id, r.media_type, dHash56(codes)))
       }
-      if (codes.length < PhashMinLen) None
-      else Some((r.doc_id, r.media_type, dHash56(codes)))
     }
 
   val m7PhashPairs: Op = Op(

@@ -470,6 +470,9 @@ class AnnIndexSpec extends SparkSpecBase {
       s"exact twin not retrieved at rank 1 / cosine 1.0: ${got.take(3).mkString(",")}")
     // Every answered row sits in the query's one assigned cell.
     assert(got.map(_.getLong(2)).distinct.length == 1)
+    // An empty request batch answers zero rows, not a crash (the
+    // rerankFetch empty-candidate rule).
+    assert(AnnIndex.searchIvf(spark, root, twin.limit(0)).count() == 0)
   }
 
   test("streaming appends converge to the batch-append index") {

@@ -89,7 +89,8 @@ class PhashSpec extends SparkSpecBase {
       3L -> gridText(0x100)(k => if (k == 1) 40 else 40 + k),
       6L -> gridText(0x4E00)(k => 103 - k),
       9L -> (0 until 157).map(i => ('a' + i % 26).toChar).mkString, // ragged: 157 % 64 != 0
-      12L -> "short-gated")
+      12L -> "short-gated",
+      15L -> (null: String)) // null payload: dropped on BOTH paths
     val dir = java.nio.file.Files.createTempDirectory("graft-m7jvm").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
@@ -100,6 +101,7 @@ class PhashSpec extends SparkSpecBase {
       .collect().toSet
     assert(sql.nonEmpty && sql == jvm, s"sql=$sql\njvm=$jvm")
     assert(!jvm.exists(_._1 == 12L), "length gate diverged")
+    assert(!jvm.exists(_._1 == 15L), "null-payload gate diverged")
   }
 
   test("m7 seam: real BMP/PNG pixels decode exactly and hash with locality") {
