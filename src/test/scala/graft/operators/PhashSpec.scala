@@ -72,6 +72,31 @@ class PhashSpec extends SparkSpecBase {
     }
   }
 
+  test("m7: saturated band buckets are skipped; unsaturated pairs survive") {
+    import spark.implicits._
+    // 1100 byte-identical payloads share every band — each bucket holds
+    // 1100 > PhashBandCap members, pure key-space saturation (byte
+    // clones are exact-dedup's job, d1/m1, not a perceptual hash's) —
+    // so NO pair among them may surface; the small locality pair from
+    // the first test (buckets of size ≤ 2) must still pair at
+    // Hamming 1. Pins the cap fires on saturation only, on both
+    // engines' mirrored arithmetic (the d14 df-cap rule).
+    assert(Multimodal.PhashBandCap < 1100)
+    def gridText(cell: Int => Int): String =
+      (0 until 64).flatMap(k => Seq(cell(k).toChar, cell(k).toChar)).mkString
+    val clones = (0 until 1100).map(i => (100L + 3 * i) -> gridText(k => 103 - k))
+    val docs = Seq(
+      0L -> gridText(k => 40 + k),
+      3L -> gridText(k => if (k == 1) 40 else 40 + k)) ++ clones
+    val dir = java.nio.file.Files.createTempDirectory("graft-m7cap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 3L, "image", 1)),
+      s"expected only the unsaturated pair: ${got.take(5).mkString(",")} (${got.length} rows)")
+  }
+
   test("m7 seam: the JVM hash path is bit-identical to the op's codegen'd form") {
     import spark.implicits._
     // The production decode path (phashPartition) must reproduce the
