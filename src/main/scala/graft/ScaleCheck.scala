@@ -389,6 +389,18 @@ object ScaleCheck {
             org.apache.spark.sql.functions.reverse(
               org.apache.spark.sql.functions.col("embedding")).as("embedding"))
         AnnIndex.searchIvf(spark, root, q)
+      }, true),
+      // Filtered external search: the same fixed batch with labels —
+      // cells × bucket dirs pruned, flat expected like s20/s15.
+      ("s21_ann_external_filtered_search", root => {
+        val dir = if (root == baseRoot) sfDir else scaled
+        val q = graft.Tables.embeddings(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.NQ)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.reverse(
+              org.apache.spark.sql.functions.col("embedding")).as("embedding"),
+            org.apache.spark.sql.functions.col("label"))
+        AnnIndex.searchIvfFiltered(spark, root, q)
       }, true))
     val probeLines = probes.map { case (name, mk, expectFlat) =>
       timeDf(mk(baseRoot))

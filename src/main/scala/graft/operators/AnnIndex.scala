@@ -1218,6 +1218,123 @@ object AnnIndex extends OpModule {
     searchIvf(spark, root, queries)
   })
 
+  /** [[searchIvf]] under a metadata predicate — the request a vector
+    * store serves MOST: top-k among candidates sharing the query's
+    * label, for arbitrary query vectors. `queries` = (id, embedding,
+    * label), driver-bounded like every request batch. PRE-filter
+    * semantics by construction (the label is part of the join
+    * condition, so ranking happens after filtering — the s14 rule);
+    * the candidate read prunes the query cells' DIRECTORIES, the lb
+    * bucket membership prunes bucket subdirectories at planning (the
+    * buckets come from ONE tiny local job through the SAME
+    * [[labelBucket]] column the build uses — no driver-side mirror to
+    * drift), and the exact label equality pushes into the parquet scan
+    * as a data filter. */
+  def searchIvfFiltered(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = Similarity.K): DataFrame = {
+    val cent = readCentroids(spark, s"$root/ivf/centroids")
+    val Seq(idCol, vecCol, labCol) = queries.columns.take(3).toSeq
+    // The label keeps its INPUT type end-to-end (the index stores it
+    // natively; a lossy cast here would change the output schema and
+    // break the pushed equality's row-group stats).
+    val labType = queries.schema(labCol).dataType
+    val collected = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.functions.VectorFns.quantize(col(vecCol)).as("q_qv"),
+        col(labCol).as("q_label"),
+        labelBucket(col(labCol)).as("q_lb"))
+      .collect() // bounded by the serving contract: one request batch
+    val qSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("q_qv", ArrayType(LongType)),
+      StructField("q_nrm", LongType), StructField("q_cid", LongType),
+      StructField("q_label", labType), StructField("q_lb", IntegerType)))
+    val qRows = collected.map { r =>
+      val qv = r.getSeq[Long](1).toArray
+      Row(r.getLong(0), qv.toSeq, Similarity.dotL(qv, qv),
+        Similarity.nearestIdL(qv, cent), r.get(2), r.getInt(3))
+    }
+    if (qRows.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("label", labType),
+          StructField("neighbor_id", LongType), StructField("cell", LongType),
+          StructField("rnk", IntegerType), StructField("cosine", DoubleType))))
+    val cells = qRows.map(_.getLong(3)).distinct.sorted.toSeq
+    val buckets = qRows.map(_.getInt(5)).distinct.sorted.toSeq
+    val labels = qRows.map(_.get(4)).distinct.toSeq
+    val codes = live(spark, root,
+      readPruned(spark, s"$root/ivf/codes", cells.map(c => s"cid=$c"))
+        .withColumn("cid", col("cid").cast("long")))
+      .filter(col("cid").isin(cells: _*) && col("lb").isin(buckets: _*)
+        && col("label").isin(labels: _*))
+    val qDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema))
+    val pairs = codes.join(qDf,
+        col("cid") === col("q_cid") && col("label") === col("q_label"))
+      .withColumn("cos", graft.functions.VectorFns.cosine(
+        graft.functions.VectorFns.dot(col("q_qv"), col("qv")),
+        col("q_nrm"), col("nrm")))
+    Similarity.topKPerQuery(pairs, Seq(col("cos").desc, col("vec_id")), k)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("rnk"), col("cos").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s21: [[searchIvfFiltered]] oracle-checked with the s20 derivation
+    * — reversed head embeddings as foreign query vectors, each carrying
+    * its SOURCE row's label as the filter ("neighbors like this new
+    * vector, same category"). The oracle assigns queries to cells like
+    * s20's and adds the label equality to the pair join (the s15
+    * pre-filter mirror: labels re-joined from `n`, which carries them). */
+  val s21ExternalFilteredSearch: Op = Op(
+    "s21_ann_external_filtered_search",
+    Some(s"""
+      WITH ${Similarity.duckVecs()},
+      ${Similarity.duckLloydChain()},
+      q AS (
+        SELECT vec_id AS query_id, list_reverse(qv) AS q_qv, nrm AS q_nrm,
+               label AS q_label
+        FROM n WHERE vec_id < ${Similarity.NQ}
+      ),
+      qd AS (
+        SELECT q.query_id, q.q_qv, q.q_nrm, q.q_label, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ${graft.functions.VectorFns.duckNorm2("c.cv")}
+                   - 2 * (${graft.functions.VectorFns.duckDot("q.q_qv", "c.cv")}),
+                 c.cid) AS rk
+        FROM q CROSS JOIN ${Similarity.duckLloydCentTbl} c
+      ),
+      qa AS (SELECT query_id, q_qv, q_nrm, q_label, cid FROM qd WHERE rk = 1),
+      pairs AS (
+        SELECT qa.query_id, qa.q_label, a.vec_id, qa.cid,
+               CAST(${graft.functions.VectorFns.duckDot("qa.q_qv", "a.qv")} AS DOUBLE)
+                 / (sqrt(CAST(qa.q_nrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cos
+        FROM qa
+        JOIN af a ON a.cid = qa.cid
+        JOIN n nb ON nb.vec_id = a.vec_id AND nb.label = qa.q_label
+      ),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rnk
+        FROM pairs
+      )
+      SELECT query_id, q_label AS label, vec_id AS neighbor_id,
+             CAST(cid AS BIGINT) AS cell, CAST(rnk AS INTEGER) AS rnk,
+             cos AS cosine
+      FROM ranked WHERE rnk <= ${Similarity.K}
+      ORDER BY query_id, rnk
+    """))((spark, dir) => {
+    val root = defaultRoot(dir)
+    ensureBuilt(spark, dir, root)
+    val queries = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Similarity.NQ)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        col("label"))
+    searchIvfFiltered(spark, root, queries)
+  })
+
   /** d22 served from the persisted index (the d18→d20 move applied to
     * the multi-assignment variant): stored vectors + stored centroids,
     * the second assignment computed at probe time by the SAME
@@ -1268,5 +1385,5 @@ object AnnIndex extends OpModule {
   override def ops: Seq[Op] =
     Seq(s9IvfProbe, s10PqProbe, s11IvfPqProbe, s15FilteredProbe,
       s18PqRerankProbe, s19IvfPqRerankProbe, d20SemDedupProbe,
-      d23SemDedupMultiProbe, s20ExternalSearch)
+      d23SemDedupMultiProbe, s20ExternalSearch, s21ExternalFilteredSearch)
 }

@@ -391,6 +391,27 @@ class PlanAuditSpec extends SparkSpecBase {
       "search plan contains an aggregate (training crept in):\n" + p.take(1500))
   }
 
+  test("s21: filtered external search — pruned, pushed label, broadcast-only") {
+    // s20's plan contract plus the s15 filter contract: the candidate
+    // read carries the cell partition prune, the lb bucket prune, AND
+    // the pushed exact label equality; candidates join only through
+    // the broadcast query batch.
+    val p = plan("s21_ann_external_filtered_search")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      "candidate read lost its cell partition filter:\n" + p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*lb".r.findFirstIn(p).isDefined,
+      "candidate read lost its label-bucket partition prune:\n" + p.take(1500))
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined,
+      "label equality is not pushed into the parquet scan:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+        && !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      "filtered search degraded to a shuffled or all-pairs join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k lost its group limit:\n" + p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "search plan contains an aggregate (training crept in):\n" + p.take(1500))
+  }
+
   test("d23 probe: dominance-only multi-assignment — no Lloyd, no raw scan, no window") {
     // The d20 contract extended to the multi-assignment variant: the
     // second cell comes from one codegen'd projection over the STORED

@@ -374,6 +374,12 @@ class AnnIndexSpec extends SparkSpecBase {
       .select(col("vec_id"),
         org.apache.spark.sql.functions.reverse(col("embedding")).as("embedding"))
     assertPruned(AnnIndex.searchIvf(spark, root, extQ), "ivf/codes")
+    val extQL = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < Similarity.NQ)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.reverse(col("embedding")).as("embedding"),
+        col("label"))
+    assertPruned(AnnIndex.searchIvfFiltered(spark, root, extQL), "ivf/codes")
     // fid pointer integrity: every neighbor a rerank returns was
     // readable through its pruned directory, so the exact cosines must
     // match the inline s17 for the same (query, neighbor) pairs — a
@@ -473,6 +479,27 @@ class AnnIndexSpec extends SparkSpecBase {
     // An empty request batch answers zero rows, not a crash (the
     // rerankFetch empty-candidate rule).
     assert(AnnIndex.searchIvf(spark, root, twin.limit(0)).count() == 0)
+
+    // Filtered external search: self-retrieval under the twin's OWN
+    // label, every neighbor sharing it (pre-filter semantics), and the
+    // unfiltered top-k restricted to the label never disagrees with
+    // the filtered answer where they overlap.
+    val twinL = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") === 20L)
+      .select((col("vec_id") * 1000).as("qid"), col("embedding"), col("label"))
+    val gotF = AnnIndex.searchIvfFiltered(spark, root, twinL).collect()
+    assert(gotF.nonEmpty)
+    assert(gotF.head.getLong(0) == 20000L && gotF.head.getLong(2) == 20L
+      && gotF.head.getInt(4) == 1
+      && math.abs(gotF.head.getDouble(5) - 1.0) < 1e-12,
+      s"filtered twin not self-retrieved at rank 1: ${gotF.take(3).mkString(",")}")
+    val labels = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val qLabel = labels(20L)
+    gotF.foreach(r => assert(labels(r.getLong(2)) == qLabel,
+      s"neighbor ${r.getLong(2)} outside the query label $qLabel"))
+    assert(AnnIndex.searchIvfFiltered(spark, root, twinL.limit(0)).count() == 0)
   }
 
   test("streaming appends converge to the batch-append index") {
