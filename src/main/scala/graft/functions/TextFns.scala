@@ -44,6 +44,44 @@ object TextFns {
   def interSize(a: Column, b: Column): Column =
     size(a) + size(b) - unionSize(a, b)
 
+  /** `conv(substring(md5(c), 1, nHex), 16, 10)::long` as one codegen'd
+    * call ([[org.apache.spark.sql.graft.Md5PrefixLong]]) — the repo's
+    * standard cross-engine int64 hash key without the hex-string /
+    * substring / conv-parse intermediates. Same value, same oracle. */
+  def md5PrefixLong(c: Column, nHex: Int = 15): Column =
+    column(org.apache.spark.sql.graft.Md5PrefixLong(expression(c), nHex))
+
+  /** Fused `transform(wordShingles(words, n), s -> md5PrefixLong(s))` —
+    * per-position word-n-gram hashes in one tight codegen'd loop
+    * ([[org.apache.spark.sql.graft.WordShingleHashLong]]): no per-gram
+    * string materialization, no interpreted lambda. */
+  def wordShingleHashLong(words: Column, n: Int, nHex: Int = 15,
+      mask: Long = -1L): Column =
+    column(org.apache.spark.sql.graft.WordShingleHashLong(
+      expression(words), n, nHex, mask))
+
+  /** [[wordShingleHashLong]] with a block prefix baked into each key:
+    * element i is `md5PrefixLong(concat_ws('', prefix, gram_i))`
+    * with `prefix` pre-joined by the caller
+    * ([[org.apache.spark.sql.graft.BlockWordShingleHashLong]]). */
+  def blockWordShingleHashLong(words: Column, prefix: Column, n: Int,
+      nHex: Int = 15): Column =
+    column(org.apache.spark.sql.graft.BlockWordShingleHashLong(
+      expression(words), expression(prefix), n, nHex))
+
+  /** Fused per-position char-n-gram hash with a block prefix: element i
+    * is `md5PrefixLong(concat_ws('', prefix, substring(text, i, n)))`
+    * for i in 1..greatest(len−n+1, 1) — the d4/d13 blocked gram key
+    * ([[org.apache.spark.sql.graft.CharGramHashLong]]). */
+  def charGramHashLong(text: Column, prefix: Column, n: Int, nHex: Int = 15): Column =
+    column(org.apache.spark.sql.graft.CharGramHashLong(
+      expression(text), expression(prefix), n, nHex))
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+  private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+
   /** Value of one lowercase-hex digit: '0'-'9' → 0-9, 'a'-'f' → 10-15. */
   def hexDigit(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)

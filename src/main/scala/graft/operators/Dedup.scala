@@ -207,10 +207,15 @@ object Dedup extends OpModule {
   private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
+      // Fused hash (r14): hash EVERY position in one codegen'd loop,
+      // then distinct the longs. Identical set to the previous
+      // distinct-strings → md5 → distinct-longs form (equal strings
+      // hash equal), with zero per-gram string materialization and no
+      // interpreted transform lambda — this stage dominated the d2/c1/
+      // c2/c5/d17/d19 profiles with executorRunTime ≫ cpuTime.
       .select(col("doc_id"),
-        array_distinct(transform(array_distinct(TextFns.wordShingles(col("w"), 3)),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-            .bitwiseAND(lit(MinhashMask)))).as("sh"))
+        array_distinct(
+          TextFns.wordShingleHashLong(col("w"), 3, mask = MinhashMask)).as("sh"))
 
   /** d2's signature stage: (doc_id, band, hx, hy) LSH band keys.
     *
@@ -343,23 +348,20 @@ object Dedup extends OpModule {
     // about explode(transform(...)) over a derived STRING array, which
     // re-evaluates its child per element; sequence-of-int has no such
     // problem.)
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("text"),
-        (col("n_chars") / lit(100)).cast("long").as("lenb"),
-        greatest(length(col("text")) - 4, lit(1)).as("npos"))
-    val grams = docs
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("lenb"), col("text"),
-        explode(sequence(lit(1), col("npos"))).as("i"))
+    // Fused hash (r14): CharGramHashLong emits every position's blocked
+    // gram key in one codegen'd loop (same md5-prefix value — the
+    // positions-explode + concat_ws + md5-hex + conv chain ran 39 s of
+    // executorRunTime at sf0.1), and array_distinct replaces the
+    // row-level .distinct(): grams are per-document, so the in-row
+    // dedup is the same set with NO distinct exchange (one full
+    // shuffle of the gram stream removed; guide §2.4).
+    val grams = Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
-        // Block-gram key hashed to int64 (15-hex md5 prefix, mirrored
-        // in the oracle): the distinct and the self-join shuffle 8-byte
-        // longs instead of ~25-byte strings.
-        conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("lenb"),
-          expr("substring(text, i, 5)"))), 1, 15), 16, 10).cast("long").as("bg"))
-      .distinct()
+        explode(array_distinct(TextFns.charGramHashLong(
+          col("text"),
+          concat_ws("\u0001", col("lang"), col("source"),
+            (col("n_chars") / lit(100)).cast("long")), 5))).as("bg"))
     gramIntersections(grams)
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
@@ -935,10 +937,10 @@ object Dedup extends OpModule {
     val occ = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= DupGramN)
+      // Fused hash (r14): same per-position md5-prefix values, one
+      // codegen'd loop, no gram strings.
       .select(col("doc_id"),
-        explode(TextFns.wordShingles(col("w"), DupGramN)).as("g"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        explode(TextFns.wordShingleHashLong(col("w"), DupGramN)).as("gh"))
       .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
     occ
       .withColumn("ndocs",
@@ -1050,11 +1052,13 @@ object Dedup extends OpModule {
       .select(col("doc_id"), col("lang"), col("source"),
         TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= ContainN)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(TextFns.wordShingles(col("w"), ContainN))).as("g"))
+      // Fused hash (r14): every gram position hashed in one codegen'd
+      // loop with the block prefix baked in; hash-then-array_distinct
+      // is the same set as the old distinct-strings-then-hash.
       .select(col("doc_id"),
-        conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), col("g"))),
-          1, 15), 16, 10).cast("long").as("bg"))
+        explode(array_distinct(TextFns.blockWordShingleHashLong(
+          col("w"), concat_ws("\u0001", col("lang"), col("source")),
+          ContainN))).as("bg"))
     gramIntersections(grams)
       .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza"))
       .withColumn("cont_b_in_a", col("inter").cast("double") / col("szb"))
@@ -1154,12 +1158,16 @@ object Dedup extends OpModule {
   private[graft] def spanTableWith(spark: SparkSession, dir: String,
       dfStrategy: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    // Fused hash (r14): one codegen'd loop hashes every SpanN-gram
+    // position — no per-position gram string, no md5-hex/conv parse
+    // (same value; the oracle chain is untouched).
     val occ0 = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= SpanN)
-      .select(col("doc_id"), posexplode(TextFns.wordShingles(col("w"), SpanN)))
+      .select(col("doc_id"),
+        posexplode(TextFns.wordShingleHashLong(col("w"), SpanN)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
+        col("col").as("gh"))
     val shared = dfStrategy match {
       case "window" =>
         // Measurement-only historical form: single-task per hot gram.

@@ -407,25 +407,8 @@ object Multimodal extends OpModule {
     * ONE definition of the hash a real decoder plugs into: feed it
     * pixels and it is a real dHash; feed it the stub code-point stream
     * and it is the registered op. */
-  private[graft] def dHash56(codes: Array[Int]): Long = {
-    val n = codes.length.toLong
-    val g2 = PG * PG
-    val cells = Array.tabulate(g2) { k =>
-      val from = k * n / g2
-      val to = (k + 1) * n / g2
-      if (to > from) {
-        var s = 0L; var i = from
-        while (i < to) { s += codes(i.toInt); i += 1 }
-        s / (to - from)
-      } else 0L
-    }
-    var h = 0L
-    for (r <- 0 until PG; c <- 0 until PG - 1) {
-      val p = r * PG + c
-      if (cells(p + 1) > cells(p)) h |= 1L << (r * (PG - 1) + c)
-    }
-    h
-  }
+  private[graft] def dHash56(codes: Array[Int]): Long =
+    org.apache.spark.sql.graft.GraftHash.dHash56(codes, PG)
 
   /** The m2-seam production path for m7's hash: per-partition batched
     * decode, REAL pixels when the payload is a recognized raster
@@ -514,38 +497,25 @@ object Multimodal extends OpModule {
     * PhashSpec can pin it bit-identical to the JVM [[phashPartition]]
     * path on the same payloads. */
   private[graft] def phashTable(spark: SparkSession, dir: String): DataFrame = {
-    val g2 = PG * PG
     val docs = mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"),
         decode(col("payload"), "UTF-8").as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= PhashMinLen)
-      .withColumn("n", length(col("t")).cast("long"))
-    // One pass to code points, then 64 exact cell means over slices of
-    // that array — proportional grid, floor boundaries, identical in
-    // the oracle's list comprehension. The char stream comes from ONE
-    // split: an indexed `ascii(substring(t, i, 1))` per position is
-    // O(position) per element — O(n²) per document, measured at 104 s
-    // for the sf0.1 sweep vs ~3 s for this form. split's zero-width
-    // match keeps a trailing "" element (ascii 0), but slices only
-    // reach position n, so it is never read.
-    val cells = docs
-      .withColumn("codes",
-        expr("transform(split(t, ''), c -> cast(ascii(c) as bigint))"))
-      .withColumn("cells", expr(s"""
-        transform(sequence(0, ${g2 - 1}), k ->
-          CASE WHEN ((cast(k as bigint)+1)*n) div $g2 > (cast(k as bigint)*n) div $g2
-            THEN aggregate(slice(codes, cast((cast(k as bigint)*n) div $g2 as int) + 1,
-                   cast(((cast(k as bigint)+1)*n) div $g2 - (cast(k as bigint)*n) div $g2 as int)),
-                 0L, (acc, x) -> acc + x)
-                 div (((cast(k as bigint)+1)*n) div $g2 - (cast(k as bigint)*n) div $g2)
-            ELSE 0L END)"""))
-    val hashExpr = (for (r <- 0 until PG; c <- 0 until PG - 1) yield {
-      val p = r * PG + c
-      when(element_at(col("cells"), p + 2) > element_at(col("cells"), p + 1),
-        lit(1L << (r * (PG - 1) + c))).otherwise(lit(0L))
-    }).reduce(_ + _)
-    cells
-      .select(col("doc_id"), col("media_type"), hashExpr.as("ph"))
+    // Fused hash (r14): ONE codegen'd call per row
+    // ([[org.apache.spark.sql.graft.PHash56]]) running [[dHash56]] —
+    // the op now IS the JVM definition the decode seam and PhashSpec
+    // pin, over the code-point stream. The former expression-chain form
+    // (split('') → one array element per character → interpreted
+    // transform/aggregate lambdas over 64 slices) produced the same
+    // bits but materialized ~n boxed values per row; it gated the
+    // sweep at ~0.9 s of single-task wall because the hash ran inside
+    // the one-partition scan of the single-file corpus and three
+    // concurrent AQE consumers blocked on the cache-population lock.
+    docs
+      .select(col("doc_id"), col("media_type"),
+        org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.graft.PHash56(
+            org.apache.spark.sql.graft.Bridge.expression(col("t")), PG)).as("ph"))
       .cache()
   }
 

@@ -368,9 +368,10 @@ object TextOps extends OpModule {
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
       .cache()
-    // 52-bit uniform hash: md5 prefix, so U_k = hk / 2^52.
+    // 52-bit uniform hash: md5 prefix, so U_k = hk / 2^52. Fused
+    // (r14): same value, no md5-hex/conv strings.
     val h = words.select(col("lang"),
-        conv(substring(md5(col("word")), 1, 13), 16, 10).cast("long").as("h"))
+        TextFns.md5PrefixLong(col("word"), 13).as("h"))
       .distinct()
     val w = Window.partitionBy("lang").orderBy("h")
     val kth = h.withColumn("rnk", row_number().over(w))
@@ -625,10 +626,12 @@ object TextOps extends OpModule {
     Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= DecontamN)
+      // Fused hash (r14): hash every position in one codegen'd loop,
+      // then distinct the longs — the same set as distinct-strings →
+      // md5 (equal grams hash equal), no gram strings, no conv parse.
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.wordShingles(col("w"), DecontamN))).as("g"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        explode(array_distinct(
+          TextFns.wordShingleHashLong(col("w"), DecontamN))).as("gh"))
 
   // Bloom sizing for the t37 probe: fixed foldable constants (the
   // aggregate requires them) — 2^22 bits (512 KiB) over ~300k distinct

@@ -139,12 +139,16 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan("d19_cleaned_corpus")
     // The span-DETECTION subtree legitimately posexplodes the 8-gram
     // shingles (rows for the gram equi-join — d14's adjudicated shape,
-    // recognizable by the transform(sequence(...)) generator); the
-    // surgery itself must never explode the bare token array.
+    // recognizable since r14 by the fused word_shingle_hash_long
+    // generator, previously by transform(sequence(...))); the surgery
+    // itself must never explode the bare token array.
     val pe = p.linesIterator.filter(_.contains("posexplode")).toSeq
-    assert(pe.forall(_.contains("transform(sequence")),
+    assert(pe.forall(l =>
+      l.contains("word_shingle_hash_long") || l.contains("transform(sequence")),
       "d19 regressed to a per-token explode:\n" +
-        pe.filterNot(_.contains("transform(sequence")).mkString("\n"))
+        pe.filterNot(l =>
+          l.contains("word_shingle_hash_long") || l.contains("transform(sequence"))
+          .mkString("\n"))
     assert(p.contains("lambdafunction"),
       "interval-filter HOF missing from the physical plan:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"))
