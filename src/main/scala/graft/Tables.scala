@@ -17,8 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo per (sfDir, table): `spark.read.parquet` with no
+    * explicit schema runs a footer-reading DRIVER JOB on every call —
+    * profiled at 30-60 ms per load, 1-3 loads per query construction,
+    * per bench rep. The testdata tables are immutable for a process
+    * lifetime (the driver regenerates them only between rounds), so the
+    * schema is cacheable METADATA — exactly what a catalog/metastore
+    * table (the 100 TB deployment shape) provides for free; no result
+    * or data is memoized. Keyed by directory so mixed-SF sessions (the
+    * specs) stay correct. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Small single-file tables scan as ONE partition; operators doing
     * heavy per-row work (hashing, HOFs, self-joins) must first spread

@@ -119,6 +119,36 @@ object AnnIndex extends OpModule {
   private def exists(spark: SparkSession, p: String): Boolean =
     fs(spark, p).exists(new Path(p))
 
+  /** Schema memo for the index's own parquet tables (r14 optimization):
+    * a schemaless `spark.read.parquet` pays a footer-inference DRIVER
+    * JOB per call, and every probe rep issues 2-4 such reads. Index
+    * table schemas are structurally fixed per layout version (appends,
+    * tombstones, purges and rewrites preserve columns; a rebuild
+    * publishes a NEW versioned root, i.e. a new key), so the first
+    * read's inferred schema is reusable METADATA — no data or result is
+    * memoized. [[build]] drops a root's entries before overwriting it
+    * wholesale. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def invalidateSchemas(root: String): Unit = {
+    schemaMemo.keySet.removeIf(
+      new java.util.function.Predicate[String] {
+        override def test(k: String): Boolean = k.startsWith(root)
+      })
+    ()
+  }
+
+  /** `spark.read.parquet(p)` with the table's memoized schema — no
+    * footer-inference job after the first read of a path. */
+  private def readTable(spark: SparkSession, p: String): DataFrame = {
+    val sch = schemaMemo.computeIfAbsent(p,
+      new java.util.function.Function[String, StructType] {
+        override def apply(k: String): StructType = spark.read.parquet(k).schema
+      })
+    spark.read.schema(sch).parquet(p)
+  }
+
   /** Read ONLY the named partition subdirectories of a partitioned codes
     * table. `spark.read.parquet(tableRoot)` lists the WHOLE table to
     * build its file index — linear in the file count even when partition
@@ -138,7 +168,15 @@ object AnnIndex extends OpModule {
     require(paths.nonEmpty,
       s"none of ${subdirs.size} pruned partition dirs exist under $base — " +
         "index missing or geometry drift (probe prune set vs stored cells)")
-    spark.read.option("basePath", base).parquet(paths: _*)
+    // Schema memo keyed by the table base: partition columns parse from
+    // the pruned dir names identically under an explicit schema, and the
+    // column set is the same for every prune set of one table.
+    val sch = schemaMemo.computeIfAbsent(base,
+      new java.util.function.Function[String, StructType] {
+        override def apply(k: String): StructType =
+          spark.read.option("basePath", k).parquet(paths: _*).schema
+      })
+    spark.read.option("basePath", base).schema(sch).parquet(paths: _*)
   }
 
   /** Deterministic per-corpus default root (test/bench convenience;
@@ -190,7 +228,7 @@ object AnnIndex extends OpModule {
       centSchema).coalesce(1).write.mode("overwrite").parquet(p)
 
   private def readCentroids(spark: SparkSession, p: String): Seq[(Long, Array[Long])] =
-    spark.read.parquet(p).collect()
+    spark.read.schema(centSchema).parquet(p).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
 
   private def writeCodebook(spark: SparkSession,
@@ -201,7 +239,7 @@ object AnnIndex extends OpModule {
       }: _*), cbSchema).coalesce(1).write.mode("overwrite").parquet(p)
 
   private def readCodebook(spark: SparkSession, p: String): Map[Int, Seq[(Long, Array[Long])]] =
-    spark.read.parquet(p).collect()
+    spark.read.schema(cbSchema).parquet(p).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .groupBy(_._1)
       .map { case (m, es) => m -> es.sortBy(_._2).map(e => (e._2, e._3)).toSeq }
@@ -346,6 +384,9 @@ object AnnIndex extends OpModule {
 
   private def buildLeased(spark: SparkSession, dir: String, root: String,
       nc: Int, kc: Int, pc: Int, maxCellRows: Long): Unit = {
+    // Drop memoized schemas under this root: the build overwrites the
+    // tree wholesale (the one writer that could change a table's shape).
+    invalidateSchemas(root)
     val f = fs(spark, root)
     // Clear the index CONTENTS, not the root: the root also holds the
     // writer lease just acquired.
@@ -619,7 +660,7 @@ object AnnIndex extends OpModule {
     * the common fast path is one existence check per probe. */
   private def tombstoneSet(spark: SparkSession, root: String): Option[DataFrame] =
     if (tableHasData(spark, tombPath(root)))
-      Some(spark.read.parquet(tombPath(root)).select("vec_id").distinct())
+      Some(readTable(spark, tombPath(root)).select("vec_id").distinct())
     else None
 
   /** Drop tombstoned rows from any vec_id-keyed index read. Broadcast:
@@ -660,7 +701,7 @@ object AnnIndex extends OpModule {
     // job-floor-bound, so the common path must not grow a job.
     if (head.isEmpty || !exists(spark, removesMarker(root))) return head
     val afterTomb = head -- tombstonedBelow(spark, root, head.keysIterator.max + 1)
-    val asking = spark.read.parquet(s"$root/ivf/qhead")
+    val asking = readTable(spark, s"$root/ivf/qhead")
       .select("vec_id").filter(col("vec_id") < Similarity.NQ)
       .collect().map(_.getLong(0)).toSet // bounded: ≤ NQ rows
     afterTomb.filter { case (id, _) => id >= Similarity.NQ || asking.contains(id) }
@@ -683,7 +724,7 @@ object AnnIndex extends OpModule {
       val t = ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
         // Bounded tombstone set: only ids the index holds. pq/codes is
         // the flat, always-written family — one column-pruned scan.
-        .join(spark.read.parquet(s"$root/pq/codes").select("vec_id"),
+        .join(readTable(spark, s"$root/pq/codes").select("vec_id"),
           Seq("vec_id"), "semi")
       val fresh = tombstoneSet(spark, root)
         .map(existing => t.join(broadcast(existing), Seq("vec_id"), "anti"))
@@ -801,7 +842,7 @@ object AnnIndex extends OpModule {
     // the file count, which the (cid, label) layout multiplies. Read
     // through live(): a removed query must stop asking, so its cell
     // leaves the prune set unless another live query shares it.
-    val qcells = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
+    val qcells = live(spark, root, readTable(spark, s"$root/ivf/qhead"))
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
     // Read the query cells' DIRECTORIES only (v8): even the file-index
     // LISTING stays bounded by the prune set — a whole-table read lists
@@ -841,7 +882,7 @@ object AnnIndex extends OpModule {
     // Bounded collect from qhead (ONE small file): ≤ NQ query rows
     // define the cell, label and label-bucket prune unions (lb is
     // stored in qhead so no driver-side mirror of the bucket hash).
-    val q = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
+    val q = live(spark, root, readTable(spark, s"$root/ivf/qhead"))
       .select("cid", "label", "lb").distinct().collect()
     val qcells = q.map(_.getLong(0)).distinct.sorted.toSeq
     val qlabels = q.map(_.get(1)).distinct.toSeq
@@ -873,7 +914,7 @@ object AnnIndex extends OpModule {
     // filtered codes for vec_id < NQ, which opened every file footer —
     // the exact listing sweep qhead exists to avoid.
     val seeded = readCentroids(spark, s"$root/ivf_seeded/centroids")
-    val qcells = live(spark, root, spark.read.parquet(s"$root/ivf/qhead"))
+    val qcells = live(spark, root, readTable(spark, s"$root/ivf/qhead"))
       .select("qv").collect()
       .map(r => Similarity.nearestIdL(r.getSeq[Long](0).toArray, seeded))
       .distinct.sorted.toSeq
@@ -893,7 +934,7 @@ object AnnIndex extends OpModule {
     val head = liveHead(spark, root, Similarity.collectHead(spark, dir,
       math.max(Similarity.NQ, Similarity.PQ_K).toLong))
     Similarity.pqAdcTopK("s10",
-      live(spark, root, spark.read.parquet(s"$root/pq/codes")), head, cb)
+      live(spark, root, readTable(spark, s"$root/pq/codes")), head, cb)
   }
 
   /** IVF+PQ probe: cell-gated ADC over `ivfpq/codes`; the query cells
@@ -970,7 +1011,7 @@ object AnnIndex extends OpModule {
     // job itself is the s10 probe's joinless ADC scan, re-run per
     // invocation like every stage of every op.
     val cands = Similarity.pqAdcTopK("s18",
-        live(spark, root, spark.read.parquet(s"$root/pq/codes")), head, cb,
+        live(spark, root, readTable(spark, s"$root/pq/codes")), head, cb,
         Similarity.RerankPool, passthrough = Seq("fid"))
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"),
         col("fid"))
@@ -1101,7 +1142,7 @@ object AnnIndex extends OpModule {
     // tail are BOTH the inline d18's own implementations
     // (Dedup.semCells/semDominance) — the probe ≡ inline guarantee is
     // structural, not a parallel re-implementation.
-    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
+    val codes = live(spark, root, readTable(spark, s"$root/ivf/codes"))
       .withColumn("cid", col("cid").cast("long"))
     Dedup.semDominance(Dedup.semCells(codes, cent))
   }
@@ -1346,7 +1387,7 @@ object AnnIndex extends OpModule {
     * d22's oracle: same trainer, same corpus, same kc. */
   def probeSemDedupMulti(spark: SparkSession, root: String): DataFrame = {
     val cent = readCentroids(spark, s"$root/ivf/centroids")
-    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
+    val codes = live(spark, root, readTable(spark, s"$root/ivf/codes"))
       .select("vec_id", "qv", "nrm")
     Dedup.semDominanceMulti(Dedup.semCellsMulti(codes, cent))
   }
@@ -1365,7 +1406,7 @@ object AnnIndex extends OpModule {
     * set-vs-table rule). */
   def probeSemDroppedIds(spark: SparkSession, root: String): DataFrame = {
     val cent = readCentroids(spark, s"$root/ivf/centroids")
-    val codes = live(spark, root, spark.read.parquet(s"$root/ivf/codes"))
+    val codes = live(spark, root, readTable(spark, s"$root/ivf/codes"))
       .withColumn("cid", col("cid").cast("long"))
     Dedup.semDominators(Dedup.semCells(codes, cent)).select("vec_id")
   }

@@ -1333,7 +1333,10 @@ object Similarity extends OpModule {
     Some(s"""
       WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
                  FROM documents),
-      tok AS (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM d),
+      tok AS (SELECT doc_id,
+                     UNNEST(list_distinct(list_transform(w, x ->
+                       CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)))) AS term
+              FROM d),
       nn AS (SELECT COUNT(*) AS n FROM documents),
       qt AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id < $NQ),
       tdf AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
@@ -1382,8 +1385,16 @@ object Similarity extends OpModule {
     // branch's scan canonically IDENTICAL to the scoring branch's —
     // whose self-pair filter infers IsNotNull(doc_id) — so ReuseExchange
     // serves both token passes from ONE parquet read + spread shuffle.
+    // Terms ride as md5-prefix int64 HASHES from the scan on (r14):
+    // the term value never reaches the output (scores are Σ(n − df)
+    // over shared terms), only equality matters, and both engines hash
+    // identically (hash-then-distinct on both sides), so df counts and
+    // scores are unchanged while the two corpus token passes explode,
+    // shuffle and aggregate 8-byte longs instead of term strings — the
+    // d2 hashed-shingle-key rule applied to the lexical side.
     val toks = docs.filter(col("doc_id").isNotNull).select(col("doc_id"),
-      explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      explode(array_distinct(
+        TextFns.wordShingleHashLong(TextFns.tokens(col("text")), 1))).as("term"))
     // Broadcast 1-row corpus count (never a global window — q31 rule).
     val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
     val qterms = toks.filter(col("doc_id") < NQ)
