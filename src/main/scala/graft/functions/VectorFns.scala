@@ -54,36 +54,19 @@ object VectorFns {
   def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Deterministic pseudo-random sign for (bit b, 1-based component i):
-    * parity of popcount(b·1000003 + i). Drives the sign-random-projection
-    * LSH bucket; reproducible in any engine with bit_count. */
-  private def signParity(b: Int, i: Int): Long =
-    if (java.lang.Long.bitCount(b.toLong * 1000003L + i) % 2 == 0) 1L else -1L
-
-  /** Vectors longer than this would silently truncate the projection —
-    * bump the constant for wider embeddings (cost is bits × 8 bytes of
-    * plan constants, nothing per-row). */
-  private val LshMaxDim = 4096
-
-  /** One sign-projection bit as a codegen'd integer dot against a
-    * precomputed ±1 literal row. [[DotProductLong]] iterates
-    * min(len(qv), len(signs)), so the constant row just needs to be at
-    * least as long as the vector — no per-dataset dimension probe, no
-    * interpreted HOF lambda in the hot path. Vectors WIDER than the
-    * constant row would silently project only their first LshMaxDim
-    * components (wrong buckets, no error), so the width is checked
-    * per row — `size()` is an O(1) array-header read — and overflow
-    * fails fast instead of truncating. */
+  /** One sign-projection bit as a native codegen'd dot with the
+    * deterministic ±1 sign (parity of popcount(b·1000003 + i), 1-based
+    * component i — reproducible in any engine with bit_count) computed
+    * INLINE per component ([[org.apache.spark.sql.graft.LshSignDotLong]]).
+    * Value identical to the former dot against a precomputed ±1 literal
+    * row for any vector up to that row's 4096 width, and now exact at
+    * ANY width (the literal form silently capped projection and needed
+    * a per-row width guard). The literal rows were the plan's heaviest
+    * constants: 8 bucket bits × 4096 longs ≈ 256 KB serialized into
+    * every stage's task binary in the embedding-LSH family (the
+    * "broadcasting large task binary" warnings). */
   def lshBit(b: Int, qv: Column): Column =
-    // Guard order matters: a NULL embedding makes size(qv) null, which
-    // must fall through to the null-propagating dot (null bucket, row
-    // drops out of bucket joins) — not into raise_error with a null
-    // message. Only a PRESENT-but-too-wide vector aborts.
-    when(size(qv) > LshMaxDim,
-      raise_error(concat(
-        lit("lshBit: embedding has "), size(qv).cast("string"),
-        lit(s" dims > LshMaxDim=$LshMaxDim; raise VectorFns.LshMaxDim"))))
-      .otherwise(dot(qv, typedLit((1 to LshMaxDim).map(signParity(b, _)).toArray)))
+    column(org.apache.spark.sql.graft.LshSignDotLong(expression(qv), b))
 
   /** Sign-projection LSH bucket id as a '0'/'1' string, e.g. "01101001".
     *

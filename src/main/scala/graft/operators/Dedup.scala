@@ -296,7 +296,7 @@ object Dedup extends OpModule {
     })((spark, dir) => {
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-      .withColumn("hv", TextFns.hex4ToInt(substring(md5(col("word")), 1, 4)))
+      .withColumn("hv", TextFns.md5PrefixLong(col("word"), 4)) // == hex4ToInt(substring(md5,1,4)), fused (r14)
     val bitAggs = (0 until 16).map(b =>
       sum(when(((col("hv") / lit(1 << b)).cast("long") % 2) === 1, 1).otherwise(-1)).as(s"s$b"))
     val bits = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
@@ -721,7 +721,7 @@ object Dedup extends OpModule {
     })((spark, dir) => {
     val words = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-      .withColumn("hv", TextFns.hex4ToInt(substring(md5(col("word")), 1, 4)))
+      .withColumn("hv", TextFns.md5PrefixLong(col("word"), 4)) // == hex4ToInt(substring(md5,1,4)), fused (r14)
     val bitAggs = (0 until 16).map(b =>
       sum(when(((col("hv") / lit(1 << b)).cast("long") % 2) === 1, 1).otherwise(-1)).as(s"s$b"))
     val bits = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)

@@ -178,6 +178,20 @@ object GraftHash {
     h
   }
 
+  /** Sign-projection dot: Σ v(i)·sign with sign = parity of
+    * popcount(b·1000003 + (i+1)) — the [[LshSignDotLong]] kernel. */
+  def lshSignDot(v: ArrayData, b: Int): Long = {
+    val n = v.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val sign = if ((java.lang.Long.bitCount(b.toLong * 1000003L + (i + 1)) & 1) == 0) 1L else -1L
+      s += v.getLong(i) * sign
+      i += 1
+    }
+    s
+  }
+
   /** dHash56 over a string's Unicode code points (the stub pixel
     * stream). Bit-identical to the former expression-chain form
     * (split('') + ascii + 64 aggregate/slice lambdas) on BMP text, and
@@ -313,6 +327,38 @@ case class PHash56(child: Expression, pg: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = org.apache.spark.sql.graft.GraftHash.phash56($s, $pg);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sign-random-projection dot for the embedding-LSH bucket bit b:
+  * Σ qv(i) · sign(b, i+1) with sign(b, i) = +1 when
+  * popcount(b·1000003 + i) is even, −1 otherwise — exactly the value of
+  * `dot_product_long(qv, typedLit(signs))` against the former
+  * 4096-element ±1 literal row, for ANY vector length (the literal
+  * form silently capped projection at its own width; this computes the
+  * sign inline, so no cap and no 32 KB literal per bit serialized into
+  * every plan and task binary — 8 bucket bits cost ~256 KB per stage).
+  * Oracle mirror unchanged (duckLshBucket* uses the same popcount
+  * formula). */
+case class LshSignDotLong(child: Expression, b: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_dot_long"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_sign_dot_long needs array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHash.lshSignDot(a.asInstanceOf[ArrayData], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftHash.lshSignDot($a, $b);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -151,4 +151,99 @@ class FunctionsSpec extends SparkSpecBase {
     assert(p("score") == ((3L, 1L, 2L, Some(2.5), Some(7.0))))
     assert(p("tag") == ((3L, 1L, 2L, None, None)))
   }
+
+  // ---- r14 fused hash expressions: pinned against the built-in chains
+  // they replaced (the oracle mirrors the chains; the expressions must
+  // produce the exact same numbers on any input, including multi-byte
+  // UTF-8 and null-bearing edge shapes) ----
+
+  test("md5PrefixLong equals conv(substring(md5,1,n),16,10) for n=13,15") {
+    val df = Seq("", "a", "hello world", "caf\u00e9 \u4e2d\u6587", "x" * 100).toDF("t")
+    Seq(13, 15).foreach { n =>
+      val rows = df.select(
+        TextFns.md5PrefixLong(col("t"), n).as("fused"),
+        conv(substring(md5(col("t")), 1, n), 16, 10).cast("long").as("chain"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"n=$n"))
+    }
+  }
+
+  test("wordShingleHashLong equals per-gram md5 chain, with and without mask") {
+    val df = Seq("one two three four five", "a b c", "p q r s").toDF("t")
+      .select(TextFns.tokens(col("t")).as("w"))
+      .filter(size(col("w")) >= 3) // operators guard size >= n before hashing
+    val rows = df.select(
+      TextFns.wordShingleHashLong(col("w"), 3).as("fused"),
+      transform(TextFns.wordShingles(col("w"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("chain"),
+      TextFns.wordShingleHashLong(col("w"), 3, mask = 2147483647L).as("fusedM"),
+      transform(TextFns.wordShingles(col("w"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+          .bitwiseAND(lit(2147483647L))).as("chainM"))
+      .collect()
+    rows.foreach { r =>
+      // caller guarantees size >= n in operators; for shorter arrays the
+      // fused form returns empty where wordShingles yields garbage-free
+      // empty too (sequence(1, size-2) is empty for size < 3)
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("blockWordShingleHashLong equals md5(concat_ws(sep, block, gram)) chain") {
+    val df = Seq(("en", "web", "a b c d"), (null, "web", "p q r s"))
+      .toDF("lang", "source", "t")
+      .select(col("lang"), col("source"), TextFns.tokens(col("t")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val rows = df.select(
+      TextFns.blockWordShingleHashLong(
+        col("w"), concat_ws("\u0001", col("lang"), col("source")), 3).as("fused"),
+      transform(TextFns.wordShingles(col("w"), 3), g =>
+        conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), g)),
+          1, 15), 16, 10).cast("long")).as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("charGramHashLong equals positional md5(concat_ws(sep, block, substr)) chain") {
+    val df = Seq(("en", "web", 2L, "abcdefgh"), ("de", "pdf", 0L, "xy"))
+      .toDF("lang", "source", "lenb", "text")
+    val rows = df.select(
+      TextFns.charGramHashLong(col("text"),
+        concat_ws("\u0001", col("lang"), col("source"), col("lenb")), 5).as("fused"))
+      .collect()
+    // the positional md5 chain rebuilt in plain Scala for the comparison
+    val duck = df.collect().map { r =>
+      val (lang, source, lenb, text) =
+        (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getString(3))
+      val npos = math.max(text.length - 4, 1)
+      (1 to npos).map { i =>
+        val gram = text.substring(i - 1, math.min(i - 1 + 5, text.length))
+        val parts = Seq(lang.getOrElse(null), source, lenb.toString, gram)
+          .filter(_ != null)
+        val joined = parts.mkString("\u0001")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      }.toSeq
+    }
+    rows.map(_.getSeq[Long](0)).zip(duck).foreach { case (f, d) => assert(f == d) }
+  }
+
+  test("lshBit (LshSignDotLong) equals the dot against the literal ±1 sign row") {
+    def signParity(b: Int, i: Int): Long =
+      if (java.lang.Long.bitCount(b.toLong * 1000003L + i) % 2 == 0) 1L else -1L
+    val df = Seq(
+      Seq(3L, -7L, 11L, 0L, 5L),
+      Seq.tabulate(64)(i => (i * 31 - 700).toLong)).toDF("qv")
+    (0 until 8).foreach { b =>
+      val rows = df.select(
+        VectorFns.lshBit(b, col("qv")).as("fused"),
+        VectorFns.dot(col("qv"),
+          typedLit((1 to 4096).map(signParity(b, _)).toArray)).as("lit"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"b=$b"))
+    }
+  }
 }

@@ -123,15 +123,22 @@ class SimilaritySpec extends SparkSpecBase {
       "every fused row was in both pools — corpus cannot distinguish fusion from intersection")
   }
 
-  test("lshBucket fails fast on vectors wider than LshMaxDim") {
+  test("lshBucket projects wide vectors exactly (no width cap, no truncation)") {
+    // r14: lshBit's ±1 sign is computed inline per component
+    // (LshSignDotLong), so the old LshMaxDim literal-row cap — and its
+    // fail-fast guard against silent truncation — no longer exists.
+    // Pin the replacement property: a vector WIDER than the old 4096
+    // cap projects over ALL components, matching the sign formula.
     import spark.implicits._
-    val wide = Seq((1L, Array.fill(5000)(1L))).toDF("vec_id", "qv")
-    val ex = intercept[Exception] {
-      wide.select(VectorFns.lshBucket(col("qv"), 8)).collect()
+    def signParity(b: Int, i: Int): Long =
+      if (java.lang.Long.bitCount(b.toLong * 1000003L + i) % 2 == 0) 1L else -1L
+    val v = Array.tabulate(5000)(i => (i % 7 - 3).toLong)
+    val wide = Seq((1L, v)).toDF("vec_id", "qv")
+    (0 until 8).foreach { b =>
+      val got = wide.select(VectorFns.lshBit(b, col("qv"))).head().getLong(0)
+      val want = v.zipWithIndex.map { case (x, i) => x * signParity(b, i + 1) }.sum
+      assert(got == want, s"bit $b: inline sign dot diverged on a 5000-dim vector")
     }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
-    assert(chain(ex).exists(m => m != null && m.contains("LshMaxDim")))
   }
 
   test("s17 rerank: exact cosines, exact ordering, pool-bounded, and the rerank reorders") {
