@@ -79,6 +79,14 @@ object StageProf {
       val rows = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
+      // Post-execution (AQE-final) join strategy census: the static
+      // explain shows isFinalPlan=false, so runtime SMJ→SHJ rewrites
+      // are only visible here.
+      val finalPlan = df.queryExecution.executedPlan.toString
+      def joins(p: String): String = Seq("SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastHashJoin").map(j => s"$j=${p.sliding(j.length).count(_ == j)}")
+        .mkString(" ")
+      println(s"  finalPlanJoins: ${joins(finalPlan)}")
 
       def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
       println(s"\n===== $n rows=$rows wall=${fmt(dt)}s build=${fmt(tBuild)}s " +
