@@ -18,19 +18,10 @@ object Explain {
       else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q10_topk_per_group",
         "d2_dedup_minhash_lsh", "d4_dedup_ngram_jaccard", "s7_ann_pq_topk",
         "s8_ann_ivfpq_topk", "q21_group_signature_ids", "t30_sequence_packing")
-    // Mirror the bench session's planner-relevant config (AQE + join
-    // strategy) so committed plans show what the bench actually runs.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The shared engine session (GraftSession) guarantees committed
+    // plans show exactly the planner policy the bench runs.
+    val cpus = GraftSession.envCpus("4")
+    val spark = GraftSession.builder("graft-explain", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")

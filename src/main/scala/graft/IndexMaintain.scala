@@ -42,14 +42,8 @@ object IndexMaintain {
         a(k.stripPrefix("--")) = args(i + 1); i += 2
       } else { flags += k.stripPrefix("--"); i += 1 }
     }
-    val spark: SparkSession = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-index-maintain")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark: SparkSession =
+      GraftSession.builder("graft-index-maintain", GraftSession.envCpus("4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nd = a.get("neardup-root")
     val ann = a.get("ann-root")

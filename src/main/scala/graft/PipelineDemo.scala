@@ -29,13 +29,8 @@ object PipelineDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val work = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline").toString)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-pipeline-demo")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      GraftSession.builder("graft-pipeline-demo", GraftSession.envCpus("4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.documents(spark, sfDir)

@@ -14,25 +14,7 @@ object QBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val names = if (args.length > 2) args.drop(2).toSeq else Seq("q1_agg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-qbench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Join strategy (guide §3.1/§9): allow shuffled-hash instead of
-      // sort-merge when a build side fits — the static planner preference
-      // plus AQE's runtime SMJ->SHJ rewrite, which checks the ACTUAL
-      // post-shuffle partition size against a byte threshold (64 MB =
-      // the advisory partition size), so oversized partitions keep the
-      // spill-safe sort-merge at any scale. Strategy-only: results are
-      // unchanged; d17/d19 carried 6 SortMergeJoins each whose sorts
-      // this removes.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-qbench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val times = (0 until reps).map { _ =>

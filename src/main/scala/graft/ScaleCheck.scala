@@ -230,14 +230,7 @@ object ScaleCheck {
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
     val deepFactor = args.lift(2).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-scalecheck")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-scalecheck", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val scaled = Files.createTempDirectory("graft-scalecheck").toString
@@ -543,12 +536,8 @@ object ScaleCheck {
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, k) = args
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      GraftSession.builder("graft-scalegen", GraftSession.envCpus()).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ScaleCheck.scaleDocuments(spark, sfDir, outDir, k.toInt)
     spark.stop()
@@ -567,14 +556,7 @@ object DeepProbe {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, deepDir, name) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-deepprobe")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-deepprobe", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     def time(dir: String): Double = {

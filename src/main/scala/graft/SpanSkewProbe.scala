@@ -31,14 +31,7 @@ object SpanSkewProbe {
     val m = args.lift(1).map(_.toInt).getOrElse(200000)
     val nReps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-spanskew")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-spanskew", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val out = Files.createTempDirectory("graft-spanskew").toString

@@ -19,25 +19,7 @@ object StageProf {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q1_agg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-stageprof")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Join strategy (guide §3.1/§9): allow shuffled-hash instead of
-      // sort-merge when a build side fits — the static planner preference
-      // plus AQE's runtime SMJ->SHJ rewrite, which checks the ACTUAL
-      // post-shuffle partition size against a byte threshold (64 MB =
-      // the advisory partition size), so oversized partitions keep the
-      // spill-safe sort-merge at any scale. Strategy-only: results are
-      // unchanged; d17/d19 carried 6 SortMergeJoins each whose sorts
-      // this removes.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-stageprof", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class StageRow(jobId: Int, stageId: Int, name: String, wallMs: Long,

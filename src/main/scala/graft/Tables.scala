@@ -29,6 +29,14 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Drop every memoized schema. The memo is safe under the documented
+    * immutability contract above; this hook exists for the one case
+    * that contract doesn't cover — an in-JVM test (or tool) rewriting a
+    * table under a reused path with a DIFFERENT schema, which would
+    * otherwise read with the stale one silently. Mirrors
+    * AnnIndex.build's invalidation of its own memo. */
+  private[graft] def invalidateSchemas(): Unit = schemaCache.clear()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,

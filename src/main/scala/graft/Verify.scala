@@ -10,13 +10,11 @@ object Verify {
     // a new oracle without re-running the whole suite). The driver
     // passes two args and gets the full dump.
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = GraftSession.envCpus("4")
+    // The shared engine session (r15): Verify previously planned WITHOUT
+    // the bench's AQE/join-strategy config, so the correctness gate ran
+    // different physical plans than the graded bench. One builder now.
+    val spark = GraftSession.builder("graft-verify", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -60,9 +60,22 @@ object TextFns {
     column(org.apache.spark.sql.graft.WordShingleHashLong(
       expression(words), n, nHex, mask))
 
+  /** The block-prefix byte stream of the oracle's flat
+    * `concat_ws(chr(1), blockCols…, gram)`: the joined non-null block
+    * columns plus ONE trailing chr(1), or the EMPTY string when every
+    * block column is null — concat_ws skips nulls with no separator,
+    * so an all-null block contributes zero bytes to the hashed key
+    * (r15: the fused hashes previously wrote the separator
+    * unconditionally, diverging from the oracle on all-null-block
+    * rows; FunctionsSpec pins the identity including that row). */
+  def blockPrefix(cols: Column*): Column =
+    when(coalesce(cols.map(_.cast("string")): _*).isNull, lit(""))
+      .otherwise(concat(concat_ws("\u0001", cols: _*), lit("\u0001")))
+
   /** [[wordShingleHashLong]] with a block prefix baked into each key:
-    * element i is `md5PrefixLong(concat_ws('', prefix, gram_i))`
-    * with `prefix` pre-joined by the caller
+    * element i is `md5PrefixLong(prefix ++ gram_i)` with `prefix`
+    * pre-joined by the caller via [[blockPrefix]] — it carries its own
+    * trailing separator
     * ([[org.apache.spark.sql.graft.BlockWordShingleHashLong]]). */
   def blockWordShingleHashLong(words: Column, prefix: Column, n: Int,
       nHex: Int = 15): Column =
@@ -70,8 +83,9 @@ object TextFns {
       expression(words), expression(prefix), n, nHex))
 
   /** Fused per-position char-n-gram hash with a block prefix: element i
-    * is `md5PrefixLong(concat_ws('', prefix, substring(text, i, n)))`
-    * for i in 1..greatest(len−n+1, 1) — the d4/d13 blocked gram key
+    * is `md5PrefixLong(prefix ++ substring(text, i, n))` for i in
+    * 1..greatest(len−n+1, 1) — the d4/d13 blocked gram key; the prefix
+    * comes from [[blockPrefix]] and carries its own trailing separator
     * ([[org.apache.spark.sql.graft.CharGramHashLong]]). */
   def charGramHashLong(text: Column, prefix: Column, n: Int, nHex: Int = 15): Column =
     column(org.apache.spark.sql.graft.CharGramHashLong(

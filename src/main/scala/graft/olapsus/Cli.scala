@@ -10,14 +10,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
   private[olapsus] def session(): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("olapsus")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.GraftSession.builder("olapsus",
+      graft.GraftSession.envCpus("4")).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -311,13 +311,8 @@ loadRollup2();loadPivot();loadDrill();
 object DashServe {
   def main(args: Array[String]): Unit = {
     val a = Cli.parseArgs(args)
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("olapsus-dashboard")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("olapsus-dashboard",
+      graft.GraftSession.envCpus("4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val port = a.getOrElse("port", "8050").toInt
     Dashboard.start(new Warehouse(spark, a("warehouse")), port)

@@ -14,13 +14,8 @@ object Demo {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(Files.createTempDirectory("olapsus-demo"))
     Files.createDirectories(dir)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("olapsus-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("olapsus-demo",
+      graft.GraftSession.envCpus("4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val municipioCsv = Fixtures.write(dir, "municipio.csv", Fixtures.municipio)

@@ -38,13 +38,9 @@ object ServingEndpoint {
 object Serve {
   def main(args: Array[String]): Unit = {
     val a = Cli.parseArgs(args)
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("olapsus-serve")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = graft.GraftSession.builder("olapsus-serve",
+      graft.GraftSession.envCpus("4"))
       .config("spark.sql.hive.thriftServer.singleSession", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val port = a.getOrElse("port", "10000").toInt

@@ -172,13 +172,23 @@ object Dedup extends OpModule {
     * and exchange reuse never fires; the cache is the cross-subtree
     * seam. 4 rows per doc, three longs each — negligible storage at any
     * scale. */
-  private[operators] def d2Pairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = shingled(Tables.spread(Tables.documents(spark, dir)))
-      .cache() // reused for exact-Jaccard rescoring of the candidates
-    val bands = minhashBands(toks)
+  private[operators] def d2Pairs(spark: SparkSession, dir: String): DataFrame =
+    d2PairsFromShingles(
+      shingled(Tables.spread(Tables.documents(spark, dir)))
+        .cache()) // reused for exact-Jaccard rescoring of the candidates
+
+  /** The pair chain over a pre-derived (doc_id, sh) shingle frame — the
+    * seam that lets a composite query (d17/d19's plan build) derive the
+    * shingles from its own fused corpus cache instead of paying a
+    * second scan + tokenize pass (r15, guide §2.4: the three corpus
+    * subtrees of the plan family each re-read and re-tokenized the
+    * same documents). The frame must be cached or cheap to recompute:
+    * the exact-Jaccard rescoring reads it a second time. */
+  private[operators] def d2PairsFromShingles(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh)
       .cache() // both sides of the self-join read this, not the agg
     val cand = bandedCandidates(bands)
-    exactJaccard(cand, toks)
+    exactJaccard(cand, sh)
       .filter(col("jac") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), col("jac").as("jaccard"))
   }
@@ -207,15 +217,19 @@ object Dedup extends OpModule {
   private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      // Fused hash (r14): hash EVERY position in one codegen'd loop,
-      // then distinct the longs. Identical set to the previous
-      // distinct-strings → md5 → distinct-longs form (equal strings
-      // hash equal), with zero per-gram string materialization and no
-      // interpreted transform lambda — this stage dominated the d2/c1/
-      // c2/c5/d17/d19 profiles with executorRunTime ≫ cpuTime.
-      .select(col("doc_id"),
-        array_distinct(
-          TextFns.wordShingleHashLong(col("w"), 3, mask = MinhashMask)).as("sh"))
+      .select(col("doc_id"), shingleHashCol(col("w")).as("sh"))
+
+  /** d2's distinct word-3-gram hash set over a token array — THE one
+    * expression (fused hash r14: every position hashed in one codegen'd
+    * loop, then the longs distinct'd; identical set to the previous
+    * distinct-strings → md5 → distinct-longs form, with zero per-gram
+    * string materialization). Shared by [[shingled]] and the fused
+    * corpus frames (d17/d19's planCorpus, Curation.curationCorpus) so
+    * the shingle definition cannot drift between the inline chain and
+    * a fused derivation. */
+  private[operators] def shingleHashCol(
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(TextFns.wordShingleHashLong(w, 3, mask = MinhashMask))
 
   /** d2's signature stage: (doc_id, band, hx, hy) LSH band keys.
     *
@@ -360,7 +374,7 @@ object Dedup extends OpModule {
         col("doc_id"),
         explode(array_distinct(TextFns.charGramHashLong(
           col("text"),
-          concat_ws("\u0001", col("lang"), col("source"),
+          TextFns.blockPrefix(col("lang"), col("source"),
             (col("n_chars") / lit(100)).cast("long")), 5))).as("bg"))
     gramIntersections(grams)
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
@@ -1057,7 +1071,7 @@ object Dedup extends OpModule {
       // is the same set as the old distinct-strings-then-hash.
       .select(col("doc_id"),
         explode(array_distinct(TextFns.blockWordShingleHashLong(
-          col("w"), concat_ws("\u0001", col("lang"), col("source")),
+          col("w"), TextFns.blockPrefix(col("lang"), col("source")),
           ContainN))).as("bg"))
     gramIntersections(grams)
       .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza"))
@@ -1157,7 +1171,6 @@ object Dedup extends OpModule {
     * saves an exchange its join needs anyway. */
   private[graft] def spanTableWith(spark: SparkSession, dir: String,
       dfStrategy: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     // Fused hash (r14): one codegen'd loop hashes every SpanN-gram
     // position — no per-position gram string, no md5-hex/conv parse
     // (same value; the oracle chain is untouched).
@@ -1168,6 +1181,23 @@ object Dedup extends OpModule {
         posexplode(TextFns.wordShingleHashLong(col("w"), SpanN)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("gh"))
+    // Cached here (not inside the chain): the df aggregate and the
+    // semi-join probe side both read it, and THIS path derives it from
+    // a fresh scan + tokenize. The fused-corpus path (planParts, d15)
+    // passes a projection of its own cached frame instead — re-running
+    // a posexplode over cached arrays is cheaper than a second cache.
+    spanTableFromOcc(
+      if (dfStrategy == "window") occ0 else occ0.cache(), dfStrategy)
+  }
+
+  /** The span chain from (doc_id, p, gh) gram-occurrence rows on — the
+    * seam that lets the plan family (d17/d19) and d15 feed the chain
+    * from their fused corpus caches (one scan + tokenize per query, not
+    * one per subtree). `occ0` must be cached or a cheap projection of a
+    * cached frame: the df filter reads it twice. */
+  private def spanTableFromOcc(occ0: DataFrame,
+      dfStrategy: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val shared = dfStrategy match {
       case "window" =>
         // Measurement-only historical form: single-task per hot gram.
@@ -1176,8 +1206,7 @@ object Dedup extends OpModule {
           .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
           .select("doc_id", "p", "gh")
       case "agg" | "aggshj" =>
-        val occ = occ0.cache()
-        val good = occ.groupBy("gh").agg(count(lit(1)).as("dfg"))
+        val good = occ0.groupBy("gh").agg(count(lit(1)).as("dfg"))
           .filter(col("dfg") > 1 && col("dfg") <= SpanMaxDf)
           .select("gh")
         val build = if (dfStrategy == "aggshj") good.hint("shuffle_hash") else good
@@ -1185,7 +1214,7 @@ object Dedup extends OpModule {
         // blocks (the semi-join's output partitioning), so the pair
         // join adds no exchange — the same zero-extra-exchange property
         // the window form had via its cached window partitioning.
-        occ.join(build, Seq("gh"), "leftsemi")
+        occ0.join(build, Seq("gh"), "leftsemi")
           .select("doc_id", "p", "gh")
           .cache()
     }
@@ -1305,7 +1334,12 @@ object Dedup extends OpModule {
     """))((spark, dir) => {
     // The span table feeds both the interval sweep and the per-doc span
     // count; cache it (tiny — found spans only) so the gram join runs
-    // once, not once per consumer.
+    // once, not once per consumer. (A fused (n_tokens, sg) corpus cache
+    // — the r15 planCorpus pattern — was MEASURED here and reverted:
+    // d15's lens branch needs only one narrow column, and the fused
+    // frame's array cache write cost more than the scan it saved,
+    // 0.30 s → 0.37 s same-window. The pattern pays only when three
+    // subtrees share the tokenize, as in d17/d19.)
     val spans = spanTable(spark, dir).cache()
     val cuts = spanCuts(spans)
     val nsp = spans
@@ -1586,7 +1620,7 @@ object Dedup extends OpModule {
       LEFT JOIN nearloser nl USING (doc_id)
       LEFT JOIN cuts c USING (doc_id)
       ORDER BY d.doc_id
-    """))((spark, dir) => actionPlanFrom(spark, dir, d2Pairs(spark, dir)))
+    """))((spark, dir) => assemblePlan(planPartsInline(spark, dir)))
 
   /** d17's action-plan assembly parameterized by the near-dup pair SET —
     * the seam that lets [[Curation.FromPersisted.actionPlan]] serve the
@@ -1602,13 +1636,64 @@ object Dedup extends OpModule {
       docs: DataFrame, exactLoser: DataFrame, nearLoser: DataFrame,
       liveIntervals: DataFrame)
 
+  /** ONE cached corpus derivation for the whole plan family (r15,
+    * guide §1.2 step 1 / §2.4): the plan's three subtrees — exact
+    * groups (th), near-dup pairs (3-gram shingles), repeated spans
+    * (SpanN-gram positions) — each re-scanned AND re-tokenized the
+    * documents table (three spread exchanges, three tokenize passes;
+    * tokenize+hash was the dominant stage cost of d17/d19 at 25-30
+    * driver jobs each). This frame tokenizes once and carries every
+    * derived column the subtrees need. Memory is BELOW the layout it
+    * replaces: the old path cached the shingle arrays (d2's toks), the
+    * EXPLODED span occurrences (24 B/token rows) and the narrow docs
+    * frame separately; this holds the two int64 gram arrays per doc
+    * plus four scalars, and the span chain re-derives its occurrence
+    * rows by posexplode over the cached arrays. `withShingles = false`
+    * for the persisted-pair seam, whose pairs come from storage. */
+  private def planCorpus(spark: SparkSession, dir: String,
+      withShingles: Boolean): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"),
+        TextFns.tokens(col("text")).as("w"))
+    toks.select(Seq(
+        col("doc_id"), col("n_chars"), col("th"),
+        size(col("w")).cast("long").as("n_tokens"),
+        TextFns.wordShingleHashLong(col("w"), SpanN).as("sg")) ++
+      (if (withShingles) Seq(shingleHashCol(col("w")).as("sh")) else Nil): _*)
+      .cache()
+  }
+
+  /** The plan's shingle frame from a fused corpus cache —
+    * definitionally [[shingled]] (same filter, same fused hash) read
+    * off the cached arrays instead of a fresh scan. */
+  private def pcShingles(pc: DataFrame): DataFrame =
+    pc.filter(col("n_tokens") >= 3).select(col("doc_id"), col("sh"))
+
+  /** The span chain's (doc_id, p, gh) occurrence rows from a fused
+    * corpus cache — definitionally [[spanTableWith]]'s occ0. */
+  private def pcSpanOcc(pc: DataFrame): DataFrame =
+    pc.filter(col("n_tokens") >= SpanN)
+      .select(col("doc_id"), posexplode(col("sg")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("gh"))
+
+  /** Inline plan build: pairs derived from the fused corpus frame —
+    * ONE scan + tokenize for all three subtrees. */
+  private def planPartsInline(spark: SparkSession, dir: String): PlanParts = {
+    val pc = planCorpus(spark, dir, withShingles = true)
+    planPartsFrom(spark, pc, d2PairsFromShingles(pcShingles(pc)))
+  }
+
+  /** Persisted-pair plan build: the stored pair table replaces the
+    * shingle subtree; the fused frame skips the shingle column. */
   private def planParts(spark: SparkSession, dir: String,
+      pairs: DataFrame): PlanParts =
+    planPartsFrom(spark, planCorpus(spark, dir, withShingles = false), pairs)
+
+  private def planPartsFrom(spark: SparkSession, pc: DataFrame,
       pairs: DataFrame): PlanParts = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("th"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .cache()
+    val docs = pc.select("doc_id", "n_chars", "th", "n_tokens")
     // Exact groups: hash-agg (map-side combine collapses a hot text) +
     // shuffled-hash join back — never an md5(text) window.
     val mins = docs.groupBy("th").agg(min("doc_id").as("mn"))
@@ -1630,15 +1715,19 @@ object Dedup extends OpModule {
     // (tiny relative to spans) drop list.
     // No distinct: an anti-join is duplicate-insensitive on its build side.
     val losers = exactLoser.select("doc_id").union(nearLoser.select("doc_id"))
-    val liveSpans = spanTable(spark, dir)
+    val liveSpans = spanTableFromOcc(pcSpanOcc(pc), "aggshj")
       .join(losers.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
     PlanParts(docs, exactLoser, nearLoser, mergedIntervals(liveSpans))
   }
 
   private[graft] def actionPlanFrom(spark: SparkSession, dir: String,
-      pairs: DataFrame): DataFrame = {
-    val PlanParts(docs, exactLoser, nearLoser, liveIntervals) =
-      planParts(spark, dir, pairs)
+      pairs: DataFrame): DataFrame =
+    assemblePlan(planParts(spark, dir, pairs))
+
+  /** d17's final assembly over the plan's building blocks — shared by
+    * the inline (fused-corpus) and persisted-pair paths. */
+  private def assemblePlan(parts: PlanParts): DataFrame = {
+    val PlanParts(docs, exactLoser, nearLoser, liveIntervals) = parts
     val cuts = liveIntervals
       .groupBy("doc_id").agg(sum(col("e") - col("s") + 1).as("cut_tokens"))
     val dropped = col("ex").isNotNull || col("nr").isNotNull
@@ -1695,14 +1784,18 @@ object Dedup extends OpModule {
         LEFT JOIN ivs i USING (doc_id)
         WHERE ex.doc_id IS NULL AND nl.doc_id IS NULL) z
       ORDER BY doc_id
-    """))((spark, dir) => cleanedCorpusFrom(spark, dir, d2Pairs(spark, dir)))
+    """))((spark, dir) =>
+    cleanedProjection(cleanedTokens(spark, dir, planPartsInline(spark, dir))))
 
   /** d19's assembly parameterized by the near-dup pair set — the same
     * persisted-pair seam as [[actionPlanFrom]]. */
   private[graft] def cleanedCorpusFrom(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame =
-    cleanedTokensFrom(spark, dir, pairs)
-      .select(col("doc_id"), col("action"),
+    cleanedProjection(cleanedTokensFrom(spark, dir, pairs))
+
+  /** d19's census projection over the survivor token arrays. */
+  private def cleanedProjection(kt: DataFrame): DataFrame =
+    kt.select(col("doc_id"), col("action"),
         size(col("kt")).cast("long").as("kept_tokens"),
         md5(array_join(col("kt"), " ")).as("text_md5"))
       .orderBy("doc_id")
@@ -1722,8 +1815,11 @@ object Dedup extends OpModule {
   /** Shared core of d19's two projections: survivors with their
     * kept-token arrays, (doc_id, action, kt). */
   private def cleanedTokensFrom(spark: SparkSession, dir: String,
-      pairs: DataFrame): DataFrame = {
-    val parts = planParts(spark, dir, pairs)
+      pairs: DataFrame): DataFrame =
+    cleanedTokens(spark, dir, planParts(spark, dir, pairs))
+
+  private def cleanedTokens(spark: SparkSession, dir: String,
+      parts: PlanParts): DataFrame = {
     val ivs = parts.liveIntervals.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
     Tables.spread(Tables.documents(spark, dir)).select("doc_id", "text")

@@ -624,9 +624,11 @@ object Similarity extends OpModule {
     * argmin per block against the driver-side codebook. */
   private[operators] def pqEncode(vecs: DataFrame,
       cb: Map[Int, Seq[(Long, Array[Long])]]): DataFrame =
-    (0 until PQ_M).foldLeft(vecs) { (df, m) =>
-      df.withColumn(s"code$m", nearestId(pqSubCol(m), cb(m)))
-    }
+    // One select, not a withColumn per block (r15): each withColumn is
+    // a full Catalyst analysis pass over the literal-heavy tree, and
+    // the PQ family's driver build time was dominated by exactly that.
+    vecs.select(col("*") +:
+      (0 until PQ_M).map(m => nearestId(pqSubCol(m), cb(m)).as(s"code$m")): _*)
 
   /** ADC scoring + top-k over PQ-coded rows (vec_id, code0..code{M−1}):
     * per-query lookup tables are literal MAPS keyed by the observed code
@@ -649,25 +651,35 @@ object Similarity extends OpModule {
           }.toMap
         }
       }.toMap
-    val perQuery = lut.toSeq.sortBy(_._1).map { case (q, tables) =>
-      // A code outside the LUT would make element_at NULL, and a NULL
-      // adc_d2 sorts FIRST under the ascending top-k window — silent
-      // corruption instead of a crash. Unreachable today (nearestId and
-      // the LUT draw from the same codebook entries), so keep the loud
-      // guard explicit (the t31 coalesce+raise_error pattern).
-      val adc = (0 until PQ_M).map(m =>
-        coalesce(
-          element_at(typedLit(tables(m)), col(s"code$m")),
-          raise_error(format_string(
-            s"$tag ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
-      struct(lit(q).as("query_id"), adc.as("adc_d2"))
+    // Merged LUT (r15): ONE literal map per block keyed
+    // (query_id << 32 | code) instead of NQ separate per-query maps —
+    // the plan carries PQ_M map literals and PQ_M guard towers rather
+    // than NQ × PQ_M (10× smaller expression tree at NQ=10; codes and
+    // query ids are both far below 2³², so the packed key is exact and
+    // collision-free by construction). Values are the identical Long
+    // distances — only the lookup key changed shape.
+    val merged: IndexedSeq[Map[Long, Long]] = (0 until PQ_M).map { m =>
+      (for ((q, tables) <- lut.toSeq; (code, pd) <- tables(m))
+        yield ((q << 32) | code) -> pd).toMap
     }
+    val qids = lut.keys.toSeq.sorted
+    // A code outside the LUT would make element_at NULL, and a NULL
+    // adc_d2 sorts FIRST under the ascending top-k window — silent
+    // corruption instead of a crash. Unreachable today (nearestId and
+    // the LUT draw from the same codebook entries), so keep the loud
+    // guard explicit (the t31 coalesce+raise_error pattern).
+    val adc = (0 until PQ_M).map(m =>
+      coalesce(
+        element_at(typedLit(merged(m)),
+          shiftleft(col("query_id"), 32).bitwiseOR(col(s"code$m"))),
+        raise_error(format_string(
+          s"$tag ADC: code$m=%s not in query-%s LUT",
+          col(s"code$m"), col("query_id"))))).reduce(_ + _)
     val scored = coded
-      .select(col("vec_id") +: passthrough.map(col) :+
-        explode(array(perQuery: _*)).as("qs"): _*)
-      .filter(col("vec_id") =!= col("qs.query_id"))
-      .select(Seq(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("qs.adc_d2").as("adc_d2")) ++ passthrough.map(col): _*)
+      .withColumn("query_id", explode(typedLit(qids)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_d2")) ++ passthrough.map(col): _*)
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc), pool)
       .select(Seq(col("query_id"), col("neighbor_id"), col("rnk"),
         col("adc_d2")) ++ passthrough.map(col): _*)
@@ -871,9 +883,10 @@ object Similarity extends OpModule {
     val cells = vecs
       .withColumn("cid", nearestId(col("qv"), coarse))
       .withColumn("rv", VectorFns.subtract(col("qv"), cvCol))
-    (0 until PQ_M).foldLeft(cells) { (df, m) =>
-      df.withColumn(s"code$m", nearestId(rsubCol(m), cbEntries(m)))
-    }
+    // One select for all blocks (the pqEncode r15 rule): one analysis
+    // pass instead of PQ_M over the literal codebook tree.
+    cells.select(col("*") +:
+      (0 until PQ_M).map(m => nearestId(rsubCol(m), cbEntries(m)).as(s"code$m")): _*)
   }
 
   /** Cell-gated ADC scoring + top-k over IVF+PQ-coded rows
@@ -900,22 +913,29 @@ object Similarity extends OpModule {
         }
         (q, qcid, tables)
       }
-    val perQuery = lut.map { case (q, qcid, tables) =>
-      // Same loud-NULL guard as s7: an unmapped code must crash, not
-      // sort-first into the top-k.
-      val adc = (0 until PQ_M).map(m =>
-        coalesce(
-          element_at(typedLit(tables(m)), col(s"code$m")),
-          raise_error(format_string(
-            s"$tag ADC: code$m=%s not in query-$q LUT", col(s"code$m"))))).reduce(_ + _)
-      struct(lit(q).as("query_id"), lit(qcid).as("q_cid"), adc.as("adc_d2"))
+    // Merged LUT (r15, the pqAdcTopK shape): PQ_M maps keyed
+    // (query_id << 32 | code) + one literal (query_id, q_cid) array
+    // replace the NQ × PQ_M per-query map towers. Same Long distances,
+    // same cell gate, 10× smaller expression tree at NQ=10.
+    val merged: IndexedSeq[Map[Long, Long]] = (0 until PQ_M).map { m =>
+      (for ((q, _, tables) <- lut; (code, pd) <- tables(m))
+        yield ((q << 32) | code) -> pd).toMap
     }
+    val qcells = lut.map { case (q, qcid, _) => (q, qcid) }
+    // Same loud-NULL guard as s7: an unmapped code must crash, not
+    // sort-first into the top-k.
+    val adc = (0 until PQ_M).map(m =>
+      coalesce(
+        element_at(typedLit(merged(m)),
+          shiftleft(col("qs._1"), 32).bitwiseOR(col(s"code$m"))),
+        raise_error(format_string(
+          s"$tag ADC: code$m=%s not in query-%s LUT",
+          col(s"code$m"), col("qs._1"))))).reduce(_ + _)
     val scored = coded
-      .select(Seq(col("vec_id"), col("cid")) ++ passthrough.map(col) :+
-        explode(array(perQuery: _*)).as("qs"): _*)
-      .filter(col("cid") === col("qs.q_cid") && col("vec_id") =!= col("qs.query_id"))
-      .select(Seq(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("cid").as("cell"), col("qs.adc_d2").as("adc_d2")) ++ passthrough.map(col): _*)
+      .withColumn("qs", explode(typedLit(qcells)))
+      .filter(col("cid") === col("qs._2") && col("vec_id") =!= col("qs._1"))
+      .select(Seq(col("qs._1").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("cid").as("cell"), adc.as("adc_d2")) ++ passthrough.map(col): _*)
     topKPerQuery(scored, Seq(col("adc_d2").asc, col("neighbor_id").asc), pool)
       .select(Seq(col("query_id"), col("neighbor_id"), col("cell"), col("rnk"),
         col("adc_d2")) ++ passthrough.map(col): _*)
@@ -1392,6 +1412,18 @@ object Similarity extends OpModule {
     // scores are unchanged while the two corpus token passes explode,
     // shuffle and aggregate 8-byte longs instead of term strings — the
     // d2 hashed-shingle-key rule applied to the lexical side.
+    // Collision bound (r15, recorded where the convention is applied):
+    // the key is the 60-bit md5 prefix (15 hex chars — the widest value
+    // the oracle's signed-BIGINT '0x…' parse admits; 16 would overflow
+    // DuckDB's cast), so by the birthday bound distinct-term collisions
+    // reach ~1% odds at ~1.5×10⁸ distinct terms and even odds around
+    // 1.3×10⁹. BOTH engines collide identically (same digest, same
+    // prefix), so the cross-engine gate holds at any vocabulary size;
+    // what a collision costs is two true terms sharing one df — a
+    // bounded score perturbation on the affected pairs only,
+    // acceptable for a ranking surrogate. A deployment needing exact
+    // df at >10⁹-term vocabularies should widen the key to two longs
+    // (md5 hi/lo), mirrored in the oracle as a struct key.
     val toks = docs.filter(col("doc_id").isNotNull).select(col("doc_id"),
       explode(array_distinct(
         TextFns.wordShingleHashLong(TextFns.tokens(col("text")), 1))).as("term"))

@@ -30,6 +30,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen (static helper calls, the [[DotProductLong]] pattern). Every
   * consumer's DuckDB oracle is untouched: only HOW Spark computes the
   * value changes, never the value.
+  *
+  * Collision bound of the convention (r15): 15 hex chars = 60 bits —
+  * the widest prefix the oracle's signed-BIGINT `'0x…'` cast admits
+  * (16 would overflow DuckDB's parse). Birthday bound: ~1% collision
+  * odds at ~1.5×10⁸ distinct keys, even odds near 1.3×10⁹. Both
+  * engines collide IDENTICALLY (same digest, same prefix), so
+  * cross-engine gates hold at any cardinality; consumers treating the
+  * hash as an equality surrogate (shingle sets, df counts) absorb a
+  * rare same-key merge, and a deployment needing exactness past 10⁹
+  * distinct keys widens to two longs (digest hi/lo) on both engines.
   */
 object GraftHash {
 
@@ -84,11 +94,15 @@ object GraftHash {
   }
 
   /** [[wordShingleHash]] with a per-row block prefix baked into every
-    * gram key: element i is md5Prefix of
-    * `prefix ++ '' ++ concat_ws(' ', words[i..i+n−1])` — the byte
-    * stream `concat_ws('', blockCols…, gram)` produces when the
-    * caller passes `prefix = concat_ws('', blockCols…)` (d13's
-    * blocked word-gram key). */
+    * gram key: element i is md5Prefix of `prefix ++ gram_i` with
+    * gram_i = `concat_ws(' ', words[i..i+n−1])`. The prefix must
+    * already CARRY its trailing chr(1) separator — callers build it
+    * with [[graft.functions.TextFns.blockPrefix]], which emits the
+    * EMPTY prefix when every block column is null, matching the
+    * oracle's flat `concat_ws(chr(1), blockCols…, gram)` exactly
+    * (concat_ws writes no separator for skipped nulls; the pre-r15
+    * unconditional separator here hashed chr(1)+gram on all-null-block
+    * rows where the oracle hashes just the gram). */
   def blockWordShingleHash(words: ArrayData, prefix: UTF8String,
       n: Int, nHex: Int): ArrayData = {
     val len = words.numElements()
@@ -100,7 +114,6 @@ object GraftHash {
     while (i < m) {
       d.reset()
       d.update(pb)
-      d.update(1.toByte)
       var first = true
       var k = 0
       while (k < n) {
@@ -120,9 +133,9 @@ object GraftHash {
 
   /** Per-position char-n-gram md5-prefix hashes with a per-row block
     * prefix: element i (0-based) is md5Prefix of
-    * `prefix ++ '' ++ substring(text, i+1, n)` — the byte stream
-    * `concat_ws('', blockCols…, substring(text, i+1, n))` produces
-    * when the caller passes `prefix = concat_ws('', blockCols…)`.
+    * `prefix ++ substring(text, i+1, n)` — the prefix carries its own
+    * trailing separator (see [[blockWordShingleHash]]'s contract;
+    * callers build it with TextFns.blockPrefix).
     * Positions run 1..greatest(numChars − n + 1, 1), so a text shorter
     * than n still yields one (truncated) gram — the d4/d13 shape. */
   def charGramHash(text: UTF8String, prefix: UTF8String, n: Int, nHex: Int): ArrayData = {
@@ -134,7 +147,6 @@ object GraftHash {
     while (i <= npos) {
       d.reset()
       d.update(pb)
-      d.update(1.toByte)
       d.update(text.substringSQL(i, n).getBytes)
       out(i - 1) = prefixOf(d.digest(), nHex)
       i += 1

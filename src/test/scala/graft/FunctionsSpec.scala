@@ -191,35 +191,46 @@ class FunctionsSpec extends SparkSpecBase {
   }
 
   test("blockWordShingleHashLong equals md5(concat_ws(sep, block, gram)) chain") {
-    val df = Seq(("en", "web", "a b c d"), (null, "web", "p q r s"))
+    // The (null, null, …) row pins the all-null-block identity: the
+    // oracle's flat concat_ws skips nulls with NO separator, so the
+    // hashed key is the bare gram — blockPrefix emits the empty prefix
+    // there (the r15 separator fix).
+    val df = Seq(("en", "web", "a b c d"), (null, "web", "p q r s"),
+        (null, null, "m n o p q"))
       .toDF("lang", "source", "t")
       .select(col("lang"), col("source"), TextFns.tokens(col("t")).as("w"))
       .filter(size(col("w")) >= 3)
     val rows = df.select(
       TextFns.blockWordShingleHashLong(
-        col("w"), concat_ws("\u0001", col("lang"), col("source")), 3).as("fused"),
+        col("w"), TextFns.blockPrefix(col("lang"), col("source")), 3).as("fused"),
       transform(TextFns.wordShingles(col("w"), 3), g =>
         conv(substring(md5(concat_ws("\u0001", col("lang"), col("source"), g)),
           1, 15), 16, 10).cast("long")).as("chain"))
       .collect()
+    assert(rows.length == 3)
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("charGramHashLong equals positional md5(concat_ws(sep, block, substr)) chain") {
-    val df = Seq(("en", "web", 2L, "abcdefgh"), ("de", "pdf", 0L, "xy"))
+    // The all-None row pins the all-null-block identity (the r15
+    // separator fix): oracle key = the bare gram, no leading chr(1).
+    val df = Seq(("en", "web", Option(2L), "abcdefgh"), ("de", "pdf", Option(0L), "xy"),
+        (null, null, Option.empty[Long], "qrstuvw"))
       .toDF("lang", "source", "lenb", "text")
     val rows = df.select(
       TextFns.charGramHashLong(col("text"),
-        concat_ws("\u0001", col("lang"), col("source"), col("lenb")), 5).as("fused"))
+        TextFns.blockPrefix(col("lang"), col("source"), col("lenb")), 5).as("fused"))
       .collect()
     // the positional md5 chain rebuilt in plain Scala for the comparison
     val duck = df.collect().map { r =>
       val (lang, source, lenb, text) =
-        (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getString(3))
+        (Option(r.getString(0)), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))
       val npos = math.max(text.length - 4, 1)
       (1 to npos).map { i =>
         val gram = text.substring(i - 1, math.min(i - 1 + 5, text.length))
-        val parts = Seq(lang.getOrElse(null), source, lenb.toString, gram)
+        val parts = Seq(lang.getOrElse(null), source.getOrElse(null),
+            lenb.map(_.toString).getOrElse(null), gram)
           .filter(_ != null)
         val joined = parts.mkString("\u0001")
         val d = java.security.MessageDigest.getInstance("MD5")

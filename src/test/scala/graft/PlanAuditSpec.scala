@@ -138,17 +138,19 @@ class PlanAuditSpec extends SparkSpecBase {
     // found spans), never tokens.
     val p = plan("d19_cleaned_corpus")
     // The span-DETECTION subtree legitimately posexplodes the 8-gram
-    // shingles (rows for the gram equi-join — d14's adjudicated shape,
-    // recognizable since r14 by the fused word_shingle_hash_long
-    // generator, previously by transform(sequence(...))); the surgery
-    // itself must never explode the bare token array.
+    // shingles (rows for the gram equi-join — d14's adjudicated shape):
+    // since r15 that is a posexplode over the fused corpus frame's
+    // cached `sg` hash-array column (planCorpus), before that the
+    // inline word_shingle_hash_long generator (r14) / transform(
+    // sequence(...)) (pre-r14). The surgery itself must never explode
+    // the bare token array (a string-array posexplode).
+    def legitSpanExplode(l: String): Boolean =
+      l.contains("word_shingle_hash_long") || l.contains("transform(sequence") ||
+        l.matches(".*posexplode\\(sg#\\d+.*")
     val pe = p.linesIterator.filter(_.contains("posexplode")).toSeq
-    assert(pe.forall(l =>
-      l.contains("word_shingle_hash_long") || l.contains("transform(sequence")),
+    assert(pe.forall(legitSpanExplode),
       "d19 regressed to a per-token explode:\n" +
-        pe.filterNot(l =>
-          l.contains("word_shingle_hash_long") || l.contains("transform(sequence"))
-          .mkString("\n"))
+        pe.filterNot(legitSpanExplode).mkString("\n"))
     assert(p.contains("lambdafunction"),
       "interval-filter HOF missing from the physical plan:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"))

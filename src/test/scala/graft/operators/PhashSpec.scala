@@ -72,6 +72,31 @@ class PhashSpec extends SparkSpecBase {
     }
   }
 
+  test("phash56 pins code-point semantics on supplementary-plane payloads") {
+    // Out of the ORACLE contract (the corpus generator emits BMP text,
+    // where code points == UTF-16 units == the oracle's ord() stream) —
+    // this pins the ENGINE's intended semantics beyond it: the pixel
+    // stream is String.codePoints, so a U+10400-block character is ONE
+    // pixel. A reimplementation via split("")/per-char ascii (the
+    // pre-r14 chain) would tear each surrogate pair into two broken
+    // pixels and fail both asserts.
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.GraftHash
+    def suppGrid(cell: Int => Int): String =
+      (0 until 64).flatMap(k =>
+        Character.toChars(0x10400 + cell(k)).toSeq ++
+          Character.toChars(0x10400 + cell(k)).toSeq).mkString
+    val base = suppGrid(k => 40 + k) // ascending cells → all 56 bits set
+    assert(base.length == 256 && base.codePointCount(0, base.length) == 128)
+    val h = GraftHash.phash56(UTF8String.fromString(base), 8)
+    assert(h == GraftHash.dHash56(base.codePoints().toArray, 8))
+    assert(h == (1L << 56) - 1)
+    // one-cell perturbation keeps dHash locality in code-point space
+    val pert = GraftHash.phash56(
+      UTF8String.fromString(suppGrid(k => if (k == 1) 40 else 40 + k)), 8)
+    assert(java.lang.Long.bitCount(h ^ pert) == 1)
+  }
+
   test("m7: saturated band buckets are skipped; unsaturated pairs survive") {
     import spark.implicits._
     // 1100 byte-identical payloads share every band — each bucket holds
