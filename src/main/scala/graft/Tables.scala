@@ -70,6 +70,19 @@ object Tables {
     }
   }
 
+  /** Materialize a cached frame with ONE pass before a plan reads it
+    * from multiple LEAF stages of the same job. Concurrent leaf stages
+    * race to populate a cold cache and recompute overlapping partitions
+    * (the BlockManager "already exists on this machine" churn in every
+    * sweep log) — for a corpus-heavy cache that is up to one duplicate
+    * tokenize/hash pass per extra reader. One count job = one build;
+    * the count costs a job submission, so callers apply it only where
+    * ≥2 same-job leaf stages read the cache (measured per site, r15).
+    * `graft.cache.prime=off` re-enables the racing layout for A/Bs. */
+  private[graft] def prime(df: DataFrame): DataFrame =
+    if (sys.props.getOrElse("graft.cache.prime", "on") == "off") df
+    else { df.count(); df }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -116,9 +116,39 @@ object Curation extends OpModule {
     // Both drop sides are SET forms (the d2Pairs rule): d18's verdict
     // table would re-attach kept to every row and pay a presentation
     // sort the anti-join never reads.
-    val lex = Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id"))
-    val sem = Dedup.semDroppedIds(spark, dir, Similarity.KC)
-      .select(col("vec_id").as("doc_id"))
+    //
+    // Overlap (guide §2.6, r15): semDroppedIds' construction BLOCKS the
+    // driver on Lloyd's synchronous collect rounds while the cores sit
+    // mostly idle; the lexical subtree is completely independent of the
+    // embedding side, so a second driver thread materializes its cached
+    // drop set during that window (FIFO scheduling back-fills the idle
+    // cores with the shingle/band stages). The join() below means the
+    // final query always reads a fully-built cache — same frames, same
+    // result, the serial lex-after-training wall is what disappears.
+    def buildLex() = {
+      val l = Dedup.d2Pairs(spark, dir)
+        .select(col("doc_b").as("doc_id")).distinct().cache()
+      l.count() // fully materialized: the final query reads, never rebuilds
+      l
+    }
+    val overlap = sys.props.getOrElse("graft.c5.overlap", "on") != "off"
+    val (lex, semBase) =
+      if (!overlap) (buildLex(), Dedup.semDroppedIds(spark, dir, Similarity.KC))
+      else {
+        // Construction AND materialization on the second thread: the
+        // d2 chain primes its internal caches eagerly (r15), so building
+        // it inline would serialize that work before training.
+        val lexF = java.util.concurrent.CompletableFuture.supplyAsync(() => buildLex())
+        val s =
+          try Dedup.semDroppedIds(spark, dir, Similarity.KC)
+          catch { case t: Throwable =>
+            // Don't leak running lex jobs into a caller's next attempt.
+            try lexF.join() catch { case _: Throwable => () }
+            throw t
+          }
+        (lexF.join(), s) // a lex-side failure rethrows here, as inline would
+      }
+    val sem = semBase.select(col("vec_id").as("doc_id"))
     curate(spark, dir, lex.unionByName(sem).distinct())
   })
 
@@ -255,20 +285,53 @@ object Curation extends OpModule {
       FROM census
       ORDER BY lang, stage_idx
     """))((spark, dir) =>
-    funnel(spark, dir,
-      Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()))
+    if (sys.props.getOrElse("graft.c2.fuse", "on") == "off")
+      funnel(spark, dir,
+        Dedup.d2Pairs(spark, dir).select(col("doc_b").as("doc_id")).distinct())
+    else {
+      // Fused corpus frame (r15, guide §2.4): the funnel's flag frame and
+      // d2's shingle chain each scanned + tokenized the corpus in their
+      // own cached pass — the ONLY c-family query where BOTH subtrees
+      // already paid a cache write (c1/c5's curate base is a pipelined
+      // uncached min_by; fusing it was measured at +10-25% and reverted).
+      // One pass computes flags AND the shingle hash array; the pair
+      // chain feeds from the same cache through the d2PairsFromShingles
+      // seam, so the shingle definition cannot drift. Two-step select:
+      // CollapseProject would otherwise inline `w` into each consumer
+      // and tokenize three times per row.
+      val fused = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFns.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          (size(col("w")) >= 20).as("q"), md5(col("text")).as("h"),
+          when(size(col("w")) >= 3, Dedup.shingleHashCol(col("w"))).as("sh"))
+        .cache()
+      val pairs = Dedup.d2PairsFromShingles(
+        fused.filter(col("sh").isNotNull).select(col("doc_id"), col("sh")))
+      funnelFrom(fused.select("doc_id", "lang", "q", "h"),
+        pairs.select(col("doc_b").as("doc_id")).distinct())
+    })
 
   /** c2's per-stage attrition census with the near-dup drop set
     * injected — shared by the inline oracle query and
     * [[fromPersisted]]. */
   private def funnel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    funnelFrom(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"),
+          (size(TextFns.tokens(col("text"))) >= 20).as("q"),
+          md5(col("text")).as("h"))
+        .cache(),
+      nearDupDocs)
+
+  /** The funnel body over a pre-derived (cached) per-document flag frame
+    * (doc_id, lang, q, h) — the seam that lets the inline c2 share ONE
+    * corpus pass with the shingle chain while the persisted path keeps
+    * its plain frame. */
+  private def funnelFrom(docs: org.apache.spark.sql.DataFrame,
       nearDupDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"),
-        (size(TextFns.tokens(col("text"))) >= 20).as("q"),
-        md5(col("text")).as("h"))
-      .cache()
     // Exact-dedup winner per text hash AMONG quality docs; rows with a
     // false/null quality flag never win (when() maps them to null, and
     // min ignores nulls). Hash-agg + SHUFFLE_HASH join back, never an

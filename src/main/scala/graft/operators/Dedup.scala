@@ -174,6 +174,15 @@ object Dedup extends OpModule {
     * scale. */
   private[operators] def d2Pairs(spark: SparkSession, dir: String): DataFrame =
     d2PairsFromShingles(
+      // NOT primed (r15, measured): three leaf stages of the final job
+      // race to populate this cache cold (minhash map side + both
+      // exact-Jaccard attach sides — the BlockManager already-exists
+      // churn), but the duplicated shingle work back-fills otherwise
+      // idle cores, while an eager materialization barrier serializes
+      // the chain: priming measured d2 0.98→1.21 s, c1 1.62→1.96 s
+      // same-JVM interleaved. The race is the cheaper evil here; the
+      // prime ships only where the duplicated work saturates the box
+      // (d4's char-gram stream — see gramIntersections).
       shingled(Tables.spread(Tables.documents(spark, dir)))
         .cache()) // reused for exact-Jaccard rescoring of the candidates
 
@@ -376,7 +385,7 @@ object Dedup extends OpModule {
           col("text"),
           TextFns.blockPrefix(col("lang"), col("source"),
             (col("n_chars") / lit(100)).cast("long")), 5))).as("bg"))
-    gramIntersections(grams)
+    gramIntersections(grams, primeGrams = true)
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))
       .filter(col("jac") >= 0.5)
@@ -993,11 +1002,24 @@ object Dedup extends OpModule {
     * and degrades to a shuffle join (on the already-aggregated,
     * LSH-small pair side) when it is not. PlanAuditSpec pins the
     * no-hint invariant. */
-  private def gramIntersections(gramRows: DataFrame): DataFrame = {
-    val grams = gramRows
+  private def gramIntersections(gramRows: DataFrame,
+      primeGrams: Boolean = false): DataFrame = {
+    // primeGrams (r15): THREE leaf stages of the final job read this
+    // cache (the sizes aggregate's map side plus both self-join sides)
+    // and race to populate it cold — duplicated gram-hash+window work
+    // (StageProf: two concurrent stages writing identical shuffle
+    // bytes, run 14.5 s + 8.1 s). Whether one eager build beats the
+    // race depends on the gram stream's weight: d4's char-5-gram
+    // stream saturates the box and priming measured −15% (2.59→2.21 s
+    // same-JVM interleaved); d13's word-5-shingle stream is light
+    // enough that the racing duplicates back-fill idle cores and the
+    // prime's barrier measured +7% (1.70→1.82 s) — so d4 primes and
+    // d13 does not.
+    val cached = gramRows
       .withColumn("dfb",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bg")))
       .cache()
+    val grams = if (primeGrams) Tables.prime(cached) else cached
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val shared = grams.filter(col("dfb") > 1)
     shared.as("a")
@@ -1688,7 +1710,13 @@ object Dedup extends OpModule {
     * shingle subtree; the fused frame skips the shingle column. */
   private def planParts(spark: SparkSession, dir: String,
       pairs: DataFrame): PlanParts =
-    planPartsFrom(spark, planCorpus(spark, dir, withShingles = false), pairs)
+    // Primed (r15): with the pairs served from storage nothing touches
+    // the fused frame until the final job reads it from several leaf
+    // stages at once (exact groups, span occ, docs) — racing the
+    // tokenize pass. The inline path needs no prime here: its bands
+    // prime materializes the frame first through a single reader.
+    planPartsFrom(spark, Tables.prime(planCorpus(spark, dir, withShingles = false)),
+      pairs)
 
   private def planPartsFrom(spark: SparkSession, pc: DataFrame,
       pairs: DataFrame): PlanParts = {

@@ -64,6 +64,29 @@ class CurationSpec extends SparkSpecBase {
     f.unpersist()
   }
 
+  test("c2 fused corpus frame and c5 lex prefetch are result-invariant") {
+    // r15: c2 derives flags and the shingle chain from ONE cached corpus
+    // pass (graft.c2.fuse), and c5 materializes its lexical drop set on a
+    // second driver thread while Lloyd blocks (graft.c5.overlap). Both
+    // are execution-shape changes only — pin byte-equality against the
+    // unfused/serial formulations the oracle gate originally graded.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    for ((prop, op) <- Seq(
+        "graft.c2.fuse" -> Curation.c2CurationFunnel,
+        "graft.c5.overlap" -> Curation.c5SemanticCuration)) {
+      def runWith(v: String): Seq[String] = {
+        System.setProperty(prop, v)
+        try { spark.sharedState.cacheManager.clearCache(); rows(op.run(spark, sf())) }
+        finally System.clearProperty(prop)
+      }
+      val off = runWith("off")
+      val on = runWith("on")
+      assert(on == off, s"$prop changed ${op.name}'s result")
+      assert(on.nonEmpty)
+    }
+  }
+
   test("c2 funnel counts null-text documents in every stage total") {
     import spark.implicits._
     // The exact-dedup winner join keys on h = md5(text), which is NULL
