@@ -1208,6 +1208,11 @@ object Dedup extends OpModule {
     // a fresh scan + tokenize. The fused-corpus path (planParts, d15)
     // passes a projection of its own cached frame instead — re-running
     // a posexplode over cached arrays is cheaper than a second cache.
+    // NOT primed (r15, measured): the df aggregate and semi-join probe
+    // leaves race on this cache cold, but an eager build barrier
+    // measured d14 1.78→1.89 s and d15 0.38→0.71 s same-JVM interleaved
+    // — the d2-chain result again (only d4's saturating char-gram
+    // stream wins from a prime).
     spanTableFromOcc(
       if (dfStrategy == "window") occ0 else occ0.cache(), dfStrategy)
   }
@@ -1218,9 +1223,18 @@ object Dedup extends OpModule {
     * one per subtree). `occ0` must be cached or a cheap projection of a
     * cached frame: the df filter reads it twice. */
   private def spanTableFromOcc(occ0: DataFrame,
+      dfStrategy: String): DataFrame =
+    spanPairsFromShared(spanSharedFromOcc(occ0, dfStrategy))
+
+  /** The span chain's df-pruned shared-occurrence CACHE — split out of
+    * [[spanTableFromOcc]] (r15) so the plan family can materialize it on
+    * a second driver thread while connectedComponents blocks the main
+    * one (guide §2.6); the chain's definition is unchanged
+    * (spanTableFromOcc composes the two halves). */
+  private def spanSharedFromOcc(occ0: DataFrame,
       dfStrategy: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val shared = dfStrategy match {
+    dfStrategy match {
       case "window" =>
         // Measurement-only historical form: single-task per hot gram.
         occ0.withColumn("dfg", count(lit(1)).over(w.partitionBy("gh")))
@@ -1240,6 +1254,12 @@ object Dedup extends OpModule {
           .select("doc_id", "p", "gh")
           .cache()
     }
+  }
+
+  /** The span chain's pair-join + islands tail over the df-pruned
+    * shared-occurrence cache — the other half of [[spanTableFromOcc]]. */
+  private def spanPairsFromShared(shared: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val m = shared.as("a")
       .join(shared.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -1728,6 +1748,16 @@ object Dedup extends OpModule {
     val exactLoser = docs.join(mins.hint("shuffle_hash"), Seq("th"))
       .filter(col("doc_id") > col("mn"))
       .select(col("doc_id"), lit(true).as("ex"))
+    // NO span-cache prefetch during connectedComponents (r15, measured):
+    // unlike c5's Lloyd window (driver-blocking collects over a tiny
+    // table — cores idle, prefetch wins −9%), CC's count job IS the
+    // CPU-saturating pairs-chain compute, so a §2.6 overlap thread
+    // forcing the span shared cache here only contends with it and then
+    // barriers construction on its own completion: d17 2.52→3.40 s,
+    // d19 2.33→3.17 s same-JVM interleaved. In the shipped layout the
+    // shared cache materializes inside the final query, concurrently
+    // with the loser subtrees' stages — already overlapped for free.
+    val shared = spanSharedFromOcc(pcSpanOcc(pc), "aggshj")
     val comp = connectedComponents(pairs.select("doc_a", "doc_b"))
     val nearLoser = comp
       .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
@@ -1743,7 +1773,7 @@ object Dedup extends OpModule {
     // (tiny relative to spans) drop list.
     // No distinct: an anti-join is duplicate-insensitive on its build side.
     val losers = exactLoser.select("doc_id").union(nearLoser.select("doc_id"))
-    val liveSpans = spanTableFromOcc(pcSpanOcc(pc), "aggshj")
+    val liveSpans = spanPairsFromShared(shared)
       .join(losers.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
     PlanParts(docs, exactLoser, nearLoser, mergedIntervals(liveSpans))
   }

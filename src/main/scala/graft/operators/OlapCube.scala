@@ -205,6 +205,14 @@ object OlapCube extends OpModule {
     // dependent on p_partkey, so summing per l_partkey first shrinks the
     // join input from every lineitem row to one row per part and keeps
     // the shuffle key a bare int.
+    // NOT spread (r15, measured): the sf parquet is ONE row group, so
+    // the scan+partial-agg stage runs single-threaded (628 ms CPU in one
+    // task — guide §2.5 input skew); a spread would parallelize the
+    // decimal math, but the round-robin exchange of 600 k narrow rows
+    // measured +40% same-JVM interleaved (1.16→1.62 s): the exchange's
+    // own single-task write plus the extra stage barrier cost more than
+    // the parallelism saves at this row weight. At 100 TB the scan
+    // splits by row group and the skew never exists.
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(Exact.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
