@@ -306,6 +306,8 @@ object Curation extends OpModule {
           (size(col("w")) >= 20).as("q"), md5(col("text")).as("h"),
           when(size(col("w")) >= 3, Dedup.shingleHashCol(col("w"))).as("sh"))
         .cache()
+      // NOT primed (r15, measured flat-to-worse 2.01→2.04 — the racing
+      // readers here pipeline rather than saturate; only d4's prime won).
       val pairs = Dedup.d2PairsFromShingles(
         fused.filter(col("sh").isNotNull).select(col("doc_id"), col("sh")))
       funnelFrom(fused.select("doc_id", "lang", "q", "h"),

@@ -233,7 +233,7 @@ object Dedup extends OpModule {
     * loop, then the longs distinct'd; identical set to the previous
     * distinct-strings → md5 → distinct-longs form, with zero per-gram
     * string materialization). Shared by [[shingled]] and the fused
-    * corpus frames (d17/d19's planCorpus, Curation.curationCorpus) so
+    * corpus frames (d17/d19's planCorpus, Curation's fused c2 frame) so
     * the shingle definition cannot drift between the inline chain and
     * a fused derivation. */
   private[operators] def shingleHashCol(
