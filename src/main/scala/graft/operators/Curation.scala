@@ -135,9 +135,9 @@ object Curation extends OpModule {
     val (lex, semBase) =
       if (!overlap) (buildLex(), Dedup.semDroppedIds(spark, dir, Similarity.KC))
       else {
-        // Construction AND materialization on the second thread: the
-        // d2 chain primes its internal caches eagerly (r15), so building
-        // it inline would serialize that work before training.
+        // Construction AND materialization both live on the second
+        // thread: buildLex's count() is eager, so an inline call would
+        // run the whole lexical chain before training ever starts.
         val lexF = java.util.concurrent.CompletableFuture.supplyAsync(() => buildLex())
         val s =
           try Dedup.semDroppedIds(spark, dir, Similarity.KC)

@@ -1227,10 +1227,13 @@ object Dedup extends OpModule {
     spanPairsFromShared(spanSharedFromOcc(occ0, dfStrategy))
 
   /** The span chain's df-pruned shared-occurrence CACHE — split out of
-    * [[spanTableFromOcc]] (r15) so the plan family can materialize it on
-    * a second driver thread while connectedComponents blocks the main
-    * one (guide §2.6); the chain's definition is unchanged
-    * (spanTableFromOcc composes the two halves). */
+    * [[spanTableFromOcc]] (r15) as the seam for a §2.6 thread-overlap
+    * of the plan family's CC window. The overlap itself was measured
+    * and NOT shipped (d17 2.52→3.40 s, d19 2.33→3.17 s — CC's count job
+    * is CPU-saturated, so the prefetch only contends and then barriers
+    * construction); the split stays because it is behavior-identical
+    * (spanTableFromOcc composes the two halves) and keeps the
+    * measurement reproducible. */
   private def spanSharedFromOcc(occ0: DataFrame,
       dfStrategy: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1733,8 +1736,11 @@ object Dedup extends OpModule {
     // Primed (r15): with the pairs served from storage nothing touches
     // the fused frame until the final job reads it from several leaf
     // stages at once (exact groups, span occ, docs) — racing the
-    // tokenize pass. The inline path needs no prime here: its bands
-    // prime materializes the frame first through a single reader.
+    // tokenize pass; one eager build measured flat at sf0.1
+    // (0.26→0.25) and removes the duplicated tokenize by design. The
+    // inline path stays unprimed: its CC count job materializes the
+    // frame while the cores are otherwise its own (the d2-chain
+    // race-vs-prime measurement applies).
     planPartsFrom(spark, Tables.prime(planCorpus(spark, dir, withShingles = false)),
       pairs)
 
